@@ -1,0 +1,296 @@
+"""HDF5 patch/feature storage.
+
+Output schema is bit-compatible with the reference (reference:
+atlas_patch/services/storage.py:17-392) so downstream MIL pipelines are
+untouched:
+
+  coords      (N, 5) int32 rows [x, y, read_w, read_h, level]
+  passports   (N,)  S160 strings "{stem}__x{X}_y{Y}_rw{RW}_rh{RH}_lv{LV}_mag{MAG}_tmag{TMAG}_total{TOTAL}"
+  features/<name> (N, D) float32
+
+File attrs: patch_size, patch_size_level0, level0_magnification,
+target_magnification, overlap, level0_width/height, wsi_path, passport_format,
+passport_version=2, creation_date, num_patches, plus slide metadata
+(filename, mpp, magnification, vendor, institution, stain when known).
+
+Design difference vs the reference: feature rows are produced by a caller
+supplied `feature_fn` over *index ranges* rather than materialized patch lists,
+so the TPU embedding engine can stream double-buffered device batches without
+the writer holding pixels. Coordinate writing keeps the two-pass
+count-then-write shape so passports embed the final total.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as _fut
+import os
+from collections import deque
+from datetime import datetime, timezone
+from pathlib import Path
+from typing import Any, Callable, Iterable, Mapping
+
+import h5py
+import numpy as np
+
+from atlaspatch_tpu.utils.h5 import H5AppendWriter
+
+PASSPORT_FORMAT = "{stem}__x{X}_y{Y}_rw{RW}_rh{RH}_lv{LV}_mag{MAG}_tmag{TMAG}_total{TOTAL}"
+PASSPORT_VERSION = 2
+_PASSPORT_DTYPE = np.dtype("S160")
+
+# Entry tuple yielded by extraction iterators: (x, y, read_w, read_h, level, patch|None)
+Entry = tuple[int, int, int, int, int, "np.ndarray | None"]
+
+
+def save_patch_png(patch_arr: np.ndarray, out_path: Path) -> None:
+    from PIL import Image
+
+    Image.fromarray(patch_arr).save(str(out_path))
+
+
+class H5PatchWriter:
+    """Writes patch coordinates (and optional images / features) for one slide."""
+
+    def __init__(
+        self,
+        *,
+        chunk_rows: int,
+        patch_size: int,
+        patch_size_level0: int,
+        level0_mag: int,
+        target_mag: int,
+        level0_wh: tuple[int, int],
+        overlap: int,
+        slide_stem: str,
+        wsi_path: str,
+        total_patches: int | None = None,
+        extra_file_attrs: Mapping[str, Any] | None = None,
+    ) -> None:
+        self.chunk_rows = max(1, int(chunk_rows))
+        self.patch_size = int(patch_size)
+        self.patch_size_level0 = int(patch_size_level0)
+        self.level0_mag = int(level0_mag)
+        self.target_mag = int(target_mag)
+        self.level0_wh = (int(level0_wh[0]), int(level0_wh[1]))
+        self.overlap = int(overlap)
+        self.slide_stem = slide_stem
+        self.wsi_path = wsi_path
+        self.total_patches = int(total_patches) if total_patches is not None else None
+        self.extra_file_attrs = dict(extra_file_attrs) if extra_file_attrs else {}
+
+    # --- passports -----------------------------------------------------------------
+    def _passport(self, x: int, y: int, rw: int, rh: int, lv: int) -> str:
+        if self.total_patches is None:
+            raise RuntimeError("total_patches must be set before generating passports")
+        mag_val: int | str = self.level0_mag if self.level0_mag else "na"
+        tgt_val: int | str = self.target_mag if self.target_mag else "na"
+        return (
+            f"{self.slide_stem}__x{x}_y{y}_rw{rw}_rh{rh}_lv{lv}"
+            f"_mag{mag_val}_tmag{tgt_val}_total{self.total_patches}"
+        )
+
+    # --- seed + coord writing ------------------------------------------------------
+    def _seed_writer(self, output_path: Path) -> H5AppendWriter:
+        writer = H5AppendWriter(str(output_path), chunk_rows=self.chunk_rows)
+        writer.append(
+            {
+                "coords": np.empty((0, 5), dtype=np.int32),
+                "passports": np.empty((0,), dtype=_PASSPORT_DTYPE),
+            }
+        )
+        level0_width, level0_height = self.level0_wh
+        file_attrs: dict[str, Any] = {
+            "patch_size": self.patch_size,
+            "patch_size_level0": self.patch_size_level0,
+            "level0_magnification": self.level0_mag,
+            "target_magnification": self.target_mag,
+            "overlap": self.overlap,
+            "level0_width": level0_width,
+            "level0_height": level0_height,
+            "wsi_path": self.wsi_path,
+            "passport_format": PASSPORT_FORMAT,
+            "passport_version": PASSPORT_VERSION,
+            "creation_date": datetime.now(timezone.utc).isoformat(),
+        }
+        file_attrs.update(self.extra_file_attrs)
+        writer.update_file_attrs(file_attrs)
+        return writer
+
+    def _write_collected(
+        self,
+        output_path: Path,
+        all_coords: list[tuple[int, int, int, int, int]],
+        batch: int,
+    ) -> int:
+        """Write a fully collected coordinate list (total already known)."""
+        self.total_patches = len(all_coords)
+        writer = self._seed_writer(output_path)
+        total = 0
+        try:
+            step = max(1, int(batch))
+            for start in range(0, len(all_coords), step):
+                chunk = all_coords[start : start + step]
+                coords = np.asarray(chunk, dtype=np.int32).reshape(-1, 5)
+                passports = np.asarray(
+                    [self._passport(*c) for c in chunk], dtype=_PASSPORT_DTYPE
+                )
+                writer.append({"coords": coords, "passports": passports})
+                total += int(coords.shape[0])
+            writer.update_file_attrs({"num_patches": int(total)})
+            writer.close()
+        except Exception:
+            writer.abort()
+            raise
+        return total
+
+    def write_coords(
+        self,
+        output_path: Path,
+        entries: Iterable[Entry],
+        *,
+        batch: int,
+        collect_coords: bool = False,
+    ) -> tuple[int, np.ndarray | None]:
+        """Two-pass coordinate write; returns (total, optional (N,2) xy array)."""
+        all_coords = [(int(x), int(y), int(rw), int(rh), int(lv)) for x, y, rw, rh, lv, _ in entries]
+        total = self._write_collected(output_path, all_coords, batch)
+        coords_arr = (
+            np.asarray([(c[0], c[1]) for c in all_coords], dtype=np.int32)
+            if collect_coords
+            else None
+        )
+        return total, coords_arr
+
+    def write_coords_and_images(
+        self,
+        output_path: Path,
+        entries: Iterable[Entry],
+        image_dir: Path,
+        *,
+        batch: int,
+        collect_coords: bool = False,
+    ) -> tuple[int, np.ndarray | None]:
+        """Coordinate write plus async per-patch PNG export.
+
+        PNG writes run on a small bounded thread pool overlapping the entry
+        iteration (which may be reading slide tiles), mirroring the reference's
+        bounded-backlog scheme (reference: services/storage.py:73-104).
+        """
+        max_workers = max(2, min(8, os.cpu_count() or 4))
+        max_pending = max_workers * 4
+        futures: deque[_fut.Future[None]] = deque()
+        all_coords: list[tuple[int, int, int, int, int]] = []
+
+        with _fut.ThreadPoolExecutor(max_workers=max_workers, thread_name_prefix="patch-img") as ex:
+            for x, y, rw, rh, lv, patch in entries:
+                all_coords.append((int(x), int(y), int(rw), int(rh), int(lv)))
+                if patch is not None:
+                    out_name = f"{self.slide_stem}_x{int(x)}_y{int(y)}.png"
+                    futures.append(
+                        ex.submit(save_patch_png, patch.copy(), image_dir / out_name)
+                    )
+                    if len(futures) >= max_pending:
+                        futures.popleft().result()
+            total = self._write_collected(output_path, all_coords, batch)
+            while futures:
+                futures.popleft().result()
+
+        coords_arr = (
+            np.asarray([(c[0], c[1]) for c in all_coords], dtype=np.int32)
+            if collect_coords
+            else None
+        )
+        return total, coords_arr
+
+    # --- features ------------------------------------------------------------------
+    def append_features(
+        self,
+        *,
+        output_path: Path,
+        feature_name: str,
+        feature_fn: Callable[[int, int], np.ndarray],
+        num_rows: int,
+        feature_batch: int,
+        feature_attrs: Mapping[str, int | str] | None = None,
+        expected_total: int | None = None,
+    ) -> int:
+        """Append `features/<name>` by pulling row blocks from feature_fn(start, stop).
+
+        Rows land in a `__tmp_<name>` dataset that is atomically renamed into
+        place only when all rows were produced and the count matches
+        expected_total, preserving the reference's crash/resume safety
+        (reference: services/storage.py:250-337).
+        """
+        batch_size = max(1, int(feature_batch))
+        tmp_name = f"__tmp_{feature_name}"
+        total_written = 0
+
+        with h5py.File(output_path, "a") as f:
+            grp = f.require_group("features")
+            if feature_name in grp:
+                raise ValueError(
+                    f"Feature dataset '{feature_name}' already exists in {output_path}."
+                )
+            if tmp_name in grp:
+                del grp[tmp_name]
+
+            dataset = None
+            try:
+                for start in range(0, int(num_rows), batch_size):
+                    stop = min(start + batch_size, int(num_rows))
+                    arr = np.asarray(feature_fn(start, stop), dtype=np.float32)
+                    if arr.ndim != 2:
+                        raise ValueError(
+                            f"Feature extractor '{feature_name}' must return a 2D array, "
+                            f"got shape {arr.shape}"
+                        )
+                    if arr.shape[0] != stop - start:
+                        raise ValueError(
+                            f"Feature extractor '{feature_name}' returned {arr.shape[0]} rows "
+                            f"for request of {stop - start}."
+                        )
+                    if dataset is None:
+                        dataset = grp.create_dataset(
+                            tmp_name,
+                            shape=(0, arr.shape[1]),
+                            maxshape=(None, arr.shape[1]),
+                            chunks=(batch_size, arr.shape[1]),
+                            dtype=np.float32,
+                        )
+                    elif dataset.shape[1] != arr.shape[1]:
+                        raise ValueError(
+                            f"Feature dim mismatch for '{feature_name}': "
+                            f"existing {dataset.shape[1]}, new {arr.shape[1]}"
+                        )
+                    dataset.resize((total_written + arr.shape[0], dataset.shape[1]))
+                    dataset[total_written : total_written + arr.shape[0], :] = arr
+                    total_written += int(arr.shape[0])
+
+                if dataset is None:
+                    emb_dim = int((feature_attrs or {}).get("embedding_dim", 0))
+                    if emb_dim <= 0:
+                        raise ValueError(
+                            f"Feature extractor '{feature_name}' missing valid embedding_dim "
+                            "to create dataset."
+                        )
+                    dataset = grp.create_dataset(
+                        tmp_name,
+                        shape=(0, emb_dim),
+                        maxshape=(None, emb_dim),
+                        chunks=(batch_size, emb_dim),
+                        dtype=np.float32,
+                    )
+
+                if expected_total is not None and total_written != int(expected_total):
+                    raise ValueError(
+                        f"Feature rows written ({total_written}) do not match expected "
+                        f"coords ({expected_total})"
+                    )
+
+                grp.move(tmp_name, feature_name)
+            except Exception:
+                if tmp_name in grp:
+                    del grp[tmp_name]
+                raise
+
+        return int(total_written)

@@ -1,0 +1,23 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX import.
+
+Multi-chip sharding logic is validated on virtual CPU devices
+(xla_force_host_platform_device_count); real-TPU benchmarking lives in
+bench.py, not in the test suite.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
