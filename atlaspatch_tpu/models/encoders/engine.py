@@ -1,0 +1,171 @@
+"""TPU batched inference engine for patch encoders.
+
+Replaces the reference's per-extractor torch DataLoader loop (reference:
+atlas_patch/models/patch/base.py:48-114) with a TPU-shaped pipeline:
+
+  host: per-patch PIL resize/crop to the encoder's input size (kept on host
+        for bit-parity with torchvision/transformers preprocessing) on a
+        thread pool, overlapping device compute (double buffering);
+  device: ONE jitted program per (bucketed batch, encoder): uint8 → float
+        normalize (fused into the first conv by XLA) → encoder forward →
+        float32 features.
+
+Batches are padded to power-of-two buckets so at most log2(max_batch) programs
+are ever compiled per encoder. Params live on device once; bfloat16 compute is
+selected by the precision config while outputs stay float32 (reference returns
+float32 features, base.py:106).
+"""
+
+from __future__ import annotations
+
+import logging
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Callable, Sequence
+
+import numpy as np
+from PIL import Image
+
+from atlaspatch_tpu.models.encoders.registry import FeatureExtractor
+
+logger = logging.getLogger("atlaspatch_tpu.models.encoders")
+
+_PIL_INTERP = {
+    "bilinear": Image.Resampling.BILINEAR,
+    "bicubic": Image.Resampling.BICUBIC,
+    "nearest": Image.Resampling.NEAREST,
+    "lanczos": Image.Resampling.LANCZOS,
+}
+
+
+@dataclass(frozen=True)
+class PreprocessSpec:
+    """Host-side geometric preprocessing + normalization constants.
+
+    mode "square": resize directly to (crop, crop) — HF image-processor style.
+    mode "shortest": resize shorter side to `resize` then center-crop `crop` —
+    torchvision classification-preset / CLIP style.
+    """
+
+    crop: int = 224
+    resize: int = 224
+    mode: str = "square"
+    interpolation: str = "bilinear"
+    mean: tuple[float, float, float] = (0.485, 0.456, 0.406)
+    std: tuple[float, float, float] = (0.229, 0.224, 0.225)
+    rescale: float = 1.0 / 255.0
+
+    def apply_host(self, patch: np.ndarray | Image.Image) -> np.ndarray:
+        img = patch if isinstance(patch, Image.Image) else Image.fromarray(patch)
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        interp = _PIL_INTERP[self.interpolation]
+        if self.mode == "square":
+            if img.size != (self.crop, self.crop):
+                img = img.resize((self.crop, self.crop), interp)
+        elif self.mode == "shortest":
+            w, h = img.size
+            short = min(w, h)
+            if short != self.resize:
+                scale = self.resize / short
+                img = img.resize(
+                    (max(1, round(w * scale)), max(1, round(h * scale))), interp
+                )
+            w, h = img.size
+            left = (w - self.crop) // 2
+            top = (h - self.crop) // 2
+            img = img.crop((left, top, left + self.crop, top + self.crop))
+        else:
+            raise ValueError(f"unknown preprocess mode {self.mode}")
+        return np.asarray(img, dtype=np.uint8)
+
+
+def _bucket(n: int, max_batch: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+        if b >= max_batch:
+            return max_batch
+    return b
+
+
+@dataclass
+class JaxFeatureExtractor(FeatureExtractor):
+    """Runs a Flax apply function over preprocessed patch batches on device.
+
+    apply_fn(params, images_f32_nhwc) -> (N, D) features.
+    """
+
+    name: str
+    embedding_dim: int
+    spec: PreprocessSpec
+    apply_fn: Callable
+    params: dict
+    device: object | None = None
+    compute_dtype: str = "float32"
+    max_batch: int = 256
+    prep_workers: int = 8
+    _jitted: dict = field(default_factory=dict, repr=False)
+
+    def __post_init__(self) -> None:
+        import jax
+
+        if self.device is None:
+            self.device = jax.devices()[0]
+        self.params = jax.device_put(self.params, self.device)
+
+    def _forward(self, images_u8: np.ndarray) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        shape = images_u8.shape
+        fn = self._jitted.get(shape)
+        if fn is None:
+            spec = self.spec
+            cdtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.compute_dtype]
+
+            def run(params, u8):
+                x = u8.astype(jnp.float32) * spec.rescale
+                x = (x - jnp.asarray(spec.mean, jnp.float32)) / jnp.asarray(
+                    spec.std, jnp.float32
+                )
+                x = x.astype(cdtype)
+                out = self.apply_fn(params, x)
+                return out.astype(jnp.float32)
+
+            fn = jax.jit(run)
+            self._jitted[shape] = fn
+        with jax.default_device(self.device):
+            return np.asarray(fn(self.params, images_u8))
+
+    def extract_batch(
+        self, patches: Sequence[np.ndarray], *, batch_size: int | None = None
+    ) -> np.ndarray:
+        if not len(patches):
+            return np.empty((0, self.embedding_dim), dtype=np.float32)
+        bs = min(self.max_batch, batch_size or len(patches))
+
+        # Host preprocessing on a thread pool (PIL releases the GIL on resize),
+        # pipelined one step ahead of device compute.
+        def prep_chunk(chunk) -> np.ndarray:
+            return np.stack([self.spec.apply_host(p) for p in chunk])
+
+        chunks = [patches[i : i + bs] for i in range(0, len(patches), bs)]
+        outputs: list[np.ndarray] = []
+        with ThreadPoolExecutor(max_workers=self.prep_workers) as ex:
+            futures = [ex.submit(prep_chunk, c) for c in chunks]
+            for fut, chunk in zip(futures, chunks):
+                imgs = fut.result()
+                n = imgs.shape[0]
+                padded = _bucket(n, bs)
+                if padded != n:
+                    imgs = np.concatenate(
+                        [imgs, np.zeros((padded - n, *imgs.shape[1:]), imgs.dtype)]
+                    )
+                feats = self._forward(imgs)[:n]
+                outputs.append(feats)
+        return np.concatenate(outputs, axis=0)
+
+    def cleanup(self) -> None:
+        self.params = None
+        self._jitted.clear()

@@ -1,0 +1,234 @@
+"""Unified Vision Transformer in Flax covering the encoder zoo's ViT variants.
+
+One parameterized implementation spans: torchvision ViT-B/L/H (vit.py
+reference specs), DINOv2 small..giant (+LayerScale), timm pathology FMs — UNI
+v1/v2, Virchow 1/2, H-optimus, Prov-GigaPath, PathOrchestra, OpenMidnight
+(register tokens, LayerScale, SwiGLU-packed MLPs, SiLU), Phikon/Hibou, Lunit
+DINO ViTs, and the CLIP/SigLIP visual towers (pre-LN, QuickGELU, attention-pool
+head, projection). Reference encoder behaviors cited per registration in
+zoo.py.
+
+TPU shape discipline: static input sizes per encoder; attention as batched
+einsum on the MXU; bfloat16 compute optional with float32 softmax.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class ViTSpec:
+    img_size: int = 224
+    patch_size: int = 16
+    dim: int = 768
+    depth: int = 12
+    heads: int = 12
+    mlp_ratio: float = 4.0
+    mlp_hidden: int | None = None  # explicit hidden dim overrides ratio
+    qkv_bias: bool = True
+    layerscale: bool = False
+    reg_tokens: int = 0
+    class_token: bool = True
+    swiglu: bool = False
+    act: str = "gelu"  # gelu | gelu_tanh | quick_gelu | silu
+    pre_ln: bool = False  # CLIP-style LN right after embeddings
+    final_norm: bool = True
+    proj_dim: int | None = None  # CLIP projection from CLS
+    pool: str = "cls"  # cls | mean | cls_mean_concat | map | none
+    patch_bias: bool = True  # CLIP conv1 has no bias
+    # Positional-embedding coverage:
+    #   "prefix": cls + patches (standard ViT / DINOv2; registers get no pos)
+    #   "patches": patches only, prefix prepended afterwards (timm no_embed_class)
+    #   "all": cls + registers + patches
+    pos_mode: str = "prefix"
+    ln_eps: float = 1e-6
+
+    @property
+    def tokens(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+    @property
+    def prefix_tokens(self) -> int:
+        return (1 if self.class_token else 0) + self.reg_tokens
+
+    @property
+    def hidden_dim(self) -> int:
+        return self.mlp_hidden if self.mlp_hidden is not None else int(self.dim * self.mlp_ratio)
+
+
+def _act(name: str):
+    return {
+        "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+        "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+        "quick_gelu": lambda x: x * jax.nn.sigmoid(1.702 * x),
+        "silu": jax.nn.silu,
+        "relu": jax.nn.relu,
+    }[name]
+
+
+class Attention(nn.Module):
+    spec: ViTSpec
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        s = self.spec
+        B, T, _ = x.shape
+        head_dim = s.dim // s.heads
+        qkv = nn.Dense(3 * s.dim, use_bias=s.qkv_bias, name="qkv")(x)
+        qkv = qkv.reshape(B, T, 3, s.heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (head_dim**-0.5)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, s.dim)
+        return nn.Dense(s.dim, name="proj")(out)
+
+
+class Mlp(nn.Module):
+    spec: ViTSpec
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        s = self.spec
+        if s.swiglu:
+            h = nn.Dense(2 * s.hidden_dim, name="fc1")(x)
+            x1, x2 = jnp.split(h, 2, axis=-1)
+            h = _act(s.act)(x1) * x2
+        else:
+            h = _act(s.act)(nn.Dense(s.hidden_dim, name="fc1")(x))
+        return nn.Dense(s.dim, name="fc2")(h)
+
+
+class Block(nn.Module):
+    spec: ViTSpec
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        s = self.spec
+        h = nn.LayerNorm(epsilon=s.ln_eps, name="norm1")(x)
+        h = Attention(s, name="attn")(h)
+        if s.layerscale:
+            h = h * self.param("ls1", nn.initializers.ones, (s.dim,))
+        x = x + h
+        h = nn.LayerNorm(epsilon=s.ln_eps, name="norm2")(x)
+        h = Mlp(s, name="mlp")(h)
+        if s.layerscale:
+            h = h * self.param("ls2", nn.initializers.ones, (s.dim,))
+        return x + h
+
+
+class MAPHead(nn.Module):
+    """SigLIP attention-pooling head: probe token cross-attends all tokens."""
+
+    spec: ViTSpec
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        s = self.spec
+        B, T, _ = x.shape
+        head_dim = s.dim // s.heads
+        probe = self.param("probe", nn.initializers.normal(0.02), (1, 1, s.dim))
+        q = nn.Dense(s.dim, name="q_proj")(jnp.broadcast_to(probe, (B, 1, s.dim)))
+        k = nn.Dense(s.dim, name="k_proj")(x)
+        v = nn.Dense(s.dim, name="v_proj")(x)
+
+        def split(t):
+            return t.reshape(B, -1, s.heads, head_dim).transpose(0, 2, 1, 3)
+
+        attn = jnp.einsum("bhqd,bhkd->bhqk", split(q), split(k)) * (head_dim**-0.5)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, split(v))
+        out = out.transpose(0, 2, 1, 3).reshape(B, 1, s.dim)
+        out = nn.Dense(s.dim, name="out_proj")(out)
+        h = nn.LayerNorm(epsilon=s.ln_eps, name="norm")(out)
+        h = out + Mlp(s, name="mlp")(h)
+        return h[:, 0]
+
+
+class ViT(nn.Module):
+    spec: ViTSpec
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        """(B, S, S, 3) normalized images → (B, D) features per spec.pool."""
+        s = self.spec
+        B = images.shape[0]
+        x = nn.Conv(
+            s.dim,
+            kernel_size=(s.patch_size, s.patch_size),
+            strides=(s.patch_size, s.patch_size),
+            use_bias=s.patch_bias,
+            padding="VALID",
+            name="patch_embed",
+        )(images)
+        x = x.reshape(B, -1, s.dim)  # row-major tokens
+
+        prefix = []
+        if s.class_token:
+            cls = self.param("cls_token", nn.initializers.zeros, (1, 1, s.dim))
+            prefix.append(jnp.broadcast_to(cls, (B, 1, s.dim)).astype(x.dtype))
+        if s.reg_tokens:
+            reg = self.param("reg_token", nn.initializers.zeros, (1, s.reg_tokens, s.dim))
+            prefix.append(jnp.broadcast_to(reg, (B, s.reg_tokens, s.dim)).astype(x.dtype))
+
+        if s.pos_mode == "patches":
+            n_pos = s.tokens
+        elif s.pos_mode == "prefix":
+            n_pos = s.tokens + (1 if s.class_token else 0)
+        elif s.pos_mode == "all":
+            n_pos = s.tokens + s.prefix_tokens
+        else:
+            raise ValueError(f"unknown pos_mode {s.pos_mode}")
+        pos = self.param("pos_embed", nn.initializers.normal(0.02), (1, n_pos, s.dim))
+
+        if s.pos_mode == "patches":
+            x = x + pos.astype(x.dtype)
+            if prefix:
+                x = jnp.concatenate(prefix + [x], axis=1)
+        elif s.pos_mode == "all":
+            x = jnp.concatenate(prefix + [x], axis=1) + pos.astype(x.dtype)
+        else:  # "prefix": pos covers cls+patches; registers inserted after cls
+            if s.class_token:
+                x = jnp.concatenate([prefix[0], x], axis=1) + pos.astype(x.dtype)
+                if s.reg_tokens:
+                    x = jnp.concatenate([x[:, :1], prefix[1], x[:, 1:]], axis=1)
+            else:
+                x = x + pos.astype(x.dtype)
+                if s.reg_tokens:
+                    x = jnp.concatenate([prefix[0], x], axis=1)
+
+        if s.pre_ln:
+            x = nn.LayerNorm(epsilon=s.ln_eps, name="ln_pre")(x)
+
+        for i in range(s.depth):
+            x = Block(s, name=f"blocks_{i}")(x)
+
+        if s.final_norm:
+            x = nn.LayerNorm(epsilon=s.ln_eps, name="norm")(x)
+
+        if s.pool == "none":
+            return x
+        if s.pool == "cls":
+            out = x[:, 0]
+        elif s.pool == "mean":
+            out = x[:, s.prefix_tokens :].mean(axis=1)
+        elif s.pool == "cls_mean_concat":
+            out = jnp.concatenate(
+                [x[:, 0], x[:, s.prefix_tokens :].mean(axis=1)], axis=-1
+            )
+        elif s.pool == "map":
+            out = MAPHead(s, name="head")(x)
+        else:
+            raise ValueError(f"unknown pool {s.pool}")
+
+        if s.proj_dim is not None:
+            out = nn.Dense(s.proj_dim, use_bias=False, name="proj")(out)
+        return out

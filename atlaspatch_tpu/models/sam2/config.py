@@ -1,0 +1,94 @@
+"""SAM2 hiera-tiny architecture configuration.
+
+Values mirror the reference's model spec (reference:
+atlas_patch/configs/sam2.1_hiera_t.yaml:4-27 — Hiera embed_dim 96, heads 1,
+stages [1,2,7,2], global attention blocks [5,7,9], FPN d_model 256 over
+channels [768,384,192,96], top-down levels [2,3], image size 1024). Only the
+image-prediction path is modeled; the YAML's memory attention/encoder sections
+are video-only and unused by single-image prediction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class SAM2Config:
+    # Hiera trunk
+    hidden_size: int = 96
+    blocks_per_stage: tuple[int, ...] = (1, 2, 7, 2)
+    embed_dim_per_stage: tuple[int, ...] = (96, 192, 384, 768)
+    num_heads_per_stage: tuple[int, ...] = (1, 2, 4, 8)
+    window_size_per_stage: tuple[int, ...] = (8, 4, 14, 7)
+    global_attention_blocks: tuple[int, ...] = (5, 7, 9)
+    window_pos_embed_bkg_size: tuple[int, int] = (7, 7)
+    num_query_pool_stages: int = 3
+    query_stride: int = 2
+    patch_kernel: int = 7
+    patch_stride: int = 4
+    patch_padding: int = 3
+    mlp_ratio: float = 4.0
+    layer_norm_eps: float = 1e-6
+
+    # FPN neck
+    backbone_channel_list: tuple[int, ...] = (768, 384, 192, 96)
+    fpn_hidden_size: int = 256
+    fpn_top_down_levels: tuple[int, ...] = (2, 3)
+    num_feature_levels: int = 3
+
+    # Prompt encoder / mask decoder
+    image_size: int = 1024
+    prompt_hidden_size: int = 256
+    mask_input_channels: int = 16
+    decoder_mlp_dim: int = 2048
+    decoder_num_layers: int = 2
+    decoder_num_heads: int = 8
+    attention_downsample_rate: int = 2
+    num_multimask_outputs: int = 3
+    iou_head_depth: int = 3
+    iou_head_hidden_dim: int = 256
+    dynamic_multimask_via_stability: bool = True
+    dynamic_multimask_stability_delta: float = 0.05
+    dynamic_multimask_stability_thresh: float = 0.98
+
+    # Normalization constants applied on-device before the encoder
+    pixel_mean: tuple[float, float, float] = (0.485, 0.456, 0.406)
+    pixel_std: tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+    @property
+    def stage_ends(self) -> tuple[int, ...]:
+        ends = []
+        total = 0
+        for n in self.blocks_per_stage:
+            total += n
+            ends.append(total - 1)
+        return tuple(ends)
+
+    @property
+    def backbone_feature_sizes(self) -> tuple[tuple[int, int], ...]:
+        s = self.image_size // self.patch_stride
+        return ((s, s), (s // 2, s // 2), (s // 4, s // 4))
+
+    @classmethod
+    def tiny(cls) -> "SAM2Config":
+        return cls()
+
+    @classmethod
+    def test_tiny(cls) -> "SAM2Config":
+        """Miniature config for fast unit tests (same topology, tiny dims)."""
+        return cls(
+            hidden_size=8,
+            blocks_per_stage=(1, 2, 2, 1),
+            embed_dim_per_stage=(8, 16, 32, 64),
+            num_heads_per_stage=(1, 2, 4, 8),
+            window_size_per_stage=(4, 2, 7, 4),
+            global_attention_blocks=(4,),
+            backbone_channel_list=(64, 32, 16, 8),
+            fpn_hidden_size=32,
+            image_size=128,
+            prompt_hidden_size=32,
+            decoder_mlp_dim=64,
+            iou_head_hidden_dim=32,
+            mask_input_channels=16,
+        )

@@ -1,0 +1,104 @@
+"""End-to-end SAM2 image segmentation model (Flax), jit-compiled per batch shape.
+
+Pipeline (single fused device program): uint8 NHWC thumbnails → normalize →
+Hiera trunk → FPN neck → prompt-encode full-frame boxes → two-way mask decoder
+→ bilinear upscale to image_size → logits. The service layer thresholds and
+resizes masks back to thumbnail shape on host (reference behavior:
+atlas_patch/services/segmentation.py:104-140).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from atlaspatch_tpu.models.sam2.config import SAM2Config
+from atlaspatch_tpu.models.sam2.decoder import MaskDecoder, PromptEncoder
+from atlaspatch_tpu.models.sam2.hiera import FpnNeck, HieraDet
+from atlaspatch_tpu.models.sam2.interp import interpolate_torch
+
+
+class SAM2ImageModel(nn.Module):
+    """SAM2 trunk + neck + SAM heads for single-image mask prediction."""
+
+    cfg: SAM2Config
+
+    def setup(self):
+        cfg = self.cfg
+        self.backbone = HieraDet(cfg, name="backbone")
+        self.neck = FpnNeck(cfg, name="neck")
+        self.prompt_encoder = PromptEncoder(cfg, name="prompt_encoder")
+        self.mask_decoder = MaskDecoder(cfg, name="mask_decoder")
+        # 1x1 projections of the two high-res levels, applied once per image
+        # (part of the decoder in the checkpoint layout).
+        self.conv_s0 = nn.Conv(cfg.prompt_hidden_size // 8, kernel_size=(1, 1), name="conv_s0")
+        self.conv_s1 = nn.Conv(cfg.prompt_hidden_size // 4, kernel_size=(1, 1), name="conv_s1")
+        self.no_memory_embedding = self.param(
+            "no_memory_embedding", nn.initializers.zeros, (1, 1, cfg.fpn_hidden_size)
+        )
+
+    def image_features(self, pixel_values: jnp.ndarray):
+        """NHWC normalized pixels → (feat_s0, feat_s1, image_embed) NHWC."""
+        stage_outputs = self.backbone(pixel_values)
+        fpn = self.neck(stage_outputs)  # low→high resolution
+        levels = fpn[-self.cfg.num_feature_levels :][::-1]  # high→low: stride 4, 8, 16
+        feat_s0 = self.conv_s0(levels[0])
+        feat_s1 = self.conv_s1(levels[1])
+        image_embed = levels[2] + self.no_memory_embedding[0][None]
+        return feat_s0, feat_s1, image_embed
+
+    def __call__(self, pixel_values: jnp.ndarray, boxes: jnp.ndarray, multimask_output: bool = False):
+        """pixel_values (B,H,W,3) normalized; boxes (B,P,4) xyxy pixels.
+
+        Returns (low_res_masks (B,P,M,S4,S4), iou (B,P,M), obj logits (B,P,1)).
+        """
+        feat_s0, feat_s1, image_embed = self.image_features(pixel_values)
+        sparse, dense = self.prompt_encoder(boxes)
+        image_pe = self.prompt_encoder.image_wide_pe()
+        masks, iou, obj = self.mask_decoder(
+            image_embed,
+            image_pe,
+            sparse,
+            dense,
+            (feat_s0, feat_s1),
+            multimask_output=multimask_output,
+        )
+        return masks, iou, obj
+
+
+def normalize_images(cfg: SAM2Config, images_u8: jnp.ndarray) -> jnp.ndarray:
+    mean = jnp.asarray(cfg.pixel_mean, dtype=jnp.float32)
+    std = jnp.asarray(cfg.pixel_std, dtype=jnp.float32)
+    return (images_u8.astype(jnp.float32) / 255.0 - mean) / std
+
+
+@partial(jax.jit, static_argnums=(0,))
+def segment_step(cfg: SAM2Config, params, images_u8: jnp.ndarray) -> jnp.ndarray:
+    """Fused device step: uint8 (B,1024,1024,3) → mask logits (B,1024,1024).
+
+    Uses a full-frame box prompt per image (the reference's tissue-detection
+    prompt) and single-mask output, then upscales the low-res logits with
+    torch-parity bilinear interpolation.
+    """
+    model = SAM2ImageModel(cfg)
+    pixels = normalize_images(cfg, images_u8)
+    B = images_u8.shape[0]
+    box = jnp.asarray([[0.0, 0.0, cfg.image_size, cfg.image_size]], dtype=jnp.float32)
+    boxes = jnp.broadcast_to(box[None], (B, 1, 4))
+    masks, _iou, _obj = model.apply({"params": params}, pixels, boxes, multimask_output=False)
+    low_res = masks[:, 0, 0]  # (B, S4, S4)
+    logits = interpolate_torch(
+        low_res[..., None], (cfg.image_size, cfg.image_size), "bilinear"
+    )[..., 0]
+    return logits
+
+
+def init_params(cfg: SAM2Config, seed: int = 0):
+    model = SAM2ImageModel(cfg)
+    dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    boxes = jnp.zeros((1, 1, 4), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(seed), dummy, boxes)
+    return variables["params"]

@@ -1,0 +1,272 @@
+"""High-level orchestration: discovery → skip/reuse → lock → segment → extract.
+
+Behavior parity with the reference runner (reference:
+atlas_patch/orchestration/runner.py:39-306): per-slide O_CREAT|O_EXCL lock
+files dedupe work across processes on a shared filesystem; existing H5s with a
+positive num_patches are skipped (or reused for missing features); the
+segmentation batch feeds an extraction thread pool with a global cap on
+simultaneously open slides.
+
+Multi-host addition: when ATLASPATCH_NUM_HOSTS/ATLASPATCH_HOST_ID (or a live
+jax.distributed setup) indicate a multi-host run, slides are statically
+sharded round-robin across hosts before processing — each host's reads stay
+local, no cross-host tensor traffic (SURVEY.md §5 distribution note).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from pathlib import Path
+from typing import Any, Iterable, Sequence
+
+import h5py
+
+from atlaspatch_tpu.core.config import AppConfig
+from atlaspatch_tpu.core.models import ExtractionResult, Slide
+from atlaspatch_tpu.core.paths import find_existing_patch, patch_lock_path
+from atlaspatch_tpu.io.iwsi import IWSI
+from atlaspatch_tpu.orchestration.parallel import (
+    ExtractionTask,
+    InflightTracker,
+    PatchExtractionExecutor,
+)
+from atlaspatch_tpu.parallel.multihost import host_shard
+from atlaspatch_tpu.services.interfaces import (
+    ExtractionService,
+    MPPResolver,
+    SegmentationService,
+    VisualizationService,
+    WSILoader,
+)
+from atlaspatch_tpu.utils.features import missing_features
+from atlaspatch_tpu.utils.params import get_wsi_files
+from atlaspatch_tpu.utils.progress import ProgressBar
+
+logger = logging.getLogger("atlaspatch_tpu.runner")
+
+
+def _chunked(items: Sequence[Slide], size: int) -> Iterable[Sequence[Slide]]:
+    for i in range(0, len(items), size):
+        yield items[i : i + size]
+
+
+class ProcessingRunner:
+    def __init__(
+        self,
+        config: AppConfig,
+        segmentation: SegmentationService,
+        extractor: ExtractionService,
+        visualizer: VisualizationService | None,
+        mpp_resolver: MPPResolver,
+        wsi_loader: WSILoader,
+        *,
+        show_progress: bool = False,
+    ) -> None:
+        self.config = config.validated()
+        self.segmentation = segmentation
+        self.extractor = extractor
+        self.visualizer = visualizer
+        self.mpp_resolver = mpp_resolver
+        self.wsi_loader = wsi_loader
+        self.show_progress = show_progress
+
+    # --- discovery -----------------------------------------------------------------
+    def discover_slides(self) -> list[Slide]:
+        files = get_wsi_files(
+            str(self.config.processing.input_path), recursive=self.config.processing.recursive
+        )
+        slides = [Slide(path=Path(f)) for f in files]
+        return host_shard(slides)
+
+    def _attach_mpp(self, slides: list[Slide]) -> list[Slide]:
+        return [
+            Slide(path=s.path, mpp=self.mpp_resolver.resolve(s), backend=s.backend)
+            for s in slides
+        ]
+
+    # --- skip / reuse --------------------------------------------------------------
+    def _build_existing_result(self, slide: Slide, h5_path: Path) -> ExtractionResult | None:
+        num_patches: int | None = None
+        patch_size_level0: int | None = None
+        try:
+            with h5py.File(h5_path, "r") as f:
+                num_attr = f.attrs.get("num_patches")
+                if num_attr is not None:
+                    num_patches = int(num_attr)
+                elif "coords" in f:
+                    num_patches = int(f["coords"].shape[0])
+                ps = f.attrs.get("patch_size_level0")
+                if ps is not None:
+                    patch_size_level0 = int(ps)
+        except Exception as e:  # noqa: BLE001
+            logger.warning(
+                "Failed to read existing output for %s; will reprocess. Error: %s",
+                slide.path.name,
+                e,
+            )
+            return None
+        if num_patches is None or num_patches <= 0:
+            return None
+        return ExtractionResult(
+            slide=slide,
+            h5_path=h5_path,
+            num_patches=num_patches,
+            patch_size_level0=patch_size_level0,
+        )
+
+    def _handle_existing_slide(self, slide: Slide, results: list, progress) -> bool:
+        """True when the slide is fully handled by skip/reuse."""
+        if not self.config.output.skip_existing:
+            return False
+        existing_path = find_existing_patch(slide, self.config.output, self.config.extraction)
+        if existing_path is None:
+            return False
+
+        feat_cfg = self.config.features
+        if feat_cfg is None or not feat_cfg.extractors:
+            logger.info("Skipping %s (already processed).", slide.path.name)
+            if progress:
+                progress.update(1)
+            return True
+
+        existing_result = self._build_existing_result(slide, existing_path)
+        if existing_result is None:
+            logger.info("Existing output invalid for %s; reprocessing.", slide.path.name)
+            return False
+
+        missing = missing_features(
+            existing_path, feat_cfg.extractors, expected_total=existing_result.num_patches
+        )
+        if not missing:
+            logger.info("Skipping %s (features complete).", slide.path.name)
+        else:
+            results.append(existing_result)
+            logger.info(
+                "Reusing existing patches for %s; missing features: %s",
+                slide.path.name,
+                ", ".join(missing),
+            )
+        if progress:
+            progress.update(1)
+        return True
+
+    # --- locking -------------------------------------------------------------------
+    def _acquire_lock(self, slide: Slide) -> tuple[int | None, Path]:
+        lock_path = patch_lock_path(slide, self.config.output, self.config.extraction)
+        lock_path.parent.mkdir(parents=True, exist_ok=True)
+        payload = f"pid={os.getpid()},time={int(time.time())},slide={slide.path}"
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, payload.encode())
+            os.fsync(fd)
+            return fd, lock_path
+        except FileExistsError:
+            return None, lock_path
+        except Exception as e:  # noqa: BLE001
+            raise RuntimeError(f"Failed to create lock {lock_path}: {e}") from e
+
+    @staticmethod
+    def _release_lock(fd: int | None, path: Path) -> None:
+        if fd is not None:
+            try:
+                os.close(fd)
+            except Exception:
+                pass
+        try:
+            path.unlink()
+        except (FileNotFoundError, OSError):
+            pass
+
+    # --- main loop -----------------------------------------------------------------
+    def run(self) -> tuple[list[ExtractionResult], list[tuple[Slide, Exception | str]]]:
+        slides = self._attach_mpp(self.discover_slides())
+        if not slides:
+            logger.warning("No slides found to process.")
+            return [], []
+
+        results: list[ExtractionResult] = []
+        failures: list[tuple[Slide, Exception | str]] = []
+        progress = ProgressBar(
+            total=len(slides), enabled=self.show_progress, desc="Processing slides"
+        )
+
+        patch_workers = max(1, int(self.config.extraction.workers or os.cpu_count() or 4))
+        batch_size = max(1, self.config.segmentation.batch_size)
+        max_open_slides = max(1, int(self.config.extraction.max_open_slides or 200))
+
+        with PatchExtractionExecutor(
+            extractor=self.extractor,
+            visualizer=self.visualizer,
+            release_lock=self._release_lock,
+            max_workers=patch_workers,
+        ) as executor:
+            tracker = InflightTracker(results=results, failures=failures, progress=progress)
+
+            for batch in _chunked(slides, batch_size):
+                allow_inflight = max(0, max_open_slides - batch_size)
+                tracker.wait_until_at_most(limit=allow_inflight)
+
+                opened: list[tuple[Slide, IWSI, int | None, Path]] = []
+                for slide in batch:
+                    if self._handle_existing_slide(slide, results, progress):
+                        continue
+                    fd, lock_path = self._acquire_lock(slide)
+                    if fd is None:
+                        logger.info("Skipping %s (locked by another process).", slide.path.name)
+                        progress.update(1)
+                        continue
+                    try:
+                        opened.append((slide, self.wsi_loader.open(slide), fd, lock_path))
+                    except Exception as e:  # noqa: BLE001
+                        failures.append((slide, e))
+                        logger.error("Failed to open %s: %s", slide.path.name, e)
+                        self._release_lock(fd, lock_path)
+                        progress.update(1)
+
+                if not opened:
+                    continue
+
+                submitted: set[int] = set()
+                try:
+                    wsis = [w for _, w, _, _ in opened]
+                    masks = (
+                        self.segmentation.segment_batch(wsis)
+                        if len(wsis) > 1
+                        else [self.segmentation.segment_thumbnail(wsis[0])]
+                    )
+                except Exception as e:  # noqa: BLE001
+                    for slide, wsi, fd, path in opened:
+                        failures.append((slide, e))
+                        logger.error("Segmentation failed for %s: %s", slide.path.name, e)
+                        progress.update(1)
+                else:
+                    for (slide, wsi, lock_fd, lock_path), mask in zip(opened, masks):
+                        fut = executor.submit(
+                            ExtractionTask(
+                                slide=slide,
+                                wsi=wsi,
+                                mask=mask.data,
+                                lock_fd=lock_fd,
+                                lock_path=lock_path,
+                            )
+                        )
+                        tracker.add(fut, slide)
+                        submitted.add(id(wsi))
+                finally:
+                    for _slide, wsi, lock_fd, lock_path in opened:
+                        if id(wsi) in submitted:
+                            continue
+                        try:
+                            wsi.cleanup()
+                        except Exception:
+                            pass
+                        self._release_lock(lock_fd, lock_path)
+
+                tracker.wait_until_at_most(limit=max_open_slides)
+
+            tracker.wait_until_at_most(limit=0)
+
+        progress.close()
+        return results, failures

@@ -1,0 +1,69 @@
+"""Multi-host coordination.
+
+The workload is embarrassingly parallel at slide granularity, so the
+distribution model is: (1) static round-robin sharding of the slide list per
+host — each host's OpenSlide-equivalent reads stay host-local and feed its own
+chips, with no cross-host tensor traffic; (2) the reference's shared-FS
+lock-file/idempotent-resume protocol (reference: atlas_patch/orchestration/
+runner.py:154-181, SURVEY.md §2 row 52) kept as-is for elasticity, so extra or
+restarted hosts self-shard safely. jax.distributed is initialized only when a
+multi-host environment is configured.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Sequence, TypeVar
+
+logger = logging.getLogger("atlaspatch_tpu.multihost")
+
+T = TypeVar("T")
+
+ENV_NUM_HOSTS = "ATLASPATCH_NUM_HOSTS"
+ENV_HOST_ID = "ATLASPATCH_HOST_ID"
+
+
+def maybe_init_distributed() -> None:
+    """Initialize jax.distributed when a coordinator is configured via the
+    standard JAX env vars (JAX_COORDINATOR_ADDRESS etc.). Safe no-op otherwise."""
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not coord:
+        return
+    import jax
+
+    try:
+        jax.distributed.initialize()
+        logger.info(
+            "jax.distributed initialized: process %d/%d",
+            jax.process_index(),
+            jax.process_count(),
+        )
+    except Exception as e:  # noqa: BLE001
+        logger.warning("jax.distributed.initialize failed: %s", e)
+
+
+def host_identity() -> tuple[int, int]:
+    """(host_id, num_hosts) from env overrides, a live jax.distributed setup,
+    or (0, 1)."""
+    num = os.environ.get(ENV_NUM_HOSTS)
+    if num is not None:
+        return int(os.environ.get(ENV_HOST_ID, "0")), max(1, int(num))
+    try:
+        import jax
+
+        if jax.process_count() > 1:
+            return jax.process_index(), jax.process_count()
+    except Exception:  # noqa: BLE001
+        pass
+    return 0, 1
+
+
+def host_shard(items: Sequence[T]) -> list[T]:
+    """Round-robin shard of a work list for this host."""
+    host_id, num_hosts = host_identity()
+    if num_hosts <= 1:
+        return list(items)
+    shard = [x for i, x in enumerate(items) if i % num_hosts == host_id]
+    logger.info("Host %d/%d takes %d of %d slides", host_id, num_hosts, len(shard), len(items))
+    return shard

@@ -1,0 +1,215 @@
+"""SAM2 tissue-segmentation service on JAX/TPU.
+
+Pipeline parity with the reference (reference: atlas_patch/services/
+segmentation.py:25-237): thumbnails at power 1.25 capped at 1024px, PIL
+bilinear resize to 1024x1024, full-frame box prompt, single-mask output,
+mask resized back to the thumbnail shape with PIL NEAREST.
+
+TPU-native differences: the whole predict path (normalize → Hiera → FPN →
+decoder → upscale) is ONE jitted device program over a padded batch of
+thumbnails; thumbnail preparation runs on a host thread pool overlapping
+device compute. Checkpoint: explicit path, or ATLASPATCH_SAM2_CHECKPOINT, or
+the HF-cached reference checkpoint if present; otherwise deterministic random
+init (useful for tests/benchmarks without network access — a warning is
+logged).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+from PIL import Image
+
+from atlaspatch_tpu.core.config import SegmentationConfig
+from atlaspatch_tpu.core.models import Mask
+from atlaspatch_tpu.io.iwsi import IWSI
+from atlaspatch_tpu.models.sam2.config import SAM2Config
+from atlaspatch_tpu.services.interfaces import SegmentationService
+
+logger = logging.getLogger("atlaspatch_tpu.segmentation_service")
+
+_ENV_CHECKPOINT = "ATLASPATCH_SAM2_CHECKPOINT"
+
+
+def _pad_to_pow2_batch(n: int, max_batch: int) -> int:
+    """Pad batch to a power of two (≤ max) so jit caches few batch shapes."""
+    b = 1
+    while b < n and b < max_batch:
+        b *= 2
+    return b
+
+
+class SAM2Predictor:
+    """Batched SAM2 mask prediction with resizing helpers."""
+
+    def __init__(self, cfg: SegmentationConfig, sam2_cfg: SAM2Config | None = None):
+        import jax
+
+        self.cfg = cfg
+        self.sam2_cfg = sam2_cfg or SAM2Config.tiny()
+        self.input_size = self.sam2_cfg.image_size
+
+        platform = cfg.device.split(":")[0]
+        try:
+            self._device = jax.devices(platform)[0]
+        except RuntimeError:
+            logger.warning("%s requested but unavailable; falling back to CPU.", platform)
+            self._device = jax.devices("cpu")[0]
+        logger.info("SAM2 predictor device: %s (requested=%s)", self._device, cfg.device)
+
+        self.params = self._load_params()
+
+    def _resolve_checkpoint_path(self) -> Path | None:
+        if self.cfg.checkpoint_path is not None:
+            return Path(self.cfg.checkpoint_path)
+        env = os.environ.get(_ENV_CHECKPOINT)
+        if env:
+            return Path(env)
+        # Look in HF cache for the reference repo checkpoint without network.
+        hf_home = Path(os.environ.get("HF_HOME", Path.home() / ".cache" / "huggingface"))
+        for pattern in (
+            "hub/models--AtlasAnalyticsLab--AtlasPatch/snapshots/*/model.pth",
+            "hub/models--facebook--sam2.1-hiera-tiny/snapshots/*/*.pt",
+        ):
+            matches = sorted(hf_home.glob(pattern))
+            if matches:
+                return matches[-1]
+        return None
+
+    def _load_params(self):
+        import jax
+        import jax.numpy as jnp
+
+        from atlaspatch_tpu.models.sam2.model import init_params
+
+        ckpt = self._resolve_checkpoint_path()
+        if ckpt is not None and ckpt.exists():
+            from atlaspatch_tpu.models.sam2.convert import load_checkpoint
+
+            logger.info("Loading SAM2 checkpoint from %s", ckpt)
+            params = load_checkpoint(str(ckpt), self.sam2_cfg)
+            params = jax.tree.map(lambda a: jnp.asarray(a, dtype=jnp.float32), params)
+        else:
+            logger.warning(
+                "No SAM2 checkpoint found (set %s or --checkpoint); using random init. "
+                "Masks will not be meaningful.",
+                _ENV_CHECKPOINT,
+            )
+            params = init_params(self.sam2_cfg)
+        return jax.device_put(params, self._device)
+
+    # --- input/output resizing (host, PIL semantics as in the reference) -----------
+    def _normalize_input(self, image) -> np.ndarray:
+        if isinstance(image, Image.Image):
+            if image.mode != "RGB":
+                image = image.convert("RGB")
+            return np.array(image, copy=True)
+        arr = np.asarray(image)
+        if arr.dtype in (np.float32, np.float64) and arr.max() <= 1.0:
+            arr = (arr * 255).astype(np.uint8)
+        elif arr.dtype != np.uint8:
+            arr = arr.astype(np.uint8)
+        if arr.ndim == 3 and arr.shape[0] == 3 and arr.shape[-1] != 3:
+            arr = np.transpose(arr, (1, 2, 0))
+        return np.ascontiguousarray(arr)
+
+    def _resize_input(self, image: np.ndarray) -> tuple[np.ndarray, tuple[int, int]]:
+        orig = (int(image.shape[0]), int(image.shape[1]))
+        if orig == (self.input_size, self.input_size):
+            return image, orig
+        pil = Image.fromarray(image)
+        resized = pil.resize((self.input_size, self.input_size), Image.Resampling.BILINEAR)
+        return np.array(resized, copy=True), orig
+
+    def _resize_mask(self, mask: np.ndarray, target_shape: tuple[int, int]) -> np.ndarray:
+        mask_u8 = (mask * 255).astype(np.uint8)
+        pil = Image.fromarray(mask_u8, mode="L")
+        resized = pil.resize((target_shape[1], target_shape[0]), resample=Image.Resampling.NEAREST)
+        return np.asarray(resized, dtype=np.float32) / 255.0
+
+    # --- prediction ----------------------------------------------------------------
+    def predict_logits(self, images_u8: np.ndarray) -> np.ndarray:
+        """(B,1024,1024,3) uint8 → (B,1024,1024) float32 mask logits."""
+        import jax
+        import jax.numpy as jnp
+
+        from atlaspatch_tpu.models.sam2.model import segment_step
+
+        with jax.default_device(self._device):
+            logits = segment_step(self.sam2_cfg, self.params, jnp.asarray(images_u8))
+        return np.asarray(logits)
+
+    def predict_batch(
+        self, images: Sequence, *, resize_to_input: bool = True
+    ) -> list[np.ndarray]:
+        if not len(images):
+            raise ValueError("images must be a non-empty sequence")
+        arrs, orig_shapes = [], []
+        for img in images:
+            resized, orig = self._resize_input(self._normalize_input(img))
+            arrs.append(resized)
+            orig_shapes.append(orig)
+
+        n = len(arrs)
+        padded = _pad_to_pow2_batch(n, max_batch=max(self.cfg.batch_size, n))
+        batch = np.zeros((padded, self.input_size, self.input_size, 3), dtype=np.uint8)
+        batch[:n] = np.stack(arrs)
+        logits = self.predict_logits(batch)[:n]
+
+        out: list[np.ndarray] = []
+        for i in range(n):
+            mask = (logits[i] > self.cfg.mask_threshold).astype(np.float32)
+            if resize_to_input and mask.shape[:2] != orig_shapes[i]:
+                mask = self._resize_mask(mask, orig_shapes[i])
+            out.append(mask.astype(np.float32))
+        return out
+
+    def predict_image(self, image, *, resize_to_input: bool = True) -> np.ndarray:
+        return self.predict_batch([image], resize_to_input=resize_to_input)[0]
+
+    def close(self) -> None:
+        self.params = None
+
+
+class SAM2SegmentationService(SegmentationService):
+    """Segmentation service that wraps the SAM2 predictor and standardizes masks."""
+
+    def __init__(self, cfg: SegmentationConfig, sam2_cfg: SAM2Config | None = None) -> None:
+        self.cfg = cfg.validated()
+        self.predictor = SAM2Predictor(self.cfg, sam2_cfg)
+
+    def _prepare_thumbnail(self, wsi: IWSI):
+        thumb = wsi.get_thumbnail_at_power(power=self.cfg.thumbnail_power, interpolation="optimise")
+        if self.cfg.thumbnail_max:
+            thumb.thumbnail((self.cfg.thumbnail_max, self.cfg.thumbnail_max))
+        return thumb
+
+    def segment_thumbnail(self, wsi: IWSI) -> Mask:
+        thumb = self._prepare_thumbnail(wsi)
+        mask_arr = self.predictor.predict_image(thumb, resize_to_input=True)
+        return Mask(
+            data=mask_arr.astype(np.float32),
+            source_shape=(int(mask_arr.shape[0]), int(mask_arr.shape[1])),
+        )
+
+    def segment_batch(self, wsis: Sequence[IWSI]) -> list[Mask]:
+        """Thumbnails on a host thread pool; one fused device batch for masks."""
+        max_workers = min(8, len(wsis), os.cpu_count() or 8)
+        with ThreadPoolExecutor(max_workers=max_workers, thread_name_prefix="thumb") as ex:
+            thumbs = list(ex.map(self._prepare_thumbnail, wsis))
+        masks = self.predictor.predict_batch(thumbs, resize_to_input=True)
+        return [
+            Mask(data=m.astype(np.float32), source_shape=(int(m.shape[0]), int(m.shape[1])))
+            for m in masks
+        ]
+
+    def close(self) -> None:
+        try:
+            self.predictor.close()
+        except Exception:
+            pass
