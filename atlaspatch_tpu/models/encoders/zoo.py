@@ -1,0 +1,826 @@
+"""The encoder zoo: all 66 reference extractor names with TPU-native builders.
+
+Every name the reference registers (reference: atlas_patch/models/patch/
+__init__.py:47-80 and per-family modules) is registered here with its exact
+embedding dim and preprocessing. ViT/DINOv2/CLIP/SigLIP/ResNet/ConvNeXt
+families run on the unified Flax implementations; weights load from local
+checkpoint caches (HF hub cache / torch hub cache / explicit paths via
+ATLASPATCH_WEIGHTS_DIR) through the per-source converters. Families whose
+towers are not yet implemented raise a clear error at create() time and are
+tracked in ZOO_STATUS.
+
+Weights policy: create() loads real weights when present; when absent it
+raises (matching the reference's behavior when the hub is unreachable) unless
+ATLASPATCH_ALLOW_RANDOM_WEIGHTS=1, which deterministically random-inits the
+model — useful for throughput benchmarking and smoke tests.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass, field, replace
+from pathlib import Path
+from typing import Any, Callable
+
+import numpy as np
+
+from atlaspatch_tpu.models.encoders.convnext import (
+    CONVNEXT_SPECS,
+    ConvNeXt,
+    ConvNeXtSpec,
+    torchvision_convnext_to_flax,
+)
+from atlaspatch_tpu.models.encoders.engine import JaxFeatureExtractor, PreprocessSpec
+from atlaspatch_tpu.models.encoders.registry import PatchFeatureExtractorRegistry
+from atlaspatch_tpu.models.encoders.resnet import (
+    RESNET_SPECS,
+    ResNet,
+    ResNetSpec,
+    torchvision_resnet_to_flax,
+)
+from atlaspatch_tpu.models.encoders.vit import ViT, ViTSpec
+
+logger = logging.getLogger("atlaspatch_tpu.models.encoders.zoo")
+
+IMAGENET = dict(mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225))
+OPENAI_CLIP = dict(
+    mean=(0.48145466, 0.4578275, 0.40821073), std=(0.26862954, 0.26130258, 0.27577711)
+)
+HALF = dict(mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5))
+HOPTIMUS_NORM = dict(mean=(0.707223, 0.578729, 0.703617), std=(0.211883, 0.230117, 0.177517))
+HIBOU_NORM = dict(mean=(0.7068, 0.5755, 0.722), std=(0.195, 0.2316, 0.1816))
+
+
+@dataclass(frozen=True)
+class EncoderEntry:
+    name: str
+    family: str  # vit | dinov2 | clip_hf | clip_openclip | siglip | resnet | convnext | timm_vit | torchvision_vit | <pending families>
+    embedding_dim: int
+    preprocess: PreprocessSpec
+    spec: Any = None
+    source: str = ""  # upstream weight source (documentation / cache lookup)
+    implemented: bool = True
+    notes: str = ""
+
+
+def _vit(
+    img,
+    patch,
+    dim,
+    depth,
+    heads,
+    *,
+    mlp_hidden=None,
+    mlp_ratio=4.0,
+    **kw,
+) -> ViTSpec:
+    return ViTSpec(
+        img_size=img,
+        patch_size=patch,
+        dim=dim,
+        depth=depth,
+        heads=heads,
+        mlp_hidden=mlp_hidden,
+        mlp_ratio=mlp_ratio,
+        **kw,
+    )
+
+
+def _pre(crop, *, mode="shortest", resize=None, interp="bilinear", norm=IMAGENET):
+    return PreprocessSpec(
+        crop=crop,
+        resize=resize if resize is not None else crop,
+        mode=mode,
+        interpolation=interp,
+        mean=norm["mean"],
+        std=norm["std"],
+    )
+
+
+def _dinov2_spec(img, dim, depth, heads, *, swiglu=False, reg=0, pool="cls"):
+    hidden = (int(dim * 4 * 2 / 3) + 7) // 8 * 8 if swiglu else dim * 4
+    return _vit(
+        img,
+        14,
+        dim,
+        depth,
+        heads,
+        mlp_hidden=hidden,
+        layerscale=True,
+        swiglu=swiglu,
+        act="silu" if swiglu else "gelu",
+        reg_tokens=reg,
+        ln_eps=1e-6,
+        pool=pool,
+    )
+
+
+def _timm_giant(img=224, patch=14, *, reg=4, pool="cls"):
+    # DINOv2-style ViT-g: dim 1536, depth 40, heads 24, SwiGLU gate 4096
+    return _vit(
+        img,
+        patch,
+        1536,
+        40,
+        24,
+        mlp_hidden=4096,
+        layerscale=True,
+        swiglu=True,
+        act="silu",
+        reg_tokens=reg,
+        pos_mode="patches" if reg else "prefix",
+        ln_eps=1e-6,
+        pool=pool,
+    )
+
+
+def _clip_tower(img, patch, dim, depth, heads, proj):
+    return _vit(
+        img,
+        patch,
+        dim,
+        depth,
+        heads,
+        act="quick_gelu",
+        pre_ln=True,
+        patch_bias=False,
+        proj_dim=proj,
+        ln_eps=1e-5,
+        pool="cls",
+    )
+
+
+def build_entries() -> list[EncoderEntry]:
+    e: list[EncoderEntry] = []
+
+    # --- torchvision CNNs / ViTs (reference: resnet.py, convnext.py, vit.py) -------
+    for name in RESNET_SPECS:
+        e.append(
+            EncoderEntry(
+                name,
+                "resnet",
+                RESNET_SPECS[name].embedding_dim,
+                _pre(224, resize=256),
+                spec=RESNET_SPECS[name],
+                source=f"torchvision {name} IMAGENET1K_V1",
+            )
+        )
+    tv_resize = {"convnext_tiny": 236, "convnext_small": 230, "convnext_base": 232, "convnext_large": 232}
+    for name in CONVNEXT_SPECS:
+        e.append(
+            EncoderEntry(
+                name,
+                "convnext",
+                CONVNEXT_SPECS[name].embedding_dim,
+                _pre(224, resize=tv_resize[name]),
+                spec=CONVNEXT_SPECS[name],
+                source=f"torchvision {name} IMAGENET1K_V1",
+            )
+        )
+    tv_vits = {
+        "vit_b_16": (_vit(224, 16, 768, 12, 12, ln_eps=1e-6), 768, _pre(224, resize=256)),
+        "vit_b_32": (_vit(224, 32, 768, 12, 12, ln_eps=1e-6), 768, _pre(224, resize=256)),
+        "vit_l_16": (_vit(224, 16, 1024, 24, 16, ln_eps=1e-6), 1024, _pre(224, resize=242)),
+        "vit_l_32": (_vit(224, 32, 1024, 24, 16, ln_eps=1e-6), 1024, _pre(224, resize=256)),
+        "vit_h_14": (
+            _vit(518, 14, 1280, 32, 16, ln_eps=1e-6),
+            1280,
+            _pre(518, resize=518, interp="bicubic"),
+        ),
+    }
+    for name, (spec, dim, pre) in tv_vits.items():
+        e.append(
+            EncoderEntry(name, "torchvision_vit", dim, pre, spec=spec, source=f"torchvision {name}")
+        )
+
+    # --- DINOv2 (reference: dinov2.py; CLS of last_hidden_state) -------------------
+    for name, dim, depth, heads, swiglu in (
+        ("dinov2_small", 384, 12, 6, False),
+        ("dinov2_base", 768, 12, 12, False),
+        ("dinov2_large", 1024, 24, 16, False),
+        ("dinov2_giant", 1536, 40, 24, True),
+    ):
+        e.append(
+            EncoderEntry(
+                name,
+                "dinov2",
+                dim,
+                _pre(224, resize=256, interp="bicubic"),
+                spec=_dinov2_spec(224, dim, depth, heads, swiglu=swiglu),
+                source=f"facebook/{name.replace('_', '-')}",
+            )
+        )
+
+    # --- DINOv3 (reference: dinov3.py; pooler output). RoPE ViT — pending ----------
+    for name, dim in (
+        ("dinov3_vits16", 384),
+        ("dinov3_vits16_plus", 384),
+        ("dinov3_vitb16", 768),
+        ("dinov3_vitl16", 1024),
+        ("dinov3_vitl16_sat", 1024),
+        ("dinov3_vith16_plus", 1280),
+        ("dinov3_vit7b16", 4096),
+        ("dinov3_vit7b16_sat", 4096),
+    ):
+        e.append(
+            EncoderEntry(
+                name,
+                "dinov3",
+                dim,
+                _pre(224, mode="square"),
+                source=f"facebook/{name}",
+                implemented=False,
+                notes="RoPE ViT pending",
+            )
+        )
+
+    # --- OpenAI CLIP (reference: clip.py; encode_image) ----------------------------
+    clip_vits = {
+        "clip_vit_b_32": (_clip_tower(224, 32, 768, 12, 12, 512), 512, 224),
+        "clip_vit_b_16": (_clip_tower(224, 16, 768, 12, 12, 512), 512, 224),
+        "clip_vit_l_14": (_clip_tower(224, 14, 1024, 24, 16, 768), 768, 224),
+        "clip_vit_l_14_336": (_clip_tower(336, 14, 1024, 24, 16, 768), 768, 336),
+    }
+    for name, (spec, dim, size) in clip_vits.items():
+        e.append(
+            EncoderEntry(
+                name,
+                "clip_openclip",
+                dim,
+                _pre(size, resize=size, interp="bicubic", norm=OPENAI_CLIP),
+                spec=spec,
+                source=f"open_clip openai {name}",
+            )
+        )
+    for name, dim, size in (
+        ("clip_rn50", 1024, 224),
+        ("clip_rn101", 512, 224),
+        ("clip_rn50x4", 640, 288),
+        ("clip_rn50x16", 768, 384),
+        ("clip_rn50x64", 1024, 448),
+    ):
+        e.append(
+            EncoderEntry(
+                name,
+                "clip_modified_resnet",
+                dim,
+                _pre(size, resize=size, interp="bicubic", norm=OPENAI_CLIP),
+                source=f"open_clip openai {name}",
+                implemented=False,
+                notes="ModifiedResNet tower pending",
+            )
+        )
+
+    # --- CONCH / OmiCLIP / Quilt / PLIP / BiomedCLIP / MedSigLIP -------------------
+    e.append(
+        EncoderEntry(
+            "conch_v1",
+            "coca",
+            512,
+            _pre(224, interp="bicubic", norm=OPENAI_CLIP),
+            source="MahmoodLab/conch",
+            implemented=False,
+            notes="CoCa attentional-pool tower pending",
+        )
+    )
+    e.append(
+        EncoderEntry(
+            "conch_v15",
+            "coca",
+            768,
+            _pre(448, mode="square", interp="bicubic", norm=OPENAI_CLIP),
+            source="MahmoodLab/TITAN conch_v1_5",
+            implemented=False,
+            notes="CoCa attentional-pool tower pending",
+        )
+    )
+    e.append(
+        EncoderEntry(
+            "omiclip",
+            "coca",
+            768,
+            _pre(224, interp="bicubic", norm=OPENAI_CLIP),
+            source="WangGuangyuLab/Loki coca_ViT-L-14",
+            implemented=False,
+            notes="CoCa attentional-pool tower pending",
+        )
+    )
+    for name in ("quilt_b_32", "quilt_b_16"):
+        patch = 32 if name.endswith("32") else 16
+        e.append(
+            EncoderEntry(
+                name,
+                "clip_hf",
+                512,
+                _pre(224, resize=224, interp="bicubic", norm=OPENAI_CLIP),
+                spec=_clip_tower(224, patch, 768, 12, 12, 512),
+                source=f"wisdomik/QuiltNet-B-{patch}",
+            )
+        )
+    e.append(
+        EncoderEntry(
+            "quilt_b_16_pmb",
+            "clip_openclip",
+            512,
+            _pre(224, resize=224, interp="bicubic", norm=OPENAI_CLIP),
+            spec=_clip_tower(224, 16, 768, 12, 12, 512),
+            source="wisdomik/QuiltNet-B-16-PMB",
+        )
+    )
+    e.append(
+        EncoderEntry(
+            "plip",
+            "clip_hf",
+            512,
+            _pre(224, resize=224, interp="bicubic", norm=OPENAI_CLIP),
+            spec=_clip_tower(224, 32, 768, 12, 12, 512),
+            source="vinid/plip",
+        )
+    )
+    e.append(
+        EncoderEntry(
+            "biomedclip",
+            "clip_timm_tower",
+            512,
+            _pre(224, resize=224, interp="bicubic", norm=OPENAI_CLIP),
+            spec=_vit(224, 16, 768, 12, 12, ln_eps=1e-6, proj_dim=512, pool="cls"),
+            source="microsoft/BiomedCLIP-PubMedBERT_256-vit_base_patch16_224",
+        )
+    )
+    e.append(
+        EncoderEntry(
+            "medsiglip",
+            "siglip",
+            1152,
+            _pre(448, mode="square", norm=HALF),
+            spec=_vit(
+                448,
+                14,
+                1152,
+                27,
+                16,
+                mlp_hidden=4304,
+                act="gelu_tanh",
+                class_token=False,
+                pos_mode="patches",
+                ln_eps=1e-6,
+                pool="map",
+            ),
+            source="google/medsiglip-448",
+        )
+    )
+
+    # --- pathology timm ViTs -------------------------------------------------------
+    e.append(
+        EncoderEntry(
+            "uni_v1",
+            "timm_vit",
+            1024,
+            _pre(224, resize=256, interp="bicubic"),
+            spec=_vit(224, 16, 1024, 24, 16, layerscale=True, ln_eps=1e-6),
+            source="MahmoodLab/uni",
+        )
+    )
+    e.append(
+        EncoderEntry(
+            "uni_v2",
+            "timm_vit",
+            1536,
+            _pre(224, resize=256, interp="bicubic"),
+            spec=_vit(
+                224,
+                14,
+                1536,
+                24,
+                24,
+                mlp_hidden=4096,
+                layerscale=True,
+                swiglu=True,
+                act="silu",
+                reg_tokens=8,
+                pos_mode="patches",
+                ln_eps=1e-6,
+            ),
+            source="MahmoodLab/UNI2-h",
+        )
+    )
+    for name in ("lunit_resnet50_bt", "lunit_resnet50_swav", "lunit_resnet50_mocov2"):
+        e.append(
+            EncoderEntry(
+                name,
+                "resnet",
+                2048,
+                _pre(224, resize=256),
+                spec=RESNET_SPECS["resnet50"],
+                source=f"1aurent/resnet50.{name.split('_')[-1]}",
+            )
+        )
+    e.append(
+        EncoderEntry(
+            "lunit_vit_small_patch16_dino",
+            "timm_vit",
+            384,
+            _pre(224, resize=256, interp="bicubic"),
+            spec=_vit(224, 16, 384, 12, 6, ln_eps=1e-6),
+            source="1aurent/vit_small_patch16_224.lunit_dino",
+        )
+    )
+    e.append(
+        EncoderEntry(
+            "lunit_vit_small_patch8_dino",
+            "timm_vit",
+            384,
+            _pre(224, resize=256, interp="bicubic"),
+            spec=_vit(224, 8, 384, 12, 6, ln_eps=1e-6),
+            source="1aurent/vit_small_patch8_224.lunit_dino",
+        )
+    )
+    e.append(
+        EncoderEntry(
+            "h_optimus_0",
+            "timm_vit",
+            1536,
+            _pre(224, mode="square", interp="bicubic", norm=HOPTIMUS_NORM),
+            spec=_timm_giant(),
+            source="bioptimus/H-optimus-0",
+        )
+    )
+    e.append(
+        EncoderEntry(
+            "h_optimus_1",
+            "timm_vit",
+            1536,
+            _pre(224, mode="square", interp="bicubic", norm=HOPTIMUS_NORM),
+            spec=_timm_giant(),
+            source="bioptimus/H-optimus-1",
+        )
+    )
+    e.append(
+        EncoderEntry(
+            "h0_mini",
+            "timm_vit",
+            1536,
+            _pre(224, mode="square", interp="bicubic", norm=HOPTIMUS_NORM),
+            spec=_vit(
+                224,
+                14,
+                768,
+                12,
+                12,
+                mlp_hidden=2048,
+                layerscale=True,
+                swiglu=True,
+                act="silu",
+                reg_tokens=4,
+                pos_mode="patches",
+                ln_eps=1e-6,
+                pool="cls_mean_concat",
+            ),
+            source="bioptimus/H0-mini",
+            notes="CLS + mean(patch tokens) concat (reference hoptimus.py:157-167)",
+        )
+    )
+    e.append(
+        EncoderEntry(
+            "virchow_v1",
+            "timm_vit",
+            2560,
+            _pre(224, mode="square", interp="bicubic"),
+            spec=_vit(
+                224,
+                14,
+                1280,
+                32,
+                16,
+                mlp_hidden=3416,
+                layerscale=True,
+                swiglu=True,
+                act="silu",
+                ln_eps=1e-6,
+                pool="cls_mean_concat",
+            ),
+            source="paige-ai/Virchow",
+            notes="CLS + mean(patch tokens) concat (reference virchow.py:57-61)",
+        )
+    )
+    e.append(
+        EncoderEntry(
+            "virchow_v2",
+            "timm_vit",
+            2560,
+            _pre(224, mode="square", interp="bicubic"),
+            spec=_vit(
+                224,
+                14,
+                1280,
+                32,
+                16,
+                mlp_hidden=3416,
+                layerscale=True,
+                swiglu=True,
+                act="silu",
+                reg_tokens=4,
+                pos_mode="patches",
+                ln_eps=1e-6,
+                pool="cls_mean_concat",
+            ),
+            source="paige-ai/Virchow2",
+            notes="skips 4 register tokens (reference virchow.py:110-114)",
+        )
+    )
+    e.append(
+        EncoderEntry(
+            "prov_gigapath",
+            "timm_vit",
+            1536,
+            _pre(224, resize=256, interp="bicubic"),
+            spec=_timm_giant(reg=0),
+            source="prov-gigapath/prov-gigapath",
+            notes="Resize256-BICUBIC + CenterCrop224 (reference gigapath.py:12-60)",
+        )
+    )
+    e.append(
+        EncoderEntry(
+            "pathorchestra",
+            "timm_vit",
+            1024,
+            _pre(224, resize=256, interp="bicubic"),
+            spec=_vit(224, 16, 1024, 24, 16, layerscale=True, ln_eps=1e-6),
+            source="AI4Pathology/PathOrchestra",
+        )
+    )
+    e.append(
+        EncoderEntry(
+            "openmidnight",
+            "timm_vit",
+            1536,
+            _pre(224, resize=256, interp="bicubic"),
+            spec=_timm_giant(),
+            source="torch.hub dinov2_vitg14_reg + OpenMidnight teacher ckpt",
+        )
+    )
+
+    # --- transformers pathology models --------------------------------------------
+    e.append(
+        EncoderEntry(
+            "phikon_v1",
+            "hf_vit",
+            768,
+            _pre(224, mode="square"),
+            spec=_vit(224, 16, 768, 12, 12, ln_eps=1e-12),
+            source="owkin/phikon",
+        )
+    )
+    e.append(
+        EncoderEntry(
+            "phikon_v2",
+            "dinov2",
+            1024,
+            _pre(224, mode="square"),
+            spec=_dinov2_spec(224, 1024, 24, 16),
+            source="owkin/phikon-v2",
+        )
+    )
+    for name, dim, depth, heads in (("hibou_b", 768, 12, 12), ("hibou_l", 1024, 24, 16)):
+        e.append(
+            EncoderEntry(
+                name,
+                "dinov2",
+                dim,
+                _pre(224, resize=224, mode="square", norm=HIBOU_NORM),
+                spec=_dinov2_spec(224, dim, depth, heads, reg=4),
+                source=f"histai/{name.replace('_', '-')}",
+            )
+        )
+    e.append(
+        EncoderEntry(
+            "midnight",
+            "dinov2",
+            3072,
+            _pre(224, mode="square", norm=HALF),
+            spec=_dinov2_spec(224, 1536, 40, 24, swiglu=True, pool="cls_mean_concat"),
+            source="kaiko-ai/midnight",
+            notes="CLS + mean(patch tokens) concat (reference midnight.py:12-66)",
+        )
+    )
+
+    # --- remaining special towers --------------------------------------------------
+    e.append(
+        EncoderEntry(
+            "musk",
+            "beit3",
+            1024,
+            _pre(384, mode="square", interp="bicubic", norm=HALF),
+            source="xiangjx/musk",
+            implemented=False,
+            notes="BEiT3 multiway tower pending",
+        )
+    )
+    e.append(
+        EncoderEntry(
+            "chief-ctranspath",
+            "swin",
+            768,
+            _pre(224, mode="square"),
+            source="CHIEF CTransPath (Swin-tiny + ConvStem)",
+            implemented=False,
+            notes="Swin + ConvStem pending",
+        )
+    )
+    return e
+
+
+ENTRIES: dict[str, EncoderEntry] = {entry.name: entry for entry in build_entries()}
+
+ZOO_STATUS = {
+    "implemented": sorted(n for n, x in ENTRIES.items() if x.implemented),
+    "pending": sorted(n for n, x in ENTRIES.items() if not x.implemented),
+}
+
+
+# --- weight loading ------------------------------------------------------------------
+def _find_cached_weights(entry: EncoderEntry) -> Path | None:
+    """Search ATLASPATCH_WEIGHTS_DIR and the HF hub cache for this encoder."""
+    wdir = os.environ.get("ATLASPATCH_WEIGHTS_DIR")
+    if wdir:
+        for ext in (".safetensors", ".pt", ".pth", ".bin"):
+            cand = Path(wdir) / f"{entry.name}{ext}"
+            if cand.exists():
+                return cand
+    hf_home = Path(os.environ.get("HF_HOME", Path.home() / ".cache" / "huggingface"))
+    repo = entry.source.split()[0] if "/" in entry.source.split()[0] else None
+    if repo:
+        safe = repo.replace("/", "--")
+        for pattern in (
+            f"hub/models--{safe}/snapshots/*/*.safetensors",
+            f"hub/models--{safe}/snapshots/*/*.bin",
+            f"hub/models--{safe}/snapshots/*/*.pth",
+            f"hub/models--{safe}/snapshots/*/*.pt",
+        ):
+            matches = sorted(hf_home.glob(pattern))
+            if matches:
+                return matches[-1]
+    return None
+
+
+def _load_state_dict(path: Path) -> dict:
+    if path.suffix == ".safetensors":
+        from safetensors import safe_open
+
+        out = {}
+        with safe_open(str(path), framework="np") as f:
+            for k in f.keys():
+                out[k] = f.get_tensor(k)
+        return out
+    import torch
+
+    ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
+    for key in ("model", "state_dict", "teacher"):
+        if isinstance(ckpt, dict) and key in ckpt and isinstance(ckpt[key], dict):
+            ckpt = ckpt[key]
+    return {k: v for k, v in ckpt.items() if hasattr(v, "shape")}
+
+
+def _strip_prefixes(sd: dict, prefixes=("module.", "model.", "backbone.")) -> dict:
+    out = dict(sd)
+    for prefix in prefixes:
+        if any(k.startswith(prefix) for k in out):
+            out = {k[len(prefix) :] if k.startswith(prefix) else k: v for k, v in out.items()}
+    return out
+
+
+def _convert(entry: EncoderEntry, sd: dict) -> dict:
+    from atlaspatch_tpu.models.encoders import convert as C
+
+    sd = _strip_prefixes(sd)
+    family = entry.family
+    if family in ("timm_vit",):
+        return C.timm_vit_to_flax(sd, entry.spec)
+    if family == "hf_vit":
+        prefix = "vit." if any(k.startswith("vit.") for k in sd) else ""
+        return C.hf_vit_to_flax(sd, entry.spec, prefix=prefix)
+    if family == "dinov2":
+        prefix = "dinov2." if any(k.startswith("dinov2.") for k in sd) else ""
+        return C.hf_dinov2_to_flax(sd, entry.spec, prefix=prefix)
+    if family == "clip_hf":
+        return C.hf_clip_to_flax(sd, entry.spec)
+    if family == "clip_openclip":
+        return C.open_clip_vit_to_flax(sd, entry.spec)
+    if family == "siglip":
+        return C.hf_siglip_to_flax(sd, entry.spec)
+    if family == "torchvision_vit":
+        return C.torchvision_vit_to_flax(sd, entry.spec)
+    if family == "resnet":
+        return torchvision_resnet_to_flax(sd, entry.spec)
+    if family == "convnext":
+        return torchvision_convnext_to_flax(sd, entry.spec)
+    raise NotImplementedError(f"no converter for family {family}")
+
+
+def _model_for(entry: EncoderEntry):
+    if entry.family in (
+        "timm_vit",
+        "hf_vit",
+        "dinov2",
+        "clip_hf",
+        "clip_openclip",
+        "siglip",
+        "torchvision_vit",
+        "clip_timm_tower",
+    ):
+        return ViT(entry.spec)
+    if entry.family == "resnet":
+        return ResNet(entry.spec)
+    if entry.family == "convnext":
+        return ConvNeXt(entry.spec)
+    raise NotImplementedError(entry.family)
+
+
+def build_extractor(
+    entry: EncoderEntry,
+    *,
+    device=None,
+    compute_dtype: str = "float32",
+    max_batch: int = 256,
+) -> JaxFeatureExtractor:
+    if not entry.implemented:
+        raise NotImplementedError(
+            f"Encoder '{entry.name}' ({entry.family}) is registered but its tower is "
+            f"not yet implemented in this build: {entry.notes}"
+        )
+    import jax
+    import jax.numpy as jnp
+
+    model = _model_for(entry)
+    weights_path = _find_cached_weights(entry)
+    if weights_path is not None:
+        logger.info("Loading %s weights from %s", entry.name, weights_path)
+        params = _convert(entry, _load_state_dict(weights_path))
+        params = jax.tree.map(lambda a: jnp.asarray(np.asarray(a), jnp.float32), params)
+    elif os.environ.get("ATLASPATCH_ALLOW_RANDOM_WEIGHTS") == "1":
+        logger.warning("No weights for %s; using deterministic random init.", entry.name)
+        size = entry.preprocess.crop
+        dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), dummy)["params"]
+    else:
+        raise RuntimeError(
+            f"No cached weights found for encoder '{entry.name}' (source: {entry.source}). "
+            "Place a checkpoint in ATLASPATCH_WEIGHTS_DIR or the HF cache, or set "
+            "ATLASPATCH_ALLOW_RANDOM_WEIGHTS=1 for benchmarking."
+        )
+
+    def apply_fn(p, x):
+        return model.apply({"params": p}, x)
+
+    return JaxFeatureExtractor(
+        name=entry.name,
+        embedding_dim=entry.embedding_dim,
+        spec=entry.preprocess,
+        apply_fn=apply_fn,
+        params=params,
+        device=device,
+        compute_dtype=compute_dtype,
+        max_batch=max_batch,
+    )
+
+
+def build_default_registry(
+    *,
+    device: str | object = "tpu",
+    num_workers: int = 0,
+    dtype: str = "float32",
+) -> PatchFeatureExtractorRegistry:
+    """Registry with all 66 reference names (API parity: reference
+    models/patch/__init__.py:47-80). Builders are lazy; nothing loads until
+    create()."""
+    del num_workers  # host prep threads are managed by the engine
+    compute_dtype = "bfloat16" if str(dtype).lower() in ("bfloat16", "float16", "bf16") else "float32"
+
+    resolved_device = None
+    if not isinstance(device, str):
+        resolved_device = device
+
+    def _resolve_device():
+        nonlocal resolved_device
+        if resolved_device is None:
+            import jax
+
+            platform = str(device).split(":")[0].lower()
+            if platform in ("cuda", "gpu"):
+                platform = "tpu"
+            try:
+                resolved_device = jax.devices(platform)[0]
+            except RuntimeError:
+                resolved_device = jax.devices("cpu")[0]
+        return resolved_device
+
+    registry = PatchFeatureExtractorRegistry()
+    for entry in ENTRIES.values():
+        registry.register(
+            entry.name,
+            lambda en=entry: build_extractor(
+                en, device=_resolve_device(), compute_dtype=compute_dtype
+            ),
+        )
+    return registry
