@@ -1,0 +1,441 @@
+"""AtlasPatch-TPU command line interface.
+
+Command/flag surface parity with the reference CLI (reference:
+atlas_patch/cli.py:54-696): `segment-and-get-coords`, `detect-tissue`,
+`process`, `info`, with the same shared options. Device flags name JAX
+platforms (tpu/cpu; cuda accepted as an alias).
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+from pathlib import Path
+
+import click
+
+from atlaspatch_tpu.core.config import (
+    AppConfig,
+    ExtractionConfig,
+    FeatureExtractionConfig,
+    OutputConfig,
+    ProcessingConfig,
+    SegmentationConfig,
+    VisualizationConfig,
+)
+from atlaspatch_tpu.core.models import Slide
+from atlaspatch_tpu.utils.logging_utils import configure_logging, install_noise_filter
+from atlaspatch_tpu.utils.progress import ProgressBar
+
+logging.basicConfig(
+    level=logging.WARNING,
+    format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
+)
+logger = logging.getLogger("atlaspatch_tpu.cli")
+install_noise_filter()
+
+
+def _feature_extractor_choices() -> list[str]:
+    from atlaspatch_tpu.models.encoders.zoo import ENTRIES
+
+    return sorted(ENTRIES.keys())
+
+
+# Shared option sets -----------------------------------------------------------
+_COMMON_OPTIONS: list = [
+    click.argument("wsi_path", type=click.Path(exists=True)),
+    click.option("--output", "-o", type=click.Path(), required=True,
+                 help="Output directory root for generated artifacts."),
+    click.option("--patch-size", type=int, required=True,
+                 help="Patch size at target magnification."),
+    click.option("--step-size", type=int, default=None,
+                 help="Stride between patches; defaults to patch size when omitted."),
+    click.option("--target-mag", type=click.IntRange(1, 120), required=True,
+                 help="Target magnification (e.g., 20, 40)."),
+    click.option("--device", type=str, default="tpu", show_default=True,
+                 help="Segmentation device (tpu, tpu:0, cpu; cuda maps to tpu)."),
+    click.option("--tissue-thresh", type=float, default=0.0, show_default=True,
+                 help="Minimum tissue area fraction."),
+    click.option("--white-thresh", type=int, default=15, show_default=True,
+                 help="Saturation threshold for white filtering."),
+    click.option("--black-thresh", type=int, default=50, show_default=True,
+                 help="RGB threshold for black filtering."),
+    click.option("--seg-batch-size", type=int, default=1, show_default=True,
+                 help="Segmentation batch."),
+    click.option("--write-batch", type=int, default=8192, show_default=True,
+                 help="HDF5 write batch."),
+    click.option("--patch-workers", type=int, default=None,
+                 help="Parallel worker threads for per-slide patch extraction; "
+                      "defaults to CPU count."),
+    click.option("--max-open-slides", type=int, default=200, show_default=True,
+                 help="Upper bound on simultaneously open slides."),
+    click.option("--fast-mode/--no-fast-mode", default=True, show_default=True,
+                 help="fast-mode skips per-patch content filtering."),
+    click.option("--save-images", is_flag=True, help="Export individual patch PNGs."),
+    click.option("--visualize-grids", is_flag=True, help="Render patch grid overlay."),
+    click.option("--visualize-mask", is_flag=True, help="Render predicted mask overlay."),
+    click.option("--visualize-contours", is_flag=True, help="Render contour overlay."),
+    click.option("--recursive", is_flag=True, help="Recursively search directories for WSIs."),
+    click.option("--mpp-csv", type=click.Path(exists=True), default=None,
+                 help="CSV with custom MPP."),
+    click.option("--skip-existing/--force", default=True, show_default=True,
+                 help="Skip existing H5."),
+    click.option("--sam2-checkpoint", type=click.Path(exists=True), default=None,
+                 help="Path to a SAM2 checkpoint (.pth/.safetensors)."),
+    click.option("--verbose", "-v", is_flag=True, help="Enable debug logging."),
+]
+
+_FEATURE_OPTIONS: list = [
+    click.option("--feature-device", type=str, default=None,
+                 help="Device for feature extraction; defaults to --device."),
+    click.option("--feature-extractors", required=True, type=str,
+                 help="Space/comma separated feature extractors to run "
+                      "(see `atlaspatch-tpu info`; add more via --feature-plugin)."),
+    click.option("--feature-batch-size", type=int, default=32, show_default=True,
+                 help="Batch size used when embedding patches."),
+    click.option("--feature-num-workers", type=int, default=4, show_default=True,
+                 help="Host reader thread count for feature extraction."),
+    click.option("--feature-precision",
+                 type=click.Choice(["float32", "float16", "bfloat16"], case_sensitive=False),
+                 default="float16", show_default=True,
+                 help="Computation precision (float16 maps to bfloat16 on TPU)."),
+    click.option("--feature-plugin", "feature_plugins", type=click.Path(exists=True),
+                 multiple=True,
+                 help="Python module(s) registering custom feature extractors via "
+                      "register_feature_extractors(registry, device, dtype, num_workers)."),
+]
+
+
+def _apply_options(func, options: list):
+    for opt in reversed(options):
+        func = opt(func)
+    return func
+
+
+def common_options(func):
+    return _apply_options(func, _COMMON_OPTIONS)
+
+
+def feature_options(func):
+    return _apply_options(func, _FEATURE_OPTIONS)
+
+
+def _build_app_config(kw: dict, feature_cfg: FeatureExtractionConfig | None) -> AppConfig:
+    return AppConfig(
+        processing=ProcessingConfig(
+            input_path=Path(kw["wsi_path"]),
+            recursive=kw["recursive"],
+            mpp_csv=Path(kw["mpp_csv"]) if kw["mpp_csv"] else None,
+        ),
+        segmentation=SegmentationConfig(
+            checkpoint_path=Path(kw["sam2_checkpoint"]) if kw.get("sam2_checkpoint") else None,
+            device=kw["device"].lower(),
+            batch_size=kw["seg_batch_size"],
+        ),
+        extraction=ExtractionConfig(
+            patch_size=kw["patch_size"],
+            step_size=kw["step_size"],
+            target_magnification=kw["target_mag"],
+            tissue_threshold=kw["tissue_thresh"],
+            white_threshold=kw["white_thresh"],
+            black_threshold=kw["black_thresh"],
+            fast_mode=kw["fast_mode"],
+            write_batch=kw["write_batch"],
+            workers=kw["patch_workers"],
+            max_open_slides=kw["max_open_slides"],
+        ),
+        output=OutputConfig(
+            output_root=Path(kw["output"]),
+            save_images=kw["save_images"],
+            visualize_grids=kw["visualize_grids"],
+            visualize_mask=kw["visualize_mask"],
+            visualize_contours=kw["visualize_contours"],
+            skip_existing=kw["skip_existing"],
+        ),
+        visualization=VisualizationConfig(),
+        features=feature_cfg,
+        device=kw["device"].lower(),
+    ).validated()
+
+
+def _run_pipeline(
+    *, feature_cfg: FeatureExtractionConfig | None = None, registry=None, **kw
+) -> tuple[list, list]:
+    from atlaspatch_tpu.orchestration.runner import ProcessingRunner
+    from atlaspatch_tpu.parallel.multihost import maybe_init_distributed
+    from atlaspatch_tpu.services.extraction import PatchExtractionService
+    from atlaspatch_tpu.services.mpp import CSVMPPResolver
+    from atlaspatch_tpu.services.segmentation import SAM2SegmentationService
+    from atlaspatch_tpu.services.visualization import DefaultVisualizationService
+    from atlaspatch_tpu.services.wsi_loader import DefaultWSILoader
+
+    configure_logging(kw["verbose"])
+    maybe_init_distributed()
+    app_cfg = _build_app_config(kw, feature_cfg)
+
+    segmentation_service = SAM2SegmentationService(app_cfg.segmentation)
+    extractor_service = PatchExtractionService(app_cfg.extraction, app_cfg.output)
+    visualizer_service = None
+    if kw["visualize_grids"] or kw["visualize_mask"] or kw["visualize_contours"]:
+        visualizer_service = DefaultVisualizationService(
+            app_cfg.output, app_cfg.extraction, app_cfg.visualization
+        )
+
+    runner = ProcessingRunner(
+        config=app_cfg,
+        segmentation=segmentation_service,
+        extractor=extractor_service,
+        visualizer=visualizer_service,
+        mpp_resolver=CSVMPPResolver(app_cfg.processing.mpp_csv),
+        wsi_loader=DefaultWSILoader(),
+        show_progress=not kw["verbose"],
+    )
+    try:
+        results, failures = runner.run()
+    finally:
+        segmentation_service.close()
+
+    click.echo("Segmentation and patch coordinate extraction complete.")
+
+    if app_cfg.features is not None:
+        from atlaspatch_tpu.services.feature_embedding import PatchFeatureEmbeddingService
+
+        feature_service = PatchFeatureEmbeddingService(
+            app_cfg.extraction, app_cfg.output, app_cfg.features, registry=registry
+        )
+        total_units = len(results) * len(app_cfg.features.extractors)
+        progress = ProgressBar(
+            total=total_units, enabled=not kw["verbose"] and total_units > 0,
+            desc="Feature embedding",
+        )
+        try:
+            failures.extend(
+                feature_service.embed_all(
+                    results, wsi_loader=DefaultWSILoader(), progress=progress
+                )
+            )
+        finally:
+            progress.close()
+
+    return results, failures
+
+
+def _echo_results(results: list, failures: list, verbose: bool, feature_cfg) -> None:
+    click.echo(f"Completed {len(results)} slide(s), failures: {len(failures)}")
+    if verbose:
+        for res in results:
+            feature_note = (
+                f" features={','.join(feature_cfg.extractors)}" if feature_cfg else ""
+            )
+            click.echo(
+                f"[OK] {res.slide.path.name} -> {res.h5_path} "
+                f"(patches={res.num_patches}){feature_note}"
+            )
+        for slide, err in failures:
+            click.echo(f"[FAIL] {slide.path.name}: {err}", err=True)
+
+
+@click.group()
+@click.version_option(version="0.1.0")
+def cli():
+    """AtlasPatch-TPU: TPU-native WSI segmentation, patching, and embedding."""
+
+
+@cli.command()
+@common_options
+def segment_and_get_coords(**kw):
+    """Segment, patchify, and optionally visualize WSI files."""
+    results, failures = _run_pipeline(feature_cfg=None, **kw)
+    _echo_results(results, failures, kw["verbose"], None)
+
+
+@cli.command()
+@click.argument("wsi_path", type=click.Path(exists=True))
+@click.option("--output", "-o", type=click.Path(), required=True,
+              help="Output directory root for generated artifacts.")
+@click.option("--device", type=str, default="tpu", show_default=True,
+              help="Segmentation device.")
+@click.option("--seg-batch-size", type=click.IntRange(1, None), default=1, show_default=True,
+              help="Segmentation batch size for thumbnail inference.")
+@click.option("--recursive", is_flag=True, help="Recursively search directories for WSIs.")
+@click.option("--mpp-csv", type=click.Path(exists=True), default=None,
+              help="CSV with custom MPP.")
+@click.option("--sam2-checkpoint", type=click.Path(exists=True), default=None,
+              help="Path to a SAM2 checkpoint.")
+@click.option("--verbose", "-v", is_flag=True, help="Enable debug logging.")
+def detect_tissue(wsi_path, output, device, seg_batch_size, recursive, mpp_csv,
+                  sam2_checkpoint, verbose):
+    """Run tissue segmentation only and export mask overlays."""
+    from atlaspatch_tpu.services.mpp import CSVMPPResolver
+    from atlaspatch_tpu.services.segmentation import SAM2SegmentationService
+    from atlaspatch_tpu.services.wsi_loader import DefaultWSILoader
+    from atlaspatch_tpu.utils.params import get_wsi_files
+    from atlaspatch_tpu.utils.visualization import visualize_mask_on_thumbnail
+
+    configure_logging(verbose)
+    processing_cfg = ProcessingConfig(
+        input_path=Path(wsi_path),
+        recursive=recursive,
+        mpp_csv=Path(mpp_csv) if mpp_csv else None,
+    ).validated()
+    segmentation_cfg = SegmentationConfig(
+        checkpoint_path=Path(sam2_checkpoint) if sam2_checkpoint else None,
+        device=device.lower(),
+        batch_size=seg_batch_size,
+    ).validated()
+    vis_cfg = VisualizationConfig().validated()
+
+    slide_paths = get_wsi_files(str(processing_cfg.input_path), recursive=processing_cfg.recursive)
+    output_root = Path(output)
+    output_root.mkdir(parents=True, exist_ok=True)
+    vis_dir = output_root / "visualization"
+
+    mpp_resolver = CSVMPPResolver(processing_cfg.mpp_csv)
+    wsi_loader = DefaultWSILoader()
+    segmentation_service = SAM2SegmentationService(segmentation_cfg)
+
+    results: list[tuple[Slide, Path]] = []
+    failures: list[tuple[Slide, Exception | str]] = []
+    progress = ProgressBar(total=len(slide_paths), enabled=not verbose, desc="Tissue detection")
+
+    def process_batch(batch):
+        if not batch:
+            return
+        wsis = [w for _, w in batch]
+        try:
+            masks = (
+                segmentation_service.segment_batch(wsis)
+                if len(wsis) > 1
+                else [segmentation_service.segment_thumbnail(wsis[0])]
+            )
+        except Exception as e:  # noqa: BLE001
+            for slide, wsi in batch:
+                failures.append((slide, e))
+                try:
+                    wsi.cleanup()
+                except Exception:
+                    pass
+                progress.update(1)
+            return
+        for (slide, wsi), mask in zip(batch, masks):
+            try:
+                out_path = visualize_mask_on_thumbnail(
+                    mask=mask.data, wsi=wsi, output_dir=vis_dir,
+                    thumbnail_size=vis_cfg.thumbnail_size,
+                )
+                results.append((slide, out_path))
+            except Exception as e:  # noqa: BLE001
+                failures.append((slide, e))
+            finally:
+                try:
+                    wsi.cleanup()
+                except Exception:
+                    pass
+            progress.update(1)
+
+    try:
+        batch = []
+        for path_str in slide_paths:
+            base = Slide(path=Path(path_str))
+            slide = Slide(path=base.path, mpp=mpp_resolver.resolve(base), backend=base.backend)
+            try:
+                wsi = wsi_loader.open(slide)
+            except Exception as e:  # noqa: BLE001
+                failures.append((slide, e))
+                progress.update(1)
+                continue
+            batch.append((slide, wsi))
+            if len(batch) >= segmentation_cfg.batch_size:
+                process_batch(batch)
+                batch = []
+        if batch:
+            process_batch(batch)
+    finally:
+        segmentation_service.close()
+        progress.close()
+
+    click.echo(f"Created {len(results)} mask overlay(s), failures: {len(failures)}")
+    if verbose:
+        for slide, path in results:
+            click.echo(f"[OK] {slide.path.name} -> {path}")
+        for slide, err in failures:
+            click.echo(f"[FAIL] {slide.path.name}: {err}", err=True)
+
+
+@cli.command()
+@feature_options
+@common_options
+def process(**kw):
+    """Run segmentation, patch extraction, and feature embedding into one H5."""
+    from atlaspatch_tpu.models.encoders import build_default_registry
+    from atlaspatch_tpu.models.encoders.custom import register_feature_extractors_from_module
+    from atlaspatch_tpu.services.feature_embedding import resolve_feature_dtype
+    from atlaspatch_tpu.utils.features import parse_feature_list
+
+    feat_device = (kw.pop("feature_device") or kw["device"]).lower()
+    precision = kw.pop("feature_precision").lower()
+    num_workers = kw.pop("feature_num_workers")
+    batch_size = kw.pop("feature_batch_size")
+    plugins = kw.pop("feature_plugins")
+    extractors_raw = kw.pop("feature_extractors")
+
+    dtype = resolve_feature_dtype(feat_device, precision)
+    registry = build_default_registry(device=feat_device, num_workers=num_workers, dtype=dtype)
+    for plugin in plugins:
+        register_feature_extractors_from_module(
+            plugin, registry=registry, device=None, dtype=dtype, num_workers=num_workers
+        )
+
+    try:
+        feats = parse_feature_list(extractors_raw, choices=registry.available())
+    except ValueError as e:
+        raise click.BadParameter(str(e)) from e
+
+    feature_cfg = FeatureExtractionConfig(
+        extractors=feats,
+        batch_size=batch_size,
+        device=feat_device,
+        num_workers=num_workers,
+        precision=precision,
+        plugins=[Path(p) for p in plugins],
+    )
+    results, failures = _run_pipeline(feature_cfg=feature_cfg, registry=registry, **kw)
+    _echo_results(results, failures, kw["verbose"], feature_cfg)
+
+
+@cli.command()
+def info():
+    """Display supported formats, encoders, and output structure."""
+    from atlaspatch_tpu.models.encoders.zoo import ZOO_STATUS
+
+    click.echo(
+        "Supported WSI formats (native TIFF decoder): .svs, .tif, .tiff, .ndpi, "
+        ".vms, .vmu, .scn, .mrxs, .bif, .dcm"
+    )
+    click.echo("Image formats: .png, .jpg, .jpeg, .bmp, .webp, .gif")
+    click.echo(
+        "Outputs: HDF5 per slide under patches/<stem>.h5; optional PNGs under "
+        "images/<stem>; visualizations under visualization/."
+    )
+    click.echo(f"Feature extractors ({len(ZOO_STATUS['implemented'])} ready): "
+               + ", ".join(ZOO_STATUS["implemented"]))
+    if ZOO_STATUS["pending"]:
+        click.echo(f"Registered, tower pending: " + ", ".join(ZOO_STATUS["pending"]))
+
+
+def main():
+    try:
+        cli()
+    except click.ClickException as e:
+        click.echo(f"Error: {e}", err=True)
+        sys.exit(1)
+    except KeyboardInterrupt:
+        click.echo("\nInterrupted by user", err=True)
+        sys.exit(130)
+    except Exception as e:  # noqa: BLE001
+        click.echo(f"Unexpected error: {e}", err=True)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,301 @@
+"""Patch feature embedding into existing per-slide H5 files.
+
+Behavior parity with the reference (reference: atlas_patch/services/
+feature_embedding.py:42-316): coords are re-read from the H5 and pixels
+re-extracted from the slide; a per-slide `phase=features` lock serializes
+writers; complete features (row count == num_patches) are skipped with a
+cache; `embed_all` loops extractor-outer / slide-inner so each model loads
+once.
+
+TPU-native data path: instead of a per-patch Python loop feeding a DataLoader,
+patch pixel blocks are read by a host thread pool (tile reads release the GIL
+in the native decoder / PIL), resized to the patch size, and streamed into the
+engine's bucketed device batches — the writer pulls feature rows by index
+range (services/storage.py), so pixels never accumulate in memory.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import h5py
+import numpy as np
+
+from atlaspatch_tpu.core.config import ExtractionConfig, FeatureExtractionConfig, OutputConfig
+from atlaspatch_tpu.core.models import ExtractionResult
+from atlaspatch_tpu.core.paths import patch_lock_path
+from atlaspatch_tpu.io.iwsi import IWSI
+from atlaspatch_tpu.models.encoders import build_default_registry
+from atlaspatch_tpu.models.encoders.custom import register_feature_extractors_from_module
+from atlaspatch_tpu.models.encoders.registry import PatchFeatureExtractorRegistry
+from atlaspatch_tpu.services.interfaces import FeatureEmbeddingService
+from atlaspatch_tpu.services.storage import H5PatchWriter
+from atlaspatch_tpu.utils.features import get_existing_features
+
+logger = logging.getLogger("atlaspatch_tpu.feature_embedding_service")
+
+
+def resolve_feature_dtype(device: str, precision: str) -> str:
+    """Map requested precision to the on-device compute dtype.
+
+    float16 maps to bfloat16 — the TPU-native reduced precision (MXU);
+    float32 stays exact. CPU runs always use float32 (parity with the
+    reference's fp16-on-CPU fallback, feature_embedding.py:28-39).
+    """
+    prec = precision.lower()
+    if device.startswith("cpu"):
+        return "float32"
+    if prec in ("float16", "bfloat16"):
+        return "bfloat16"
+    return "float32"
+
+
+class PatchFeatureEmbeddingService(FeatureEmbeddingService):
+    def __init__(
+        self,
+        extraction_cfg: ExtractionConfig,
+        output_cfg: OutputConfig,
+        feature_cfg: FeatureExtractionConfig,
+        registry: PatchFeatureExtractorRegistry | None = None,
+    ) -> None:
+        self.cfg = extraction_cfg.validated()
+        self.output_cfg = output_cfg.validated()
+        self.feature_cfg = feature_cfg.validated()
+        self.compute_dtype = resolve_feature_dtype(
+            self.feature_cfg.device, self.feature_cfg.precision
+        )
+
+        self.registry = registry or build_default_registry(
+            device=self.feature_cfg.device,
+            num_workers=self.feature_cfg.num_workers,
+            dtype=self.compute_dtype,
+        )
+        if registry is None and self.feature_cfg.plugins:
+            for plugin_path in self.feature_cfg.plugins:
+                register_feature_extractors_from_module(
+                    plugin_path,
+                    registry=self.registry,
+                    device=None,
+                    dtype=self.compute_dtype,
+                    num_workers=self.feature_cfg.num_workers,
+                )
+        self.extractor_names = [n.lower() for n in self.feature_cfg.extractors]
+        self._feature_cache: dict[Path, tuple[int | None, set[str]]] = {}
+
+    # --- patch pixel loading --------------------------------------------------------
+    def _read_patch_block(self, wsi: IWSI, coords: np.ndarray) -> list[np.ndarray]:
+        """Read + resize a block of patches concurrently on host threads."""
+        import cv2
+
+        def read_one(row):
+            x, y, rw, rh, lv = (int(v) for v in row)
+            patch = wsi.extract((x, y), lv=lv, wh=(rw, rh), mode="array")
+            if not isinstance(patch, np.ndarray):
+                return None
+            if patch.shape[0] != self.cfg.patch_size or patch.shape[1] != self.cfg.patch_size:
+                patch = cv2.resize(patch, (self.cfg.patch_size, self.cfg.patch_size))
+            return patch
+
+        workers = max(1, min(16, self.feature_cfg.num_workers or (os.cpu_count() or 4)))
+        if workers == 1 or len(coords) <= 1:
+            patches = [read_one(row) for row in coords]
+        else:
+            with ThreadPoolExecutor(max_workers=workers, thread_name_prefix="patch-read") as ex:
+                patches = list(ex.map(read_one, coords))
+        return [p for p in patches if p is not None]
+
+    # --- locks ----------------------------------------------------------------------
+    def _acquire_feature_lock(self, slide) -> tuple[int | None, Path]:
+        lock_path = patch_lock_path(slide, self.output_cfg, self.cfg)
+        lock_path.parent.mkdir(parents=True, exist_ok=True)
+        payload = f"pid={os.getpid()},time={int(time.time())},slide={slide.path},phase=features"
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, payload.encode())
+            os.fsync(fd)
+            return fd, lock_path
+        except FileExistsError:
+            return None, lock_path
+        except Exception as e:  # noqa: BLE001
+            raise RuntimeError(f"Failed to create feature lock {lock_path}: {e}") from e
+
+    @staticmethod
+    def _release_feature_lock(fd: int | None, path: Path | None) -> None:
+        if fd is not None:
+            try:
+                os.close(fd)
+            except Exception:
+                pass
+        if path is None:
+            return
+        try:
+            path.unlink()
+        except (FileNotFoundError, OSError):
+            pass
+
+    # --- feature presence cache -----------------------------------------------------
+    def _existing_features(self, h5_path: Path, expected_total: int | None = None) -> set[str]:
+        key = Path(h5_path).resolve()
+        cached = self._feature_cache.get(key)
+        if cached is not None:
+            cached_total, cached_feats = cached
+            if expected_total is None or cached_total == expected_total:
+                return set(cached_feats)
+        feats = get_existing_features(key, expected_total=expected_total)
+        self._feature_cache[key] = (expected_total, set(feats))
+        return set(feats)
+
+    def _add_feature_to_cache(self, h5_path: Path, name: str, *, expected_total: int) -> None:
+        key = Path(h5_path).resolve()
+        _, current = self._feature_cache.get(key, (expected_total, set()))
+        self._feature_cache[key] = (expected_total, set(current) | {name.lower()})
+
+    def _feature_present(self, result: ExtractionResult, feature_name: str) -> bool:
+        return feature_name.lower() in self._existing_features(
+            result.h5_path, expected_total=result.num_patches
+        )
+
+    def _update_metadata_feature_sets(self, result: ExtractionResult) -> ExtractionResult:
+        existing = sorted(
+            self._existing_features(result.h5_path, expected_total=result.num_patches)
+        )
+        if existing:
+            result.metadata["feature_sets"] = existing
+        return result
+
+    # --- embedding ------------------------------------------------------------------
+    def _embed_with_extractor(
+        self, *, result: ExtractionResult, wsi: IWSI, extractor
+    ) -> ExtractionResult:
+        lock_fd: int | None = None
+        lock_path: Path | None = None
+        lock_held = False
+        try:
+            lock_fd, lock_path = self._acquire_feature_lock(result.slide)
+            if lock_fd is None:
+                logger.info(
+                    "Skipping feature embedding for %s (locked by another process).",
+                    result.slide.path.name,
+                )
+                return self._update_metadata_feature_sets(result)
+            lock_held = True
+
+            if self._feature_present(result, extractor.name):
+                logger.info(
+                    "Skipping feature embedding for %s (feature '%s' already exists).",
+                    result.slide.path.name,
+                    extractor.name,
+                )
+                return self._update_metadata_feature_sets(result)
+
+            with h5py.File(result.h5_path, "r") as f:
+                coords = f["coords"][:]
+
+            def feature_fn(start: int, stop: int) -> np.ndarray:
+                patches = self._read_patch_block(wsi, coords[start:stop])
+                return extractor.extract_batch(
+                    patches, batch_size=self.feature_cfg.batch_size
+                )
+
+            writer = H5PatchWriter(
+                chunk_rows=self.cfg.write_batch,
+                patch_size=self.cfg.patch_size,
+                patch_size_level0=result.patch_size_level0 or 0,
+                level0_mag=int(wsi.mag) if wsi.mag is not None else 0,
+                target_mag=self.cfg.target_magnification,
+                level0_wh=wsi.get_size(lv=0),
+                overlap=max(
+                    0, int(self.cfg.patch_size) - int(self.cfg.step_size or self.cfg.patch_size)
+                ),
+                slide_stem=result.slide.stem,
+                wsi_path=str(wsi.path),
+            )
+            writer.append_features(
+                output_path=result.h5_path,
+                feature_name=extractor.name,
+                feature_fn=feature_fn,
+                num_rows=int(coords.shape[0]),
+                feature_batch=self.feature_cfg.batch_size,
+                feature_attrs={"name": extractor.name, "embedding_dim": extractor.embedding_dim},
+                expected_total=result.num_patches,
+            )
+            self._add_feature_to_cache(
+                result.h5_path, extractor.name, expected_total=result.num_patches
+            )
+        finally:
+            if lock_held:
+                self._release_feature_lock(lock_fd, lock_path)
+
+        return self._update_metadata_feature_sets(result)
+
+    def embed_features(self, result: ExtractionResult, *, wsi: IWSI) -> ExtractionResult:
+        """Embed with the first configured extractor (single-slide path)."""
+        if not self.extractor_names:
+            return result
+        extractor = self.registry.create(self.extractor_names[0])
+        try:
+            return self._embed_with_extractor(result=result, wsi=wsi, extractor=extractor)
+        finally:
+            try:
+                extractor.cleanup()
+            except Exception:
+                pass
+
+    def embed_all(self, results: list[ExtractionResult], *, wsi_loader, progress=None) -> list:
+        """Per-extractor outer loop over all slides; each model loads once."""
+        failures: list = []
+
+        pending: dict[Path, set[str]] = {}
+        completed_units = 0
+        for res in results:
+            existing = self._existing_features(res.h5_path, expected_total=res.num_patches)
+            missing = [n for n in self.extractor_names if n not in existing]
+            if not missing:
+                self._update_metadata_feature_sets(res)
+            else:
+                pending[res.h5_path] = set(missing)
+            completed_units += len(self.extractor_names) - len(missing)
+        if progress and completed_units:
+            progress.update(completed_units)
+
+        for name in self.extractor_names:
+            try:
+                extractor = self.registry.create(name)
+            except Exception as e:  # noqa: BLE001
+                for res in results:
+                    if name in pending.get(res.h5_path, set()):
+                        failures.append((res.slide, e))
+                        if progress:
+                            progress.update(1)
+                continue
+
+            try:
+                for res in results:
+                    if name not in pending.get(res.h5_path, set()):
+                        continue
+                    wsi = None
+                    try:
+                        if not self._feature_present(res, extractor.name):
+                            wsi = wsi_loader.open(res.slide)
+                            self._embed_with_extractor(result=res, wsi=wsi, extractor=extractor)
+                        self._update_metadata_feature_sets(res)
+                    except Exception as e:  # noqa: BLE001
+                        failures.append((res.slide, e))
+                    finally:
+                        if wsi is not None:
+                            try:
+                                wsi.cleanup()
+                            except Exception:
+                                pass
+                    if progress:
+                        progress.update(1)
+            finally:
+                try:
+                    extractor.cleanup()
+                except Exception:
+                    pass
+        return failures
