@@ -1,0 +1,250 @@
+"""Native library loader + ctypes bindings for the host I/O and geometry plane.
+
+Builds libatlas_native.so on first use (g++ -O3, linking libjpeg + zlib) and
+caches it next to the sources; exposes:
+
+  AtlasTiffFile       — pyramid slide decoder (atlas_tiff.cc)
+  native_find_contours — Suzuki border following with CCOMP parents
+                         (atlas_contours.cc)
+
+Both release the GIL during calls (ctypes), so Python thread pools get real
+decode parallelism.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+import logging
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger("atlaspatch_tpu.io.native")
+
+_SRC_DIR = Path(__file__).resolve().parent
+_LIB_PATH = _SRC_DIR / "libatlas_native.so"
+_SOURCES = [_SRC_DIR / "atlas_tiff.cc", _SRC_DIR / "atlas_contours.cc"]
+_BUILD_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | None = None
+_LOAD_FAILED = False
+
+
+def _needs_build() -> bool:
+    if not _LIB_PATH.exists():
+        return True
+    lib_mtime = _LIB_PATH.stat().st_mtime
+    return any(src.stat().st_mtime > lib_mtime for src in _SOURCES)
+
+
+def build_library(force: bool = False) -> Path:
+    with _BUILD_LOCK:
+        if force or _needs_build():
+            cmd = [
+                "g++",
+                "-O3",
+                "-std=c++17",
+                "-shared",
+                "-fPIC",
+                "-o",
+                str(_LIB_PATH),
+                *[str(s) for s in _SOURCES],
+                "-ljpeg",
+                "-lz",
+            ]
+            logger.info("Building native library: %s", " ".join(cmd))
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+    return _LIB_PATH
+
+
+def load_library() -> ctypes.CDLL:
+    global _LIB, _LOAD_FAILED
+    if _LIB is not None:
+        return _LIB
+    if _LOAD_FAILED:
+        raise ImportError("native library previously failed to build/load")
+    try:
+        path = build_library()
+        lib = ctypes.CDLL(str(path))
+    except Exception as e:  # noqa: BLE001
+        _LOAD_FAILED = True
+        raise ImportError(f"failed to build/load native library: {e}") from e
+
+    lib.atlas_open.restype = ctypes.c_void_p
+    lib.atlas_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+    lib.atlas_close.argtypes = [ctypes.c_void_p]
+    lib.atlas_num_levels.restype = ctypes.c_int
+    lib.atlas_num_levels.argtypes = [ctypes.c_void_p]
+    lib.atlas_level_info.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.atlas_properties_json.restype = ctypes.c_char_p
+    lib.atlas_properties_json.argtypes = [ctypes.c_void_p]
+    lib.atlas_read_region.restype = ctypes.c_int
+    lib.atlas_read_region.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_char_p,
+        ctypes.c_int,
+    ]
+    lib.atlas_find_contours.restype = ctypes.c_int
+    lib.atlas_find_contours.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+    ]
+    _LIB = lib
+    return lib
+
+
+class AtlasTiffFile:
+    """Thin RAII wrapper over the native pyramid decoder."""
+
+    def __init__(self, path: str) -> None:
+        lib = load_library()
+        err = ctypes.create_string_buffer(512)
+        handle = lib.atlas_open(str(path).encode(), err, len(err))
+        if not handle:
+            raise RuntimeError(
+                f"atlas_tiff: cannot open {path}: {err.value.decode(errors='replace')}"
+            )
+        self._lib = lib
+        self._handle = ctypes.c_void_p(handle)
+        self.path = str(path)
+        self.level_count = lib.atlas_num_levels(self._handle)
+        self.level_dimensions: list[tuple[int, int]] = []
+        self.level_downsamples: list[float] = []
+        for lv in range(self.level_count):
+            w = ctypes.c_int64()
+            h = ctypes.c_int64()
+            ds = ctypes.c_double()
+            lib.atlas_level_info(self._handle, lv, ctypes.byref(w), ctypes.byref(h), ctypes.byref(ds))
+            self.level_dimensions.append((int(w.value), int(h.value)))
+            self.level_downsamples.append(float(ds.value))
+        self.properties: dict[str, str] = json.loads(
+            lib.atlas_properties_json(self._handle).decode(errors="replace")
+        )
+
+    @property
+    def dimensions(self) -> tuple[int, int]:
+        return self.level_dimensions[0]
+
+    def read_region_level(self, level: int, x: int, y: int, w: int, h: int) -> np.ndarray:
+        """Read an RGB region; x/y in LEVEL coordinates. Out-of-bounds = white."""
+        out = np.empty((h, w, 3), dtype=np.uint8)
+        err = ctypes.create_string_buffer(512)
+        rc = self._lib.atlas_read_region(
+            self._handle,
+            int(level),
+            int(x),
+            int(y),
+            int(w),
+            int(h),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            err,
+            len(err),
+        )
+        if rc != 0:
+            raise RuntimeError(
+                f"atlas_tiff: read_region failed: {err.value.decode(errors='replace')}"
+            )
+        return out
+
+    def close(self) -> None:
+        if getattr(self, "_handle", None):
+            self._lib.atlas_close(self._handle)
+            self._handle = None
+
+    def __del__(self) -> None:
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def native_find_contours(mask_u8: np.ndarray):
+    """Binary mask {0,255} → (contours as (N,1,2) int32 list, parents int64).
+
+    Matches cv2.findContours(RETR_CCOMP, CHAIN_APPROX_NONE) output. Returns
+    None when the native library is unavailable (caller falls back to cv2).
+    """
+    try:
+        lib = load_library()
+    except ImportError:
+        return None
+    mask = np.ascontiguousarray(mask_u8, dtype=np.uint8)
+    h, w = mask.shape[:2]
+    mask_ptr = mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    # First pass: count
+    n = lib.atlas_find_contours(mask_ptr, h, w, 1 << 22, None, None, None, None, 0)
+    if n < 0:
+        raise RuntimeError(f"atlas_find_contours failed ({n})")
+    if n == 0:
+        return [], np.empty((0,), dtype=np.int64)
+
+    n_points = np.zeros(n, dtype=np.int64)
+    parents = np.zeros(n, dtype=np.int64)
+    is_hole = np.zeros(n, dtype=np.uint8)
+    # Upper bound on total boundary length: all pixels
+    capacity = int(mask.size) * 4 + 8 * n
+    points = np.zeros(capacity, dtype=np.int64)
+    rc = lib.atlas_find_contours(
+        mask_ptr,
+        h,
+        w,
+        n,
+        n_points.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        parents.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        is_hole.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        points.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        capacity,
+    )
+    if rc < 0:
+        raise RuntimeError(f"atlas_find_contours failed ({rc})")
+
+    contours: list[np.ndarray] = []
+    off = 0
+    for i in range(n):
+        cnt = points[off : off + 2 * n_points[i]].reshape(-1, 2).astype(np.int32)
+        contours.append(cnt.reshape(-1, 1, 2))
+        off += 2 * int(n_points[i])
+
+    # Reorder to cv2's output sequence: top-level contours in reverse discovery
+    # order, each immediately followed by its holes (also reverse discovery).
+    children: dict[int, list[int]] = {}
+    top: list[int] = []
+    for i in range(n):
+        if parents[i] == -1:
+            top.append(i)
+        else:
+            children.setdefault(int(parents[i]), []).append(i)
+    order: list[int] = []
+    for t in reversed(top):
+        order.append(t)
+        order.extend(reversed(children.get(t, [])))
+    new_index = {old: new for new, old in enumerate(order)}
+    out_contours = [contours[old] for old in order]
+    out_parents = np.array(
+        [-1 if parents[old] == -1 else new_index[int(parents[old])] for old in order],
+        dtype=np.int64,
+    )
+    return out_contours, out_parents

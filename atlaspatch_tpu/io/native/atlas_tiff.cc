@@ -1,0 +1,759 @@
+// atlas_tiff.cc — self-contained TIFF / Aperio-SVS pyramid decoder.
+//
+// The host I/O plane of the framework (SURVEY.md §7 item 1): replaces the
+// reference's OpenSlide dependency with first-party native code. Parses the
+// TIFF container directly (classic + BigTIFF, both byte orders), enumerates
+// pyramid levels, and decodes tiles/strips with:
+//   * JPEG (compression 7, incl. abbreviated streams via JPEGTables) — libjpeg
+//   * Deflate (8 / 32946) — zlib, with TIFF predictor 2
+//   * LZW (5) — own implementation, with predictor 2
+//   * PackBits (32773) and uncompressed (1)
+// JPEG2000-compressed SVS (33003/33005) is detected and reported cleanly.
+//
+// Thread safety: handles are immutable after open; reads use pread(2); every
+// decode uses local codec state — safe for concurrent region reads from
+// Python threads (the GIL is released during ctypes calls).
+//
+// Build: g++ -O3 -shared -fPIC atlas_tiff.cc atlas_contours.cc -o
+//        libatlas_native.so -ljpeg -lz
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <map>
+#include <memory>
+#include <mutex>
+#include <string>
+#include <vector>
+
+#include <fcntl.h>
+#include <unistd.h>
+
+#include <jpeglib.h>
+#include <csetjmp>
+#include <zlib.h>
+
+namespace {
+
+// ---------------------------------------------------------------- low level IO
+struct FileReader {
+  int fd = -1;
+  uint64_t size = 0;
+
+  bool open(const char* path) {
+    fd = ::open(path, O_RDONLY);
+    if (fd < 0) return false;
+    off_t end = ::lseek(fd, 0, SEEK_END);
+    if (end < 0) return false;
+    size = static_cast<uint64_t>(end);
+    return true;
+  }
+  ~FileReader() {
+    if (fd >= 0) ::close(fd);
+  }
+  bool read_at(uint64_t off, void* dst, size_t n) const {
+    size_t done = 0;
+    while (done < n) {
+      ssize_t r = ::pread(fd, static_cast<char*>(dst) + done, n - done, off + done);
+      if (r <= 0) return false;
+      done += static_cast<size_t>(r);
+    }
+    return true;
+  }
+};
+
+struct ByteOrder {
+  bool little = true;
+  uint16_t u16(const uint8_t* p) const {
+    return little ? (uint16_t)(p[0] | p[1] << 8) : (uint16_t)(p[1] | p[0] << 8);
+  }
+  uint32_t u32(const uint8_t* p) const {
+    return little ? (uint32_t)p[0] | (uint32_t)p[1] << 8 | (uint32_t)p[2] << 16 |
+                        (uint32_t)p[3] << 24
+                  : (uint32_t)p[3] | (uint32_t)p[2] << 8 | (uint32_t)p[1] << 16 |
+                        (uint32_t)p[0] << 24;
+  }
+  uint64_t u64(const uint8_t* p) const {
+    uint64_t lo, hi;
+    if (little) {
+      lo = u32(p);
+      hi = u32(p + 4);
+    } else {
+      hi = u32(p);
+      lo = u32(p + 4);
+    }
+    return lo | (hi << 32);
+  }
+};
+
+// ------------------------------------------------------------------- tag model
+enum Tag : uint16_t {
+  kWidth = 256,
+  kHeight = 257,
+  kBits = 258,
+  kCompression = 259,
+  kPhotometric = 262,
+  kDescription = 270,
+  kStripOffsets = 273,
+  kSamplesPerPixel = 277,
+  kRowsPerStrip = 278,
+  kStripByteCounts = 279,
+  kXResolution = 282,
+  kYResolution = 283,
+  kPlanarConfig = 284,
+  kResolutionUnit = 296,
+  kPredictor = 317,
+  kTileWidth = 322,
+  kTileHeight = 323,
+  kTileOffsets = 324,
+  kTileByteCounts = 325,
+  kJPEGTables = 347,
+};
+
+struct Entry {
+  uint16_t type = 0;
+  uint64_t count = 0;
+  std::vector<uint8_t> data;  // raw value bytes (already fetched)
+};
+
+static size_t type_size(uint16_t type) {
+  switch (type) {
+    case 1: case 2: case 6: case 7: return 1;   // BYTE/ASCII/SBYTE/UNDEF
+    case 3: case 8: return 2;                    // SHORT
+    case 4: case 9: case 11: return 4;           // LONG/SLONG/FLOAT
+    case 5: case 10: case 12: case 16: case 17: case 18: return 8;
+    default: return 0;
+  }
+}
+
+struct IFD {
+  std::map<uint16_t, Entry> entries;
+  uint64_t width = 0, height = 0;
+  uint32_t compression = 1, photometric = 2, spp = 3, planar = 1, predictor = 1;
+  uint64_t tile_w = 0, tile_h = 0, rows_per_strip = 0;
+  std::vector<uint64_t> chunk_offsets, chunk_counts;
+  std::string description;
+  bool tiled = false;
+  std::vector<uint8_t> jpeg_tables;
+  double x_resolution = 0.0, y_resolution = 0.0;
+  uint32_t resolution_unit = 2;
+
+  bool has(uint16_t tag) const { return entries.count(tag) != 0; }
+
+  uint64_t scalar(const ByteOrder& bo, uint16_t tag, uint64_t fallback = 0) const {
+    auto it = entries.find(tag);
+    if (it == entries.end() || it->second.count == 0) return fallback;
+    const Entry& e = it->second;
+    const uint8_t* p = e.data.data();
+    switch (e.type) {
+      case 1: return p[0];
+      case 3: return bo.u16(p);
+      case 4: return bo.u32(p);
+      case 16: return bo.u64(p);
+      default: return fallback;
+    }
+  }
+
+  std::vector<uint64_t> array(const ByteOrder& bo, uint16_t tag) const {
+    std::vector<uint64_t> out;
+    auto it = entries.find(tag);
+    if (it == entries.end()) return out;
+    const Entry& e = it->second;
+    size_t ts = type_size(e.type);
+    for (uint64_t i = 0; i < e.count; ++i) {
+      const uint8_t* p = e.data.data() + i * ts;
+      switch (e.type) {
+        case 3: out.push_back(bo.u16(p)); break;
+        case 4: out.push_back(bo.u32(p)); break;
+        case 16: out.push_back(bo.u64(p)); break;
+        default: out.push_back(0); break;
+      }
+    }
+    return out;
+  }
+
+  double rational(const ByteOrder& bo, uint16_t tag) const {
+    auto it = entries.find(tag);
+    if (it == entries.end() || it->second.type != 5) return 0.0;
+    const uint8_t* p = it->second.data.data();
+    uint32_t num = bo.u32(p), den = bo.u32(p + 4);
+    return den ? (double)num / den : 0.0;
+  }
+};
+
+// ------------------------------------------------------------------- decoders
+static bool unpackbits(const uint8_t* src, size_t n, uint8_t* dst, size_t cap) {
+  size_t si = 0, di = 0;
+  while (si < n && di < cap) {
+    int8_t c = static_cast<int8_t>(src[si++]);
+    if (c >= 0) {
+      size_t cnt = static_cast<size_t>(c) + 1;
+      if (si + cnt > n || di + cnt > cap) return false;
+      std::memcpy(dst + di, src + si, cnt);
+      si += cnt;
+      di += cnt;
+    } else if (c != -128) {
+      size_t cnt = static_cast<size_t>(-c) + 1;
+      if (si >= n || di + cnt > cap) return false;
+      std::memset(dst + di, src[si++], cnt);
+      di += cnt;
+    }
+  }
+  return di == cap;
+}
+
+// TIFF LZW: MSB-first variable-width codes, early-change convention.
+static bool lzw_decode(const uint8_t* src, size_t n, uint8_t* dst, size_t cap) {
+  constexpr int kClear = 256, kEOI = 257;
+  struct Str { int prev; uint8_t ch; uint16_t len; };
+  std::vector<Str> table(4096);
+  for (int i = 0; i < 256; ++i) table[i] = {-1, static_cast<uint8_t>(i), 1};
+  int next_code = 258, code_bits = 9;
+  uint64_t bitbuf = 0;
+  int bits = 0;
+  size_t si = 0, di = 0;
+  int prev_code = -1;
+  std::vector<uint8_t> scratch(4096);
+
+  auto emit = [&](int code) -> int {
+    int len = table[code].len;
+    if (di + static_cast<size_t>(len) > cap) return -1;
+    int c = code;
+    for (int i = len - 1; i >= 0; --i) {
+      scratch[i] = table[c].ch;
+      c = table[c].prev;
+    }
+    std::memcpy(dst + di, scratch.data(), len);
+    di += static_cast<size_t>(len);
+    return table[code].len;
+  };
+
+  while (true) {
+    while (bits < code_bits) {
+      if (si >= n) return di == cap;
+      bitbuf = (bitbuf << 8) | src[si++];
+      bits += 8;
+    }
+    int code = static_cast<int>((bitbuf >> (bits - code_bits)) & ((1u << code_bits) - 1));
+    bits -= code_bits;
+    if (code == kEOI) return di == cap;
+    if (code == kClear) {
+      next_code = 258;
+      code_bits = 9;
+      prev_code = -1;
+      continue;
+    }
+    if (prev_code < 0) {
+      if (code >= 256) return false;
+      if (emit(code) < 0) return false;
+      prev_code = code;
+      continue;
+    }
+    if (code < next_code) {
+      int start = static_cast<int>(di);
+      if (emit(code) < 0) return false;
+      if (next_code < 4096) {
+        table[next_code] = {prev_code, dst[start],
+                            static_cast<uint16_t>(table[prev_code].len + 1)};
+        ++next_code;
+      }
+    } else if (code == next_code && next_code < 4096) {
+      // KwKwK case
+      uint8_t first;
+      {
+        int c = prev_code;
+        while (table[c].prev >= 0) c = table[c].prev;
+        first = table[c].ch;
+      }
+      table[next_code] = {prev_code, first,
+                          static_cast<uint16_t>(table[prev_code].len + 1)};
+      ++next_code;
+      if (emit(code) < 0) return false;
+    } else {
+      return false;
+    }
+    prev_code = code;
+    if (next_code == (1 << code_bits) - 1 && code_bits < 12) ++code_bits;
+    if (di >= cap) return true;
+  }
+}
+
+static bool zlib_decode(const uint8_t* src, size_t n, uint8_t* dst, size_t cap) {
+  uLongf out_len = cap;
+  return uncompress(dst, &out_len, src, n) == Z_OK && out_len == cap;
+}
+
+static void apply_predictor2(uint8_t* row, uint64_t width, uint32_t spp) {
+  for (uint64_t x = 1; x < width; ++x)
+    for (uint32_t c = 0; c < spp; ++c) row[x * spp + c] += row[(x - 1) * spp + c];
+}
+
+// libjpeg error handling without exit()
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+static void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(err->jb, 1);
+}
+
+static bool jpeg_decode_rgb(const std::vector<uint8_t>& tables, const uint8_t* data,
+                            size_t n, uint8_t* dst, uint64_t w, uint64_t h,
+                            uint32_t want_spp) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  if (!tables.empty()) {
+    jpeg_mem_src(&cinfo, const_cast<uint8_t*>(tables.data()),
+                 static_cast<unsigned long>(tables.size()));
+    jpeg_read_header(&cinfo, FALSE);
+  }
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), static_cast<unsigned long>(n));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = (want_spp == 1) ? JCS_GRAYSCALE : JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  if (cinfo.output_width > w || cinfo.output_height > h) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  uint32_t comps = cinfo.output_components;
+  std::vector<uint8_t> rowbuf(cinfo.output_width * comps);
+  JSAMPROW rowptr = rowbuf.data();
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint32_t y = cinfo.output_scanline;
+    jpeg_read_scanlines(&cinfo, &rowptr, 1);
+    std::memcpy(dst + (uint64_t)y * w * comps, rowbuf.data(), rowbuf.size());
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+// --------------------------------------------------------------------- handle
+struct Level {
+  size_t ifd_index;
+  uint64_t width, height;
+  double downsample;
+};
+
+struct AtlasTiff {
+  FileReader file;
+  ByteOrder bo;
+  bool bigtiff = false;
+  std::vector<IFD> ifds;
+  std::vector<Level> levels;
+  std::string properties_json;
+  std::string error;
+
+  const IFD& level_ifd(int level) const { return ifds[levels[level].ifd_index]; }
+
+  // Decode chunk `idx` of an IFD into an spp-interleaved buffer of
+  // chunk_w × chunk_h (the IFD's tile box, or strip box for striped images).
+  bool decode_chunk(const IFD& d, uint64_t idx, uint8_t* out, uint64_t cw,
+                    uint64_t ch, std::string* err) const {
+    if (idx >= d.chunk_offsets.size()) {
+      *err = "chunk index out of range";
+      return false;
+    }
+    uint64_t off = d.chunk_offsets[idx];
+    uint64_t n = idx < d.chunk_counts.size() ? d.chunk_counts[idx] : 0;
+    if (n == 0) {  // missing tile ⇒ white
+      std::memset(out, 255, cw * ch * d.spp);
+      return true;
+    }
+    std::vector<uint8_t> raw(n);
+    if (!file.read_at(off, raw.data(), n)) {
+      *err = "read failed";
+      return false;
+    }
+    const uint64_t cap = cw * ch * d.spp;
+    switch (d.compression) {
+      case 1:
+        if (n < cap) {
+          *err = "raw chunk too small";
+          return false;
+        }
+        std::memcpy(out, raw.data(), cap);
+        return true;
+      case 5:
+        if (!lzw_decode(raw.data(), n, out, cap)) {
+          *err = "LZW decode failed";
+          return false;
+        }
+        break;
+      case 7:
+        return jpeg_decode_rgb(d.jpeg_tables, raw.data(), n, out, cw, ch, d.spp)
+                   ? true
+                   : (*err = "JPEG decode failed", false);
+      case 8:
+      case 32946:
+        if (!zlib_decode(raw.data(), n, out, cap)) {
+          *err = "deflate decode failed";
+          return false;
+        }
+        break;
+      case 32773:
+        if (!unpackbits(raw.data(), n, out, cap)) {
+          *err = "packbits decode failed";
+          return false;
+        }
+        break;
+      case 33003:
+      case 33005:
+        *err = "Aperio JPEG2000 compression not supported in this build";
+        return false;
+      default:
+        *err = "unsupported compression " + std::to_string(d.compression);
+        return false;
+    }
+    if (d.predictor == 2)
+      for (uint64_t y = 0; y < ch; ++y) apply_predictor2(out + y * cw * d.spp, cw, d.spp);
+    return true;
+  }
+};
+
+// ------------------------------------------------------------------ IFD parse
+static bool parse_ifds(AtlasTiff* t) {
+  uint8_t header[16];
+  if (!t->file.read_at(0, header, 8)) return false;
+  if (header[0] == 'I' && header[1] == 'I')
+    t->bo.little = true;
+  else if (header[0] == 'M' && header[1] == 'M')
+    t->bo.little = false;
+  else {
+    t->error = "not a TIFF file";
+    return false;
+  }
+  uint16_t magic = t->bo.u16(header + 2);
+  uint64_t ifd_off;
+  if (magic == 42) {
+    t->bigtiff = false;
+    ifd_off = t->bo.u32(header + 4);
+  } else if (magic == 43) {
+    t->bigtiff = true;
+    if (!t->file.read_at(0, header, 16)) return false;
+    ifd_off = t->bo.u64(header + 8);
+  } else {
+    t->error = "bad TIFF magic";
+    return false;
+  }
+
+  size_t entry_size = t->bigtiff ? 20 : 12;
+  int guard = 0;
+  while (ifd_off != 0 && guard++ < 1024) {
+    uint64_t count;
+    uint64_t entries_off;
+    if (t->bigtiff) {
+      uint8_t buf[8];
+      if (!t->file.read_at(ifd_off, buf, 8)) return false;
+      count = t->bo.u64(buf);
+      entries_off = ifd_off + 8;
+    } else {
+      uint8_t buf[2];
+      if (!t->file.read_at(ifd_off, buf, 2)) return false;
+      count = t->bo.u16(buf);
+      entries_off = ifd_off + 2;
+    }
+    if (count > 4096) {
+      t->error = "suspicious IFD entry count";
+      return false;
+    }
+    std::vector<uint8_t> raw(count * entry_size);
+    if (!t->file.read_at(entries_off, raw.data(), raw.size())) return false;
+
+    IFD d;
+    for (uint64_t i = 0; i < count; ++i) {
+      const uint8_t* p = raw.data() + i * entry_size;
+      uint16_t tag = t->bo.u16(p);
+      uint16_t type = t->bo.u16(p + 2);
+      uint64_t cnt = t->bigtiff ? t->bo.u64(p + 4) : t->bo.u32(p + 4);
+      size_t ts = type_size(type);
+      if (ts == 0) continue;
+      uint64_t nbytes = cnt * ts;
+      size_t inline_cap = t->bigtiff ? 8 : 4;
+      const uint8_t* vp = p + (t->bigtiff ? 12 : 8);
+      Entry e;
+      e.type = type;
+      e.count = cnt;
+      e.data.resize(nbytes);
+      if (nbytes <= inline_cap) {
+        std::memcpy(e.data.data(), vp, nbytes);
+      } else {
+        uint64_t off = t->bigtiff ? t->bo.u64(vp) : t->bo.u32(vp);
+        if (nbytes > (1ull << 30) || !t->file.read_at(off, e.data.data(), nbytes))
+          continue;
+      }
+      d.entries[tag] = std::move(e);
+    }
+
+    d.width = d.scalar(t->bo, kWidth);
+    d.height = d.scalar(t->bo, kHeight);
+    d.compression = (uint32_t)d.scalar(t->bo, kCompression, 1);
+    d.photometric = (uint32_t)d.scalar(t->bo, kPhotometric, 2);
+    d.spp = (uint32_t)d.scalar(t->bo, kSamplesPerPixel, 1);
+    d.planar = (uint32_t)d.scalar(t->bo, kPlanarConfig, 1);
+    d.predictor = (uint32_t)d.scalar(t->bo, kPredictor, 1);
+    d.tile_w = d.scalar(t->bo, kTileWidth);
+    d.tile_h = d.scalar(t->bo, kTileHeight);
+    d.rows_per_strip = d.scalar(t->bo, kRowsPerStrip, d.height);
+    d.tiled = d.has(kTileWidth) && d.has(kTileOffsets);
+    d.chunk_offsets = d.array(t->bo, d.tiled ? kTileOffsets : kStripOffsets);
+    d.chunk_counts = d.array(t->bo, d.tiled ? kTileByteCounts : kStripByteCounts);
+    d.x_resolution = d.rational(t->bo, kXResolution);
+    d.y_resolution = d.rational(t->bo, kYResolution);
+    d.resolution_unit = (uint32_t)d.scalar(t->bo, kResolutionUnit, 2);
+    if (d.has(kDescription)) {
+      const Entry& e = d.entries[kDescription];
+      d.description.assign(reinterpret_cast<const char*>(e.data.data()),
+                           strnlen(reinterpret_cast<const char*>(e.data.data()),
+                                   e.data.size()));
+    }
+    if (d.has(kJPEGTables)) d.jpeg_tables = d.entries[kJPEGTables].data;
+    t->ifds.push_back(std::move(d));
+
+    const uint8_t* np = raw.data() + count * entry_size;
+    uint8_t nextbuf[8];
+    if (!t->file.read_at(entries_off + count * entry_size, nextbuf,
+                         t->bigtiff ? 8 : 4))
+      break;
+    (void)np;
+    ifd_off = t->bigtiff ? t->bo.u64(nextbuf) : t->bo.u32(nextbuf);
+  }
+  return !t->ifds.empty();
+}
+
+static std::string to_lower(std::string s) {
+  for (char& c : s) c = (char)tolower((unsigned char)c);
+  return s;
+}
+
+static void build_levels(AtlasTiff* t) {
+  // Pyramid levels: IFD0 always. Other IFDs qualify when they are reductions
+  // of IFD0 (same aspect ratio), decodable, and not label/macro associated
+  // images. Aperio SVS stores the pyramid as tiled IFDs with a striped
+  // thumbnail at IFD1 — for Aperio files only tiled IFDs count as levels.
+  bool aperio = !t->ifds.empty() &&
+                t->ifds[0].description.rfind("Aperio", 0) == 0;
+  double aspect0 = 0.0;
+  for (size_t i = 0; i < t->ifds.size(); ++i) {
+    const IFD& d = t->ifds[i];
+    if (d.width == 0 || d.height == 0 || d.planar != 1) continue;
+    std::string desc = to_lower(d.description);
+    bool associated =
+        desc.find("label") != std::string::npos || desc.find("macro") != std::string::npos;
+    if (i == 0) {
+      aspect0 = (double)d.width / (double)d.height;
+      t->levels.push_back({i, d.width, d.height, 1.0});
+      continue;
+    }
+    if (associated) continue;
+    if (aperio && !d.tiled) continue;  // SVS striped IFD1 = thumbnail image
+    double aspect = (double)d.width / (double)d.height;
+    if (aspect0 > 0 && std::abs(aspect - aspect0) / aspect0 > 0.05) continue;
+    t->levels.push_back({i, d.width, d.height, 1.0});
+  }
+  std::sort(t->levels.begin(), t->levels.end(),
+            [](const Level& a, const Level& b) { return a.width > b.width; });
+  if (!t->levels.empty()) {
+    double w0 = (double)t->levels[0].width;
+    for (auto& lv : t->levels) lv.downsample = w0 / (double)lv.width;
+  }
+}
+
+static std::string json_escape(const std::string& s) {
+  std::string out;
+  for (char c : s) {
+    switch (c) {
+      case '"': out += "\\\""; break;
+      case '\\': out += "\\\\"; break;
+      case '\n': out += "\\n"; break;
+      case '\r': out += "\\r"; break;
+      case '\t': out += "\\t"; break;
+      default:
+        if ((unsigned char)c < 0x20) {
+          char buf[8];
+          snprintf(buf, sizeof buf, "\\u%04x", c);
+          out += buf;
+        } else {
+          out += c;
+        }
+    }
+  }
+  return out;
+}
+
+static void build_properties(AtlasTiff* t) {
+  std::string j = "{";
+  auto add = [&](const std::string& k, const std::string& v) {
+    if (j.size() > 1) j += ",";
+    j += "\"" + json_escape(k) + "\":\"" + json_escape(v) + "\"";
+  };
+  const IFD& d0 = t->ifds[t->levels.empty() ? 0 : t->levels[0].ifd_index];
+  if (!d0.description.empty()) add("tiff.ImageDescription", d0.description);
+  if (d0.x_resolution > 0) {
+    char buf[64];
+    snprintf(buf, sizeof buf, "%.10g", d0.x_resolution);
+    add("tiff.XResolution", buf);
+    snprintf(buf, sizeof buf, "%.10g", d0.y_resolution);
+    add("tiff.YResolution", buf);
+    add("tiff.ResolutionUnit", d0.resolution_unit == 3 ? "centimeter"
+                               : d0.resolution_unit == 2 ? "inch"
+                                                         : "none");
+  }
+  // Aperio SVS: description fields are |-separated "Key = Value" pairs.
+  const std::string& desc = d0.description;
+  if (desc.rfind("Aperio", 0) == 0 || desc.find("|AppMag") != std::string::npos ||
+      desc.find("|MPP") != std::string::npos) {
+    add("atlas.vendor", "aperio");
+    size_t start = 0;
+    while (start < desc.size()) {
+      size_t end = desc.find('|', start);
+      std::string field = desc.substr(start, end == std::string::npos ? std::string::npos
+                                                                      : end - start);
+      size_t eq = field.find('=');
+      if (eq != std::string::npos) {
+        auto trim = [](std::string s) {
+          size_t a = s.find_first_not_of(" \t\r\n");
+          size_t b = s.find_last_not_of(" \t\r\n");
+          return a == std::string::npos ? std::string() : s.substr(a, b - a + 1);
+        };
+        std::string key = trim(field.substr(0, eq));
+        std::string val = trim(field.substr(eq + 1));
+        if (!key.empty() && !val.empty()) add("aperio." + key, val);
+      }
+      if (end == std::string::npos) break;
+      start = end + 1;
+    }
+  }
+  {
+    char buf[32];
+    snprintf(buf, sizeof buf, "%zu", t->levels.size());
+    add("atlas.level-count", buf);
+  }
+  j += "}";
+  t->properties_json = j;
+}
+
+// Fill an RGB window from one level. x/y are LEVEL coordinates.
+static bool read_region_impl(const AtlasTiff* t, int level, int64_t x, int64_t y,
+                             int64_t w, int64_t h, uint8_t* out, std::string* err) {
+  if (level < 0 || level >= (int)t->levels.size()) {
+    *err = "level out of range";
+    return false;
+  }
+  const IFD& d = t->level_ifd(level);
+  const int64_t W = (int64_t)d.width, H = (int64_t)d.height;
+  std::memset(out, 255, (size_t)(w * h * 3));  // background: white
+
+  int64_t cw = d.tiled ? (int64_t)d.tile_w : W;
+  int64_t chh = d.tiled ? (int64_t)d.tile_h : (int64_t)d.rows_per_strip;
+  if (cw <= 0 || chh <= 0) {
+    *err = "bad chunk geometry";
+    return false;
+  }
+  int64_t tiles_across = d.tiled ? (W + cw - 1) / cw : 1;
+
+  int64_t x0 = std::max<int64_t>(0, x), y0 = std::max<int64_t>(0, y);
+  int64_t x1 = std::min<int64_t>(W, x + w), y1 = std::min<int64_t>(H, y + h);
+  if (x0 >= x1 || y0 >= y1) return true;
+
+  std::vector<uint8_t> chunk((size_t)(cw * chh * d.spp));
+  for (int64_t ty = y0 / chh; ty * chh < y1; ++ty) {
+    for (int64_t tx = (d.tiled ? x0 / cw : 0); tx * cw < (d.tiled ? x1 : 1); ++tx) {
+      uint64_t idx = d.tiled ? (uint64_t)(ty * tiles_across + tx) : (uint64_t)ty;
+      // strip height may be clamped at image bottom; decode into full box anyway
+      int64_t this_ch = chh;
+      if (!d.tiled) this_ch = std::min<int64_t>(chh, H - ty * chh);
+      if (!t->decode_chunk(d, idx, chunk.data(), (uint64_t)cw, (uint64_t)this_ch, err))
+        return false;
+      int64_t cx0 = std::max<int64_t>(x0, tx * cw);
+      int64_t cx1 = std::min<int64_t>(x1, d.tiled ? (tx + 1) * cw : W);
+      int64_t cy0 = std::max<int64_t>(y0, ty * chh);
+      int64_t cy1 = std::min<int64_t>(y1, ty * chh + this_ch);
+      for (int64_t yy = cy0; yy < cy1; ++yy) {
+        const uint8_t* src =
+            chunk.data() + (size_t)((yy - ty * chh) * cw + (cx0 - tx * cw)) * d.spp;
+        uint8_t* dstp = out + (size_t)((yy - y) * w + (cx0 - x)) * 3;
+        int64_t count = cx1 - cx0;
+        if (d.spp >= 3) {
+          for (int64_t i = 0; i < count; ++i) {
+            dstp[i * 3 + 0] = src[i * d.spp + 0];
+            dstp[i * 3 + 1] = src[i * d.spp + 1];
+            dstp[i * 3 + 2] = src[i * d.spp + 2];
+          }
+        } else {  // grayscale (invert for MinIsWhite)
+          bool invert = d.photometric == 0;
+          for (int64_t i = 0; i < count; ++i) {
+            uint8_t v = invert ? (uint8_t)(255 - src[i]) : src[i];
+            dstp[i * 3 + 0] = dstp[i * 3 + 1] = dstp[i * 3 + 2] = v;
+          }
+        }
+      }
+    }
+  }
+  return true;
+}
+
+}  // namespace
+
+// ----------------------------------------------------------------- public API
+extern "C" {
+
+void* atlas_open(const char* path, char* err, int errlen) {
+  auto t = std::make_unique<AtlasTiff>();
+  auto fail = [&](const std::string& msg) -> void* {
+    if (err && errlen > 0) snprintf(err, errlen, "%s", msg.c_str());
+    return nullptr;
+  };
+  if (!t->file.open(path)) return fail("cannot open file");
+  if (!parse_ifds(t.get())) return fail(t->error.empty() ? "parse failed" : t->error);
+  build_levels(t.get());
+  if (t->levels.empty()) return fail("no decodable pyramid levels");
+  build_properties(t.get());
+  return t.release();
+}
+
+void atlas_close(void* handle) { delete static_cast<AtlasTiff*>(handle); }
+
+int atlas_num_levels(void* handle) {
+  return (int)static_cast<AtlasTiff*>(handle)->levels.size();
+}
+
+void atlas_level_info(void* handle, int level, int64_t* w, int64_t* h, double* ds) {
+  auto* t = static_cast<AtlasTiff*>(handle);
+  if (level < 0 || level >= (int)t->levels.size()) {
+    *w = *h = 0;
+    *ds = 0;
+    return;
+  }
+  *w = (int64_t)t->levels[level].width;
+  *h = (int64_t)t->levels[level].height;
+  *ds = t->levels[level].downsample;
+}
+
+const char* atlas_properties_json(void* handle) {
+  return static_cast<AtlasTiff*>(handle)->properties_json.c_str();
+}
+
+// x, y are LEVEL coordinates; out must hold w*h*3 bytes (RGB).
+int atlas_read_region(void* handle, int level, int64_t x, int64_t y, int64_t w,
+                      int64_t h, uint8_t* out, char* err, int errlen) {
+  auto* t = static_cast<AtlasTiff*>(handle);
+  std::string e;
+  if (!read_region_impl(t, level, x, y, w, h, out, &e)) {
+    if (err && errlen > 0) snprintf(err, errlen, "%s", e.c_str());
+    return -1;
+  }
+  return 0;
+}
+
+}  // extern "C"

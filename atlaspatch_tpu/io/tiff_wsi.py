@@ -1,0 +1,181 @@
+"""Pyramidal slide backend on the native TIFF/SVS decoder.
+
+Replaces the reference's OpenSlide backend (reference:
+atlas_patch/core/wsi/openslide_wsi.py:15-245) with the first-party C++
+decoder (io/native/atlas_tiff.cc). The 4-tier MPP extraction ladder is
+reproduced over our property naming:
+
+  1. direct keys (aperio.MPP, user-provided)
+  2. regex over free-text (tiff.ImageDescription)
+  3. TIFF resolution tags (XResolution + ResolutionUnit)
+  4. 10 / magnification (aperio.AppMag)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Literal, Optional, Tuple, Union
+
+import numpy as np
+from PIL import Image
+
+from atlaspatch_tpu.io.iwsi import IWSI
+
+
+class TiffWSI(IWSI):
+    """Native pyramid backend for .svs/.tif/.tiff and compatible containers."""
+
+    _MPP_KEYS = ("aperio.MPP", "atlas.mpp", "hamamatsu.XResolution")
+    _MPP_TEXT_KEYS = ("tiff.ImageDescription",)
+    _MAG_KEYS = ("aperio.AppMag", "atlas.objective-power", "hamamatsu.SourceLens")
+
+    def __init__(self, **kwargs: Any) -> None:
+        super().__init__(**kwargs)
+        self._tiff = None
+
+    def _setup(self) -> None:
+        from atlaspatch_tpu.io.native import AtlasTiffFile
+
+        try:
+            self._tiff = AtlasTiffFile(self.path)
+        except FileNotFoundError as e:
+            raise FileNotFoundError(f"File not found: {self.path}") from e
+        except Exception as e:  # noqa: BLE001
+            raise RuntimeError(f"atlas_tiff error: {e}") from e
+
+        self.w, self.h = self._tiff.dimensions
+        self.nlvl = self._tiff.level_count
+        self.ds = list(self._tiff.level_downsamples)
+        self.dims = list(self._tiff.level_dimensions)
+        self.meta = dict(self._tiff.properties)
+
+        if self._mpp_manual is not None:
+            self.mpp = self.validate_mpp(self._mpp_manual, source="user-provided mpp")
+        else:
+            extracted = self._extract_mpp()
+            self.mpp = (
+                self.validate_mpp(extracted, source="slide metadata")
+                if extracted is not None
+                else None
+            )
+        self.mag = self._extract_mag()
+
+    # --- MPP ladder ----------------------------------------------------------------
+    def _extract_mpp(self) -> Optional[float]:
+        meta = self.meta or {}
+        for key in self._MPP_KEYS:
+            if key in meta:
+                try:
+                    return round(float(meta[key]), 4)
+                except (ValueError, TypeError):
+                    continue
+        for key in self._MPP_TEXT_KEYS:
+            parsed = self._parse_mpp_from_string(meta.get(key))
+            if parsed is not None:
+                return round(parsed, 4)
+        try:
+            x_res = meta.get("tiff.XResolution")
+            unit = meta.get("tiff.ResolutionUnit")
+            if x_res and unit:
+                x_res_f = float(x_res)
+                if str(unit).lower() == "centimeter":
+                    return round(10000 / x_res_f, 4)
+                if str(unit).lower() == "inch":
+                    return round(25400 / x_res_f, 4)
+        except (ValueError, TypeError, ZeroDivisionError):
+            pass
+        for mag_key in self._MAG_KEYS:
+            mag_val = meta.get(mag_key)
+            if mag_val is not None:
+                try:
+                    mag = float(mag_val)
+                    if mag > 0:
+                        return round(10.0 / mag, 4)
+                except (ValueError, TypeError):
+                    continue
+        return None
+
+    def _extract_mag(self) -> Optional[int]:
+        meta = self.meta or {}
+        for key in self._MAG_KEYS:
+            val = meta.get(key)
+            if val:
+                try:
+                    return int(float(val))
+                except (ValueError, TypeError):
+                    continue
+        if self.mpp is not None:
+            try:
+                return self._infer_mag(self.mpp)
+            except ValueError:
+                pass
+        return None
+
+    @staticmethod
+    def _parse_mpp_from_string(val: Optional[str]) -> Optional[float]:
+        if not val:
+            return None
+        patterns = (
+            r"mpp\s*[:=]\s*([0-9]*\.?[0-9]+)",
+            r"microns?\s+per\s+pixel[^0-9]*([0-9]*\.?[0-9]+)",
+        )
+        for pattern in patterns:
+            match = re.search(pattern, val, flags=re.IGNORECASE)
+            if match:
+                try:
+                    return float(match.group(1))
+                except ValueError:
+                    continue
+        return None
+
+    # --- pixel access ---------------------------------------------------------------
+    def extract(
+        self,
+        xy: Tuple[int, int],
+        lv: int,
+        wh: Tuple[int, int],
+        *,
+        mode: Literal["array", "image"] = "array",
+    ) -> Union[np.ndarray, Image.Image]:
+        """Read a region; xy in LEVEL-0 coordinates (OpenSlide convention)."""
+        self._ensure_loaded()
+        assert self._tiff is not None
+        if lv < 0 or lv >= (self.nlvl or 0):
+            raise IndexError(f"Level {lv} out of range")
+        ds = (self.ds or [1.0])[lv]
+        x = int(xy[0] / ds)
+        y = int(xy[1] / ds)
+        arr = self._tiff.read_region_level(lv, x, y, int(wh[0]), int(wh[1]))
+        if mode == "image":
+            return Image.fromarray(arr)
+        if mode == "array":
+            return arr
+        raise ValueError(f"Invalid mode: {mode}")
+
+    def get_size(self, lv: int = 0) -> Tuple[int, int]:
+        self._ensure_loaded()
+        if self.dims is None or lv < 0 or lv >= len(self.dims):
+            raise IndexError(f"Level {lv} out of range")
+        return self.dims[lv]
+
+    def get_thumb(self, max_hw: Tuple[int, int]) -> Image.Image:
+        self._ensure_loaded()
+        assert self._tiff is not None
+        lw, lh = self.dims[-1]
+        arr = self._tiff.read_region_level(self.nlvl - 1, 0, 0, lw, lh)
+        img = Image.fromarray(arr)
+        img.thumbnail(max_hw, Image.Resampling.LANCZOS)
+        return img.convert("RGB")
+
+    def cleanup(self) -> None:
+        if self._tiff is not None:
+            try:
+                self._tiff.close()
+            except Exception:
+                pass
+            finally:
+                self._tiff = None
+        self._loaded = False
+
+    def __del__(self) -> None:
+        self.cleanup()

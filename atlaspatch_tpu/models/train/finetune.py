@@ -1,0 +1,116 @@
+"""SAM2 tissue-segmentation finetuning on TPU meshes.
+
+The reference's segmentation model was produced by finetuning SAM2 hiera-tiny
+with the backbone frozen and only normalization layers trained (reference:
+CHANGELOG.md:13, SURVEY.md §6). This module reproduces that training
+capability TPU-natively: a jittable train step (focal + dice loss on mask
+logits, IoU head MSE) whose gradient mask selects LayerNorm scale/bias only,
+sharded data-parallel over a `('data','model')` mesh with parameters
+replicated — XLA inserts the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from atlaspatch_tpu.models.sam2.config import SAM2Config
+from atlaspatch_tpu.models.sam2.interp import interpolate_torch
+from atlaspatch_tpu.models.sam2.model import SAM2ImageModel, normalize_images
+
+
+def norm_param_mask(params: Any) -> Any:
+    """Pytree of bools: True only for LayerNorm scales/biases (trainable)."""
+
+    def is_norm(path) -> bool:
+        names = [p.key for p in path if hasattr(p, "key")]
+        return any("norm" in n or n in ("scale",) for n in names[:-1]) or (
+            len(names) >= 2 and ("norm" in names[-2] or "layer_norm" in names[-2])
+        )
+
+    return jax.tree_util.tree_map_with_path(lambda p, _: is_norm(p), params)
+
+
+def _sigmoid_focal_loss(logits, targets, alpha=0.25, gamma=2.0):
+    p = jax.nn.sigmoid(logits)
+    ce = optax.sigmoid_binary_cross_entropy(logits, targets)
+    p_t = p * targets + (1 - p) * (1 - targets)
+    loss = ce * ((1 - p_t) ** gamma)
+    if alpha >= 0:
+        loss = loss * (alpha * targets + (1 - alpha) * (1 - targets))
+    return loss.mean()
+
+
+def _dice_loss(logits, targets, eps=1.0):
+    p = jax.nn.sigmoid(logits)
+    num = 2 * (p * targets).sum(axis=(-2, -1)) + eps
+    den = p.sum(axis=(-2, -1)) + targets.sum(axis=(-2, -1)) + eps
+    return (1 - num / den).mean()
+
+
+def seg_loss_fn(cfg: SAM2Config, params, images_u8, target_masks):
+    """images_u8 (B,S,S,3); target_masks (B,S,S) in {0,1} at full image res."""
+    model = SAM2ImageModel(cfg)
+    pixels = normalize_images(cfg, images_u8)
+    B = images_u8.shape[0]
+    box = jnp.asarray([[0.0, 0.0, cfg.image_size, cfg.image_size]], jnp.float32)
+    boxes = jnp.broadcast_to(box[None], (B, 1, 4))
+    masks, iou_pred, _obj = model.apply({"params": params}, pixels, boxes, multimask_output=False)
+    low_res = masks[:, 0, 0]  # (B, S/4, S/4)
+    logits = interpolate_torch(low_res[..., None], target_masks.shape[-2:], "bilinear")[..., 0]
+
+    focal = _sigmoid_focal_loss(logits, target_masks)
+    dice = _dice_loss(logits, target_masks)
+    # IoU-head regression toward the actual IoU of the predicted mask
+    pred_bin = (logits > 0).astype(jnp.float32)
+    inter = (pred_bin * target_masks).sum(axis=(-2, -1))
+    union = jnp.clip(
+        pred_bin.sum(axis=(-2, -1)) + target_masks.sum(axis=(-2, -1)) - inter, 1.0
+    )
+    actual_iou = inter / union
+    iou_loss = jnp.mean((iou_pred[:, 0, 0] - actual_iou) ** 2)
+    return 20.0 * focal + dice + iou_loss
+
+
+def make_optimizer(learning_rate: float = 1e-4):
+    return optax.adamw(learning_rate, weight_decay=0.01)
+
+
+def make_train_step(cfg: SAM2Config, optimizer):
+    """Returns train_step(params, opt_state, images_u8, targets) → (params, opt_state, loss).
+
+    Gradients flow through the whole model but updates apply only to
+    normalization parameters (frozen-backbone recipe).
+    """
+
+    def train_step(params, opt_state, images_u8, targets):
+        loss, grads = jax.value_and_grad(
+            lambda p: seg_loss_fn(cfg, p, images_u8, targets)
+        )(params)
+        mask = norm_param_mask(params)
+        grads = jax.tree.map(
+            lambda g, m: g if m else jnp.zeros_like(g), grads, mask
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def shard_train_step(cfg: SAM2Config, optimizer, mesh: Mesh):
+    """jit the train step over a mesh: batch sharded over 'data', params and
+    optimizer state replicated (pure DP — collectives inserted by XLA)."""
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P("data"))
+    step = make_train_step(cfg, optimizer)
+    return jax.jit(
+        step,
+        in_shardings=(replicated, replicated, batch_sharded, batch_sharded),
+        out_shardings=(replicated, replicated, replicated),
+    )

@@ -1,0 +1,139 @@
+"""End-to-end throughput benchmark: tissue segmentation + coordinate extraction.
+
+Measures the reference's headline metric — slides/hour for
+segment-and-get-coords (BASELINE.md: 100 WSIs in ~19 s ⇒ ~18,947 slides/hour
+on the reference GPU machine) — on real TPU hardware with the full production
+pipeline: host thumbnail prep (thread pool) → fused SAM2 device step (batch)
+→ vectorized contour/grid geometry → passported H5 writes, via
+ProcessingRunner with lock/skip semantics.
+
+Slides are in-memory synthetic pyramids (disk I/O for slide *reads* is
+excluded by construction since there is no slide corpus in the image; H5
+*writes* are included). SAM2 runs with the finetuned checkpoint when cached,
+else deterministic random weights — identical compute either way. Because
+random-weight masks are degenerate, the predicted mask's device computation is
+timed but the geometry stage consumes a thresholded-thumbnail tissue mask so
+contour/grid/H5 work is representative.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+N_SLIDES = 48
+SEG_BATCH = 8
+SLIDE_W, SLIDE_H = 4096, 3072
+BASELINE_SLIDES_PER_HOUR = 100 / 19 * 3600  # reference: 100 WSIs / ~19 s
+
+
+def main() -> None:
+    from atlaspatch_tpu.core.config import (
+        AppConfig,
+        ExtractionConfig,
+        OutputConfig,
+        ProcessingConfig,
+        SegmentationConfig,
+    )
+    from atlaspatch_tpu.core.models import Mask, Slide
+    from atlaspatch_tpu.io.synthetic_wsi import SyntheticWSI, make_tissue_canvas
+    from atlaspatch_tpu.orchestration.runner import ProcessingRunner
+    from atlaspatch_tpu.services.extraction import PatchExtractionService
+    from atlaspatch_tpu.services.segmentation import SAM2SegmentationService
+
+    # --- synthetic slide corpus (shared canvases; unique stems) ------------------
+    canvases = [make_tissue_canvas(SLIDE_W, SLIDE_H, seed=s, n_blobs=3) for s in range(4)]
+    slides = {}
+    for i in range(N_SLIDES):
+        wsi = SyntheticWSI(
+            path=f"/virtual/slide{i:03d}.svs", mpp=0.5, level0=canvases[i % 4], levels=3
+        )
+        slides[f"slide{i:03d}"] = wsi
+
+    class BenchLoader:
+        def open(self, slide: Slide):
+            wsi = slides[slide.stem]
+            wsi._loaded = False  # fresh open semantics
+            return wsi
+
+    class BenchSegmentation(SAM2SegmentationService):
+        """Times the true SAM2 device step; hands geometry a representative
+        tissue mask (random-weight logits have no structure)."""
+
+        def segment_batch(self, wsis):
+            sam_masks = super().segment_batch(wsis)
+            out = []
+            for wsi, m in zip(wsis, sam_masks):
+                thumb = np.asarray(wsi.get_thumb((1024, 1024)).convert("L"), np.float32)
+                tissue = (thumb < 220).astype(np.float32)
+                out.append(Mask(data=tissue, source_shape=m.source_shape))
+            return out
+
+        def segment_thumbnail(self, wsi):
+            return self.segment_batch([wsi])[0]
+
+    class NullResolver:
+        def resolve(self, slide):
+            return None
+
+    with tempfile.TemporaryDirectory() as tmp:
+        out_root = Path(tmp) / "out"
+        in_dir = Path(tmp) / "slides"
+        in_dir.mkdir()
+        for stem in slides:
+            (in_dir / f"{stem}.svs").touch()  # discovery placeholders
+
+        cfg = AppConfig(
+            processing=ProcessingConfig(input_path=in_dir),
+            segmentation=SegmentationConfig(device="tpu", batch_size=SEG_BATCH),
+            extraction=ExtractionConfig(patch_size=256, target_magnification=20,
+                                        tissue_threshold=0.0),
+            output=OutputConfig(output_root=out_root, skip_existing=False),
+            device="tpu",
+        )
+        seg = BenchSegmentation(cfg.segmentation)
+        extractor = PatchExtractionService(cfg.extraction, cfg.output)
+
+        # Warmup: compile the SAM2 step for the batch shape.
+        warm = np.zeros((SEG_BATCH, 1024, 1024, 3), dtype=np.uint8)
+        seg.predictor.predict_logits(warm)
+        seg.predictor.predict_logits(warm)
+
+        runner = ProcessingRunner(
+            config=cfg,
+            segmentation=seg,
+            extractor=extractor,
+            visualizer=None,
+            mpp_resolver=NullResolver(),
+            wsi_loader=BenchLoader(),
+        )
+
+        t0 = time.perf_counter()
+        results, failures = runner.run()
+        elapsed = time.perf_counter() - t0
+
+        assert not failures, failures[:3]
+        total_patches = sum(r.num_patches for r in results)
+        assert len(results) == N_SLIDES and total_patches > 0
+
+    slides_per_hour = N_SLIDES / elapsed * 3600
+    print(
+        json.dumps(
+            {
+                "metric": "seg+coords slides/hour (single chip, end-to-end)",
+                "value": round(slides_per_hour, 1),
+                "unit": "slides/hour",
+                "vs_baseline": round(slides_per_hour / BASELINE_SLIDES_PER_HOUR, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

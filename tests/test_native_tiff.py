@@ -1,0 +1,166 @@
+"""Native TIFF decoder + TiffWSI backend tests.
+
+Golden-pixel validation against synthetic tiled/striped pyramids (own writer),
+PIL-written TIFFs (independent encoder implementation), the MPP extraction
+ladder, and the full extraction service running on a TiffWSI slide.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from atlaspatch_tpu.io.synthetic_wsi import make_tissue_canvas
+from tests.tiff_builder import write_pyramid
+
+native = pytest.importorskip("atlaspatch_tpu.io.native")
+from atlaspatch_tpu.io.native import AtlasTiffFile  # noqa: E402
+from atlaspatch_tpu.io.tiff_wsi import TiffWSI  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def canvas():
+    return make_tissue_canvas(512, 384, seed=3, n_blobs=2)
+
+
+@pytest.mark.parametrize("tile", [64, None])
+@pytest.mark.parametrize("compression", [1, 8, 32773])
+def test_decode_roundtrip(tmp_path: Path, canvas, tile, compression):
+    path = tmp_path / "pyr.tiff"
+    arrays = write_pyramid(path, canvas, levels=3, tile=tile, compression=compression)
+    t = AtlasTiffFile(str(path))
+    assert t.level_count == 3
+    assert t.dimensions == (512, 384)
+    assert t.level_dimensions[1] == (256, 192)
+    for lv, arr in enumerate(arrays):
+        h, w = arr.shape[:2]
+        out = t.read_region_level(lv, 0, 0, w, h)
+        np.testing.assert_array_equal(out, arr)
+    # sub-region + out-of-bounds (white padding)
+    sub = t.read_region_level(0, 100, 50, 64, 64)
+    np.testing.assert_array_equal(sub, arrays[0][50:114, 100:164])
+    edge = t.read_region_level(0, 480, 350, 64, 64)
+    np.testing.assert_array_equal(edge[:34, :32], arrays[0][350:384, 480:512])
+    assert (edge[34:] == 255).all() and (edge[:, 32:] == 255).all()
+    t.close()
+
+
+@pytest.mark.parametrize("pil_compression", [None, "tiff_adobe_deflate", "packbits", "tiff_lzw"])
+def test_decode_pil_written(tmp_path: Path, canvas, pil_compression):
+    """Cross-validate against an independent TIFF encoder (Pillow)."""
+    path = tmp_path / "pil.tiff"
+    img = Image.fromarray(canvas)
+    if pil_compression:
+        img.save(path, compression=pil_compression)
+    else:
+        img.save(path)
+    t = AtlasTiffFile(str(path))
+    out = t.read_region_level(0, 0, 0, canvas.shape[1], canvas.shape[0])
+    np.testing.assert_array_equal(out, canvas)
+    t.close()
+
+
+def test_jpeg_tiff_decode(tmp_path: Path, canvas):
+    """JPEG-in-TIFF via Pillow (when its libtiff supports it)."""
+    path = tmp_path / "jpeg.tiff"
+    try:
+        Image.fromarray(canvas).save(path, compression="jpeg", quality=95)
+    except OSError:
+        pytest.skip("Pillow lacks jpeg-in-tiff write support")
+    t = AtlasTiffFile(str(path))
+    out = t.read_region_level(0, 0, 0, canvas.shape[1], canvas.shape[0])
+    # lossy codec: compare loosely
+    assert out.shape == canvas.shape
+    assert np.abs(out.astype(int) - canvas.astype(int)).mean() < 8
+    t.close()
+
+
+def test_tiffwsi_mpp_ladder(tmp_path: Path, canvas):
+    # 1) aperio-style description → aperio.MPP key
+    p1 = tmp_path / "a.svs"
+    write_pyramid(
+        p1,
+        canvas,
+        tile=64,
+        description="Aperio Image Library v12\r\n512x384 | AppMag = 20 | MPP = 0.4990",
+    )
+    w = TiffWSI(path=str(p1))
+    w._ensure_loaded()
+    assert w.mpp == 0.499
+    assert w.mag == 20
+    attrs = w.metadata_attrs()
+    assert attrs["mpp"] == 0.499
+    assert attrs["magnification"] == 20
+
+    # 2) free-text regex
+    p2 = tmp_path / "b.tiff"
+    write_pyramid(p2, canvas, tile=64, description="scanner image mpp=0.25 something")
+    w2 = TiffWSI(path=str(p2))
+    w2._ensure_loaded()
+    assert w2.mpp == 0.25
+    assert w2.mag == 40
+
+    # 3) resolution tags (centimeter: 40000 px/cm → 0.25 µm/px)
+    p3 = tmp_path / "c.tiff"
+    write_pyramid(p3, canvas, tile=64, resolution=(40000.0, 40000.0, 3))
+    w3 = TiffWSI(path=str(p3))
+    w3._ensure_loaded()
+    assert w3.mpp == 0.25
+
+    # 4) user override wins
+    w4 = TiffWSI(path=str(p1), mpp=1.0)
+    w4._ensure_loaded()
+    assert w4.mpp == 1.0
+
+
+def test_tiffwsi_reads_level0_coords(tmp_path: Path, canvas):
+    path = tmp_path / "p.tiff"
+    arrays = write_pyramid(path, canvas, levels=3, tile=64,
+                           description="Aperio|AppMag = 20|MPP = 0.5")
+    w = TiffWSI(path=str(path))
+    w._ensure_loaded()
+    assert w.ds == [1.0, 2.0, 4.0]
+    # level-0 coords map to level coords (OpenSlide convention)
+    region = w.extract((128, 64), lv=1, wh=(32, 32), mode="array")
+    np.testing.assert_array_equal(region, arrays[1][32:64, 64:96])
+    thumb = w.get_thumb((128, 128))
+    assert max(thumb.size) <= 128
+    w.cleanup()
+
+
+def test_factory_routes_tiff(tmp_path: Path, canvas):
+    from atlaspatch_tpu.io.factory import WSIFactory
+
+    path = tmp_path / "f.svs"
+    write_pyramid(path, canvas, tile=64, description="Aperio|AppMag = 20|MPP = 0.5")
+    wsi = WSIFactory.load(str(path))
+    assert isinstance(wsi, TiffWSI)
+    wsi._ensure_loaded()
+    assert wsi.mag == 20
+    wsi.cleanup()
+
+
+def test_extraction_on_tiff_slide(tmp_path: Path):
+    """Full segment-and-coords flow over the native backend."""
+    from atlaspatch_tpu.core.config import ExtractionConfig, OutputConfig
+    from atlaspatch_tpu.core.models import Slide
+    from atlaspatch_tpu.services.extraction import PatchExtractionService
+
+    canvas = make_tissue_canvas(1024, 1024, seed=5, n_blobs=2)
+    path = tmp_path / "slide.svs"
+    write_pyramid(path, canvas, levels=2, tile=64,
+                  description="Aperio|AppMag = 20|MPP = 0.5")
+    wsi = TiffWSI(path=str(path))
+    wsi._ensure_loaded()
+    thumb = np.asarray(wsi.get_thumb((256, 256)).convert("L"), np.float32)
+    mask = (thumb < 220).astype(np.float32)
+
+    svc = PatchExtractionService(
+        ExtractionConfig(patch_size=128, target_magnification=20, tissue_threshold=0.0),
+        OutputConfig(output_root=tmp_path / "out"),
+    )
+    result = svc.extract(wsi, mask, slide=Slide(path=path))
+    assert result.num_patches > 0
+    assert result.h5_path.exists()
+    wsi.cleanup()

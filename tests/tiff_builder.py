@@ -1,0 +1,188 @@
+"""Minimal TIFF writer for exercising the native decoder in tests.
+
+Writes classic little-endian TIFFs with multiple IFDs (pyramid levels),
+either tiled or striped, with raw / deflate / packbits compression, optional
+ImageDescription and resolution tags. Not a production writer — just enough
+surface to validate atlas_tiff.cc against known pixel data.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+TYPE_ASCII = 2
+TYPE_SHORT = 3
+TYPE_LONG = 4
+TYPE_RATIONAL = 5
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    # naive literal-only PackBits (valid, if not maximally compressed)
+    out = bytearray()
+    i = 0
+    while i < len(row):
+        chunk = row[i : i + 128]
+        out.append(len(chunk) - 1)
+        out.extend(chunk)
+        i += len(chunk)
+    return bytes(out)
+
+
+class TiffWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray(b"II*\x00\x00\x00\x00\x00")
+        self.ifd_offsets: list[int] = []
+
+    def _align(self) -> None:
+        while len(self.buf) % 2:
+            self.buf.append(0)
+
+    def _write_blob(self, data: bytes) -> int:
+        self._align()
+        off = len(self.buf)
+        self.buf.extend(data)
+        return off
+
+    def add_level(
+        self,
+        image: np.ndarray,
+        *,
+        tile: int | None = None,
+        compression: int = 1,
+        description: str | None = None,
+        resolution: tuple[float, float, int] | None = None,  # (xres, yres, unit)
+    ) -> None:
+        h, w = image.shape[:2]
+        spp = 1 if image.ndim == 2 else image.shape[2]
+        img = image.reshape(h, w, spp)
+
+        chunks: list[bytes] = []
+        if tile:
+            tiles_across = (w + tile - 1) // tile
+            tiles_down = (h + tile - 1) // tile
+            for ty in range(tiles_down):
+                for tx in range(tiles_across):
+                    block = np.zeros((tile, tile, spp), dtype=np.uint8)
+                    ys, xs = ty * tile, tx * tile
+                    ye, xe = min(h, ys + tile), min(w, xs + tile)
+                    block[: ye - ys, : xe - xs] = img[ys:ye, xs:xe]
+                    chunks.append(block.tobytes())
+        else:
+            rows_per_strip = max(1, 64 // max(1, spp))
+            for ys in range(0, h, rows_per_strip):
+                chunks.append(img[ys : ys + rows_per_strip].tobytes())
+
+        if compression == 8:
+            chunks = [zlib.compress(c) for c in chunks]
+        elif compression == 32773:
+            chunks = [_packbits_encode(c) for c in chunks]
+        elif compression != 1:
+            raise ValueError(f"writer does not support compression {compression}")
+
+        offsets = [self._write_blob(c) for c in chunks]
+        counts = [len(c) for c in chunks]
+
+        entries: list[tuple[int, int, int, bytes | int]] = []
+
+        def tag(tag_id, type_, values):
+            if isinstance(values, (int, float)):
+                values = [values]
+            if type_ == TYPE_SHORT:
+                data = struct.pack(f"<{len(values)}H", *values)
+            elif type_ == TYPE_LONG:
+                data = struct.pack(f"<{len(values)}I", *values)
+            elif type_ == TYPE_ASCII:
+                data = values[0].encode() + b"\x00"
+                values = [None] * len(data)
+            elif type_ == TYPE_RATIONAL:
+                data = b"".join(struct.pack("<II", int(v * 10000), 10000) for v in values)
+            else:
+                raise ValueError(type_)
+            entries.append((tag_id, type_, len(values), data))
+
+        tag(256, TYPE_LONG, w)
+        tag(257, TYPE_LONG, h)
+        tag(258, TYPE_SHORT, [8] * spp)
+        tag(259, TYPE_SHORT, compression)
+        tag(262, TYPE_SHORT, 2 if spp == 3 else 1)
+        if description:
+            tag(270, TYPE_ASCII, [description])
+        tag(277, TYPE_SHORT, spp)
+        if tile:
+            tag(322, TYPE_LONG, tile)
+            tag(323, TYPE_LONG, tile)
+            tag(324, TYPE_LONG, offsets)
+            tag(325, TYPE_LONG, counts)
+        else:
+            rows_per_strip = max(1, 64 // max(1, spp))
+            tag(273, TYPE_LONG, offsets)
+            tag(278, TYPE_LONG, rows_per_strip)
+            tag(279, TYPE_LONG, counts)
+        if resolution:
+            xres, yres, unit = resolution
+            tag(282, TYPE_RATIONAL, [xres])
+            tag(283, TYPE_RATIONAL, [yres])
+            tag(296, TYPE_SHORT, unit)
+        tag(284, TYPE_SHORT, 1)
+
+        entries.sort(key=lambda e: e[0])
+        # write out-of-line data first
+        finalized = []
+        for tag_id, type_, count, data in entries:
+            if len(data) <= 4:
+                inline = data + b"\x00" * (4 - len(data))
+                finalized.append((tag_id, type_, count, inline))
+            else:
+                off = self._write_blob(data)
+                finalized.append((tag_id, type_, count, struct.pack("<I", off)))
+
+        self._align()
+        ifd_off = len(self.buf)
+        self.buf.extend(struct.pack("<H", len(finalized)))
+        for tag_id, type_, count, value4 in finalized:
+            self.buf.extend(struct.pack("<HHI", tag_id, type_, count) + value4)
+        self.buf.extend(b"\x00\x00\x00\x00")  # next-IFD placeholder
+        self.ifd_offsets.append(ifd_off)
+
+    def save(self, path) -> None:
+        # link IFD chain
+        buf = self.buf
+        struct.pack_into("<I", buf, 4, self.ifd_offsets[0])
+        for i in range(len(self.ifd_offsets) - 1):
+            ifd_off = self.ifd_offsets[i]
+            n = struct.unpack_from("<H", buf, ifd_off)[0]
+            next_ptr_off = ifd_off + 2 + n * 12
+            struct.pack_into("<I", buf, next_ptr_off, self.ifd_offsets[i + 1])
+        with open(path, "wb") as f:
+            f.write(buf)
+
+
+def write_pyramid(
+    path,
+    level0: np.ndarray,
+    *,
+    levels: int = 3,
+    tile: int | None = 64,
+    compression: int = 1,
+    description: str | None = None,
+    resolution=None,
+) -> list[np.ndarray]:
+    """Write a pyramid (2x downsamples); returns the level arrays."""
+    w = TiffWriter()
+    arrays = [level0]
+    for _ in range(levels - 1):
+        prev = arrays[-1]
+        arrays.append(prev[::2, ::2].copy())
+    for i, arr in enumerate(arrays):
+        w.add_level(
+            arr,
+            tile=tile,
+            compression=compression,
+            description=description if i == 0 else None,
+            resolution=resolution if i == 0 else None,
+        )
+    w.save(path)
+    return arrays
