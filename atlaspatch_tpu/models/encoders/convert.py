@@ -153,6 +153,55 @@ def hf_dinov2_to_flax(sd: Mapping[str, Any], spec, prefix: str = "") -> dict:
     return params
 
 
+# --- transformers DINOv3ViTModel -----------------------------------------------------
+def hf_dinov3_to_flax(sd: Mapping[str, Any], spec, prefix: str = "") -> dict:
+    """DINOv3 RoPE ViT: separate q/k/v with key bias absent (packed as zeros),
+    layer-scale lambdas, plain or gated MLP, no learned positional embedding."""
+    g = lambda k: prefix + k  # noqa: E731
+    dim = spec.dim
+    params: dict[str, Any] = {
+        "patch_embed": _patch_conv(sd, g("embeddings.patch_embeddings")),
+        "cls_token": _np(sd[g("embeddings.cls_token")]),
+        "norm": _ln(sd, g("layernorm") if g("layernorm.weight") in sd else g("norm")),
+    }
+    if spec.reg_tokens:
+        params["reg_token"] = _np(sd[g("embeddings.register_tokens")])
+    for i in range(spec.depth):
+        p = g(f"layer.{i}")
+        q_w = _np(sd[f"{p}.attention.q_proj.weight"]).T
+        k_w = _np(sd[f"{p}.attention.k_proj.weight"]).T
+        v_w = _np(sd[f"{p}.attention.v_proj.weight"]).T
+        q_b = _np(sd.get(f"{p}.attention.q_proj.bias", np.zeros(dim, np.float32)))
+        k_b = _np(sd.get(f"{p}.attention.k_proj.bias", np.zeros(dim, np.float32)))
+        v_b = _np(sd.get(f"{p}.attention.v_proj.bias", np.zeros(dim, np.float32)))
+        if spec.gated_mlp:
+            mlp = {
+                "fc_gate": _lin(sd, f"{p}.mlp.gate_proj"),
+                "fc_up": _lin(sd, f"{p}.mlp.up_proj"),
+                "fc2": _lin(sd, f"{p}.mlp.down_proj"),
+            }
+        else:
+            mlp = {
+                "fc1": _lin(sd, f"{p}.mlp.up_proj"),
+                "fc2": _lin(sd, f"{p}.mlp.down_proj"),
+            }
+        params[f"blocks_{i}"] = {
+            "norm1": _ln(sd, f"{p}.norm1"),
+            "norm2": _ln(sd, f"{p}.norm2"),
+            "attn": {
+                "qkv": {
+                    "kernel": np.concatenate([q_w, k_w, v_w], axis=1),
+                    "bias": np.concatenate([q_b, k_b, v_b]),
+                },
+                "proj": _lin(sd, f"{p}.attention.o_proj"),
+            },
+            "mlp": mlp,
+            "ls1": _np(sd[f"{p}.layer_scale1.lambda1"]),
+            "ls2": _np(sd[f"{p}.layer_scale2.lambda1"]),
+        }
+    return params
+
+
 # --- open_clip visual tower ----------------------------------------------------------
 def open_clip_vit_to_flax(sd: Mapping[str, Any], spec, prefix: str = "visual.") -> dict:
     g = lambda k: prefix + k  # noqa: E731
@@ -249,6 +298,19 @@ def hf_siglip_to_flax(sd: Mapping[str, Any], spec, prefix: str = "vision_model."
         "norm": _ln(sd, f"{hp}.layernorm"),
         "mlp": {"fc1": _lin(sd, f"{hp}.mlp.fc1"), "fc2": _lin(sd, f"{hp}.mlp.fc2")},
     }
+    return params
+
+
+# --- open_clip timm-backed tower (BiomedCLIP) ----------------------------------------
+def open_clip_timm_tower_to_flax(sd: Mapping[str, Any], spec, prefix: str = "visual.trunk.") -> dict:
+    """open_clip models whose visual tower is a timm ViT (e.g. BiomedCLIP):
+    `visual.trunk.*` timm naming + `visual.head.proj` projection."""
+    trunk = {
+        k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)
+    }
+    params = timm_vit_to_flax(trunk, spec)
+    if "visual.head.proj.weight" in sd:
+        params["proj"] = {"kernel": _np(sd["visual.head.proj.weight"]).T}
     return params
 
 

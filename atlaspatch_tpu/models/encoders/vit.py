@@ -45,7 +45,10 @@ class ViTSpec:
     #   "prefix": cls + patches (standard ViT / DINOv2; registers get no pos)
     #   "patches": patches only, prefix prepended afterwards (timm no_embed_class)
     #   "all": cls + registers + patches
+    #   "rope": no learned pos embed; DINOv3 axial RoPE on patch tokens
     pos_mode: str = "prefix"
+    rope_theta: float = 100.0  # used when pos_mode == "rope"
+    gated_mlp: bool = False  # DINOv3 GatedMLP: down(act(gate(x)) * up(x))
     ln_eps: float = 1e-6
 
     @property
@@ -71,6 +74,25 @@ def _act(name: str):
     }[name]
 
 
+def _rope_cos_sin(spec: ViTSpec) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """DINOv3 axial RoPE tables for the static patch grid: (N_patches, head_dim)."""
+    head_dim = spec.dim // spec.heads
+    n = spec.img_size // spec.patch_size
+    inv_freq = 1.0 / spec.rope_theta ** jnp.arange(0, 1, 4 / head_dim, dtype=jnp.float32)
+    coords_1d = (jnp.arange(0.5, n, dtype=jnp.float32) / n) * 2.0 - 1.0
+    yy, xx = jnp.meshgrid(coords_1d, coords_1d, indexing="ij")
+    coords = jnp.stack([yy.reshape(-1), xx.reshape(-1)], axis=-1)  # (N, 2)
+    angles = 2.0 * jnp.pi * coords[:, :, None] * inv_freq[None, None, :]
+    angles = angles.reshape(angles.shape[0], -1)
+    angles = jnp.tile(angles, (1, 2))
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
 class Attention(nn.Module):
     spec: ViTSpec
 
@@ -85,6 +107,19 @@ class Attention(nn.Module):
         q = q.transpose(0, 2, 1, 3)
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
+
+        if s.pos_mode == "rope":
+            cos, sin = _rope_cos_sin(s)
+            cos = cos.astype(q.dtype)[None, None]
+            sin = sin.astype(q.dtype)[None, None]
+            n_prefix = T - cos.shape[2]
+            qp = q[:, :, n_prefix:]
+            kp = k[:, :, n_prefix:]
+            qp = qp * cos + _rotate_half(qp) * sin
+            kp = kp * cos + _rotate_half(kp) * sin
+            q = jnp.concatenate([q[:, :, :n_prefix], qp], axis=2)
+            k = jnp.concatenate([k[:, :, :n_prefix], kp], axis=2)
+
         attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (head_dim**-0.5)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
@@ -98,7 +133,11 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         s = self.spec
-        if s.swiglu:
+        if s.gated_mlp:
+            gate = nn.Dense(s.hidden_dim, name="fc_gate")(x)
+            up = nn.Dense(s.hidden_dim, name="fc_up")(x)
+            h = _act(s.act)(gate) * up
+        elif s.swiglu:
             h = nn.Dense(2 * s.hidden_dim, name="fc1")(x)
             x1, x2 = jnp.split(h, 2, axis=-1)
             h = _act(s.act)(x1) * x2
@@ -179,31 +218,35 @@ class ViT(nn.Module):
             reg = self.param("reg_token", nn.initializers.zeros, (1, s.reg_tokens, s.dim))
             prefix.append(jnp.broadcast_to(reg, (B, s.reg_tokens, s.dim)).astype(x.dtype))
 
-        if s.pos_mode == "patches":
-            n_pos = s.tokens
-        elif s.pos_mode == "prefix":
-            n_pos = s.tokens + (1 if s.class_token else 0)
-        elif s.pos_mode == "all":
-            n_pos = s.tokens + s.prefix_tokens
+        if s.pos_mode == "rope":
+            # no learned positional embedding; RoPE applied inside attention
+            x = jnp.concatenate(prefix + [x], axis=1)
         else:
-            raise ValueError(f"unknown pos_mode {s.pos_mode}")
-        pos = self.param("pos_embed", nn.initializers.normal(0.02), (1, n_pos, s.dim))
-
-        if s.pos_mode == "patches":
-            x = x + pos.astype(x.dtype)
-            if prefix:
-                x = jnp.concatenate(prefix + [x], axis=1)
-        elif s.pos_mode == "all":
-            x = jnp.concatenate(prefix + [x], axis=1) + pos.astype(x.dtype)
-        else:  # "prefix": pos covers cls+patches; registers inserted after cls
-            if s.class_token:
-                x = jnp.concatenate([prefix[0], x], axis=1) + pos.astype(x.dtype)
-                if s.reg_tokens:
-                    x = jnp.concatenate([x[:, :1], prefix[1], x[:, 1:]], axis=1)
+            if s.pos_mode == "patches":
+                n_pos = s.tokens
+            elif s.pos_mode == "prefix":
+                n_pos = s.tokens + (1 if s.class_token else 0)
+            elif s.pos_mode == "all":
+                n_pos = s.tokens + s.prefix_tokens
             else:
+                raise ValueError(f"unknown pos_mode {s.pos_mode}")
+            pos = self.param("pos_embed", nn.initializers.normal(0.02), (1, n_pos, s.dim))
+
+            if s.pos_mode == "patches":
                 x = x + pos.astype(x.dtype)
-                if s.reg_tokens:
-                    x = jnp.concatenate([prefix[0], x], axis=1)
+                if prefix:
+                    x = jnp.concatenate(prefix + [x], axis=1)
+            elif s.pos_mode == "all":
+                x = jnp.concatenate(prefix + [x], axis=1) + pos.astype(x.dtype)
+            else:  # "prefix": pos covers cls+patches; registers inserted after cls
+                if s.class_token:
+                    x = jnp.concatenate([prefix[0], x], axis=1) + pos.astype(x.dtype)
+                    if s.reg_tokens:
+                        x = jnp.concatenate([x[:, :1], prefix[1], x[:, 1:]], axis=1)
+                else:
+                    x = x + pos.astype(x.dtype)
+                    if s.reg_tokens:
+                        x = jnp.concatenate([prefix[0], x], axis=1)
 
         if s.pre_ln:
             x = nn.LayerNorm(epsilon=s.ln_eps, name="ln_pre")(x)

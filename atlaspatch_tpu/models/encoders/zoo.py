@@ -212,26 +212,48 @@ def build_entries() -> list[EncoderEntry]:
             )
         )
 
-    # --- DINOv3 (reference: dinov3.py; pooler output). RoPE ViT — pending ----------
-    for name, dim in (
-        ("dinov3_vits16", 384),
-        ("dinov3_vits16_plus", 384),
-        ("dinov3_vitb16", 768),
-        ("dinov3_vitl16", 1024),
-        ("dinov3_vitl16_sat", 1024),
-        ("dinov3_vith16_plus", 1280),
-        ("dinov3_vit7b16", 4096),
-        ("dinov3_vit7b16_sat", 4096),
-    ):
+    # --- DINOv3 (reference: dinov3.py; pooler output = CLS). Axial-RoPE ViT --------
+    def _dinov3_spec(dim, depth, heads, mlp, gated):
+        return _vit(
+            224,
+            16,
+            dim,
+            depth,
+            heads,
+            mlp_hidden=mlp,
+            layerscale=True,
+            gated_mlp=gated,
+            reg_tokens=4,
+            class_token=True,
+            pos_mode="rope",
+            ln_eps=1e-5,
+            pool="cls",
+        )
+
+    dinov3_variants = {
+        # best-known configs (HF facebook/dinov3-* cards); converter errors
+        # loudly on shape mismatch so a wrong guess cannot load silently
+        "dinov3_vits16": (_dinov3_spec(384, 12, 6, 1536, False), 384, ""),
+        "dinov3_vits16_plus": (_dinov3_spec(384, 12, 6, 1536, True), 384, ""),
+        "dinov3_vitb16": (_dinov3_spec(768, 12, 12, 3072, False), 768, ""),
+        "dinov3_vitl16": (_dinov3_spec(1024, 24, 16, 4096, False), 1024, ""),
+        "dinov3_vitl16_sat": (_dinov3_spec(1024, 24, 16, 4096, False), 1024, "-sat493m"),
+        "dinov3_vith16_plus": (_dinov3_spec(1280, 32, 20, 5120, True), 1280, ""),
+        "dinov3_vit7b16": (_dinov3_spec(4096, 40, 32, 8192, True), 4096, ""),
+        "dinov3_vit7b16_sat": (_dinov3_spec(4096, 40, 32, 8192, True), 4096, "-sat493m"),
+    }
+    for name, (spec, dim, suffix) in dinov3_variants.items():
+        hub = name.replace("dinov3_", "dinov3-").replace("_plus", "plus").replace("_sat", "")
         e.append(
             EncoderEntry(
                 name,
                 "dinov3",
                 dim,
                 _pre(224, mode="square"),
-                source=f"facebook/{name}",
-                implemented=False,
-                notes="RoPE ViT pending",
+                spec=spec,
+                source=f"facebook/{hub}-pretrain-lvd1689m{suffix or ''}".replace(
+                    "-pretrain-lvd1689m-sat493m", "-pretrain-sat493m"
+                ),
             )
         )
 
@@ -253,22 +275,17 @@ def build_entries() -> list[EncoderEntry]:
                 source=f"open_clip openai {name}",
             )
         )
-    for name, dim, size in (
-        ("clip_rn50", 1024, 224),
-        ("clip_rn101", 512, 224),
-        ("clip_rn50x4", 640, 288),
-        ("clip_rn50x16", 768, 384),
-        ("clip_rn50x64", 1024, 448),
-    ):
+    from atlaspatch_tpu.models.encoders.clip_resnet import CLIP_RESNET_SPECS
+
+    for name, spec in CLIP_RESNET_SPECS.items():
         e.append(
             EncoderEntry(
                 name,
                 "clip_modified_resnet",
-                dim,
-                _pre(size, resize=size, interp="bicubic", norm=OPENAI_CLIP),
+                spec.embed_dim,
+                _pre(spec.image_size, resize=spec.image_size, interp="bicubic", norm=OPENAI_CLIP),
+                spec=spec,
                 source=f"open_clip openai {name}",
-                implemented=False,
-                notes="ModifiedResNet tower pending",
             )
         )
 
@@ -703,10 +720,14 @@ def _convert(entry: EncoderEntry, sd: dict) -> dict:
     if family == "dinov2":
         prefix = "dinov2." if any(k.startswith("dinov2.") for k in sd) else ""
         return C.hf_dinov2_to_flax(sd, entry.spec, prefix=prefix)
+    if family == "dinov3":
+        return C.hf_dinov3_to_flax(sd, entry.spec)
     if family == "clip_hf":
         return C.hf_clip_to_flax(sd, entry.spec)
     if family == "clip_openclip":
         return C.open_clip_vit_to_flax(sd, entry.spec)
+    if family == "clip_timm_tower":
+        return C.open_clip_timm_tower_to_flax(sd, entry.spec)
     if family == "siglip":
         return C.hf_siglip_to_flax(sd, entry.spec)
     if family == "torchvision_vit":
@@ -715,6 +736,10 @@ def _convert(entry: EncoderEntry, sd: dict) -> dict:
         return torchvision_resnet_to_flax(sd, entry.spec)
     if family == "convnext":
         return torchvision_convnext_to_flax(sd, entry.spec)
+    if family == "clip_modified_resnet":
+        from atlaspatch_tpu.models.encoders.clip_resnet import open_clip_resnet_to_flax
+
+        return open_clip_resnet_to_flax(sd, entry.spec)
     raise NotImplementedError(f"no converter for family {family}")
 
 
@@ -723,6 +748,7 @@ def _model_for(entry: EncoderEntry):
         "timm_vit",
         "hf_vit",
         "dinov2",
+        "dinov3",
         "clip_hf",
         "clip_openclip",
         "siglip",
@@ -734,6 +760,10 @@ def _model_for(entry: EncoderEntry):
         return ResNet(entry.spec)
     if entry.family == "convnext":
         return ConvNeXt(entry.spec)
+    if entry.family == "clip_modified_resnet":
+        from atlaspatch_tpu.models.encoders.clip_resnet import ClipModifiedResNet
+
+        return ClipModifiedResNet(entry.spec)
     raise NotImplementedError(entry.family)
 
 

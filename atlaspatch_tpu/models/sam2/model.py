@@ -96,6 +96,25 @@ def segment_step(cfg: SAM2Config, params, images_u8: jnp.ndarray) -> jnp.ndarray
     return logits
 
 
+@partial(jax.jit, static_argnums=(0,))
+def segment_step_packed(cfg: SAM2Config, params, images_u8: jnp.ndarray, threshold: jnp.ndarray):
+    """segment_step + on-device thresholding and bit-packing.
+
+    Returns (B, S, S//8) uint8 — the binary mask packed MSB-first along the
+    last axis (numpy packbits convention). Shrinks the device→host transfer
+    32× vs float32 logits, which matters when chips sit behind a slow host
+    link; the mask is bit-identical to thresholding the logits on host.
+    """
+    logits = segment_step(cfg, params, images_u8)
+    bits = (logits > threshold).astype(jnp.uint8)
+    B, S = bits.shape[0], bits.shape[1]
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    packed = jnp.einsum(
+        "bswk,k->bsw", bits.reshape(B, S, S // 8, 8), weights, preferred_element_type=jnp.uint32
+    )
+    return packed.astype(jnp.uint8)
+
+
 def init_params(cfg: SAM2Config, seed: int = 0):
     model = SAM2ImageModel(cfg)
     dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)

@@ -36,6 +36,7 @@ from atlaspatch_tpu.ops.contours import (
 )
 from atlaspatch_tpu.services.interfaces import ExtractionService
 from atlaspatch_tpu.services.storage import Entry, H5PatchWriter
+from atlaspatch_tpu.utils import perf
 from atlaspatch_tpu.utils.image import is_black_patch, is_white_patch
 
 logger = logging.getLogger("atlaspatch_tpu.extraction_service")
@@ -58,6 +59,10 @@ class PatchExtractionService(ExtractionService):
 
     # --- geometry -------------------------------------------------------------------
     def _prepare_contours(self, mask: np.ndarray, wsi: IWSI):
+        with perf.stage("contours"):
+            return self._prepare_contours_timed(mask, wsi)
+
+    def _prepare_contours_timed(self, mask: np.ndarray, wsi: IWSI):
         tissue_t, holes_t = mask_to_contours(mask, tissue_area_thresh=self.cfg.tissue_threshold)
         W, H = wsi.get_size(lv=0)
         mh, mw = mask.shape[:2]
@@ -98,6 +103,20 @@ class PatchExtractionService(ExtractionService):
         step_src: int,
     ) -> np.ndarray:
         """All accepted (x, y) anchors, vectorized, in reference iteration order."""
+        with perf.stage("grid_scan"):
+            return self._compute_coords_timed(
+                tissue_contours, holes_contours,
+                patch_size_src=patch_size_src, step_src=step_src,
+            )
+
+    def _compute_coords_timed(
+        self,
+        tissue_contours: Sequence[np.ndarray],
+        holes_contours: Sequence[Sequence[np.ndarray]],
+        *,
+        patch_size_src: int,
+        step_src: int,
+    ) -> np.ndarray:
         accepted: list[np.ndarray] = []
         for contour, holes in zip(tissue_contours, holes_contours):
             xs, ys = grid_candidates(contour, step_src)

@@ -30,6 +30,7 @@ from atlaspatch_tpu.core.models import Mask
 from atlaspatch_tpu.io.iwsi import IWSI
 from atlaspatch_tpu.models.sam2.config import SAM2Config
 from atlaspatch_tpu.services.interfaces import SegmentationService
+from atlaspatch_tpu.utils import perf
 
 logger = logging.getLogger("atlaspatch_tpu.segmentation_service")
 
@@ -50,6 +51,9 @@ class SAM2Predictor:
     def __init__(self, cfg: SegmentationConfig, sam2_cfg: SAM2Config | None = None):
         import jax
 
+        from atlaspatch_tpu.utils.jaxsetup import setup_jax_cache
+
+        setup_jax_cache()
         self.cfg = cfg
         self.sam2_cfg = sam2_cfg or SAM2Config.tiny()
         self.input_size = self.sam2_cfg.image_size
@@ -140,9 +144,31 @@ class SAM2Predictor:
 
         from atlaspatch_tpu.models.sam2.model import segment_step
 
-        with jax.default_device(self._device):
+        with perf.stage("segment_device"), jax.default_device(self._device):
             logits = segment_step(self.sam2_cfg, self.params, jnp.asarray(images_u8))
-        return np.asarray(logits)
+            out = np.asarray(logits)
+        return out
+
+    def predict_masks(self, images_u8: np.ndarray) -> np.ndarray:
+        """(B,1024,1024,3) uint8 → (B,1024,1024) uint8 binary masks.
+
+        Thresholding happens on device and only packed bits cross the
+        host link (models/sam2/model.py:segment_step_packed).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from atlaspatch_tpu.models.sam2.model import segment_step_packed
+
+        with perf.stage("segment_device"), jax.default_device(self._device):
+            packed = segment_step_packed(
+                self.sam2_cfg,
+                self.params,
+                jnp.asarray(images_u8),
+                jnp.float32(self.cfg.mask_threshold),
+            )
+            packed_np = np.asarray(packed)
+        return np.unpackbits(packed_np, axis=-1)
 
     def predict_batch(
         self, images: Sequence, *, resize_to_input: bool = True
@@ -159,11 +185,11 @@ class SAM2Predictor:
         padded = _pad_to_pow2_batch(n, max_batch=max(self.cfg.batch_size, n))
         batch = np.zeros((padded, self.input_size, self.input_size, 3), dtype=np.uint8)
         batch[:n] = np.stack(arrs)
-        logits = self.predict_logits(batch)[:n]
+        bin_masks = self.predict_masks(batch)[:n]
 
         out: list[np.ndarray] = []
         for i in range(n):
-            mask = (logits[i] > self.cfg.mask_threshold).astype(np.float32)
+            mask = bin_masks[i].astype(np.float32)
             if resize_to_input and mask.shape[:2] != orig_shapes[i]:
                 mask = self._resize_mask(mask, orig_shapes[i])
             out.append(mask.astype(np.float32))
@@ -184,10 +210,13 @@ class SAM2SegmentationService(SegmentationService):
         self.predictor = SAM2Predictor(self.cfg, sam2_cfg)
 
     def _prepare_thumbnail(self, wsi: IWSI):
-        thumb = wsi.get_thumbnail_at_power(power=self.cfg.thumbnail_power, interpolation="optimise")
-        if self.cfg.thumbnail_max:
-            thumb.thumbnail((self.cfg.thumbnail_max, self.cfg.thumbnail_max))
-        return thumb
+        with perf.stage("thumbnail"):
+            thumb = wsi.get_thumbnail_at_power(
+                power=self.cfg.thumbnail_power, interpolation="optimise"
+            )
+            if self.cfg.thumbnail_max:
+                thumb.thumbnail((self.cfg.thumbnail_max, self.cfg.thumbnail_max))
+            return thumb
 
     def segment_thumbnail(self, wsi: IWSI) -> Mask:
         thumb = self._prepare_thumbnail(wsi)

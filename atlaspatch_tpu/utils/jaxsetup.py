@@ -1,0 +1,34 @@
+"""JAX runtime configuration: persistent compilation cache.
+
+First compilation of the SAM2/encoder programs costs tens of seconds; the
+persistent cache makes subsequent processes start hot. Call early (before the
+first jit execution). Safe to call multiple times.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+_DONE = False
+
+
+def setup_jax_cache(cache_dir: str | None = None) -> None:
+    global _DONE
+    if _DONE:
+        return
+    _DONE = True
+    path = Path(
+        cache_dir
+        or os.environ.get("ATLASPATCH_JAX_CACHE")
+        or Path.home() / ".cache" / "atlaspatch_tpu" / "jax_cache"
+    )
+    try:
+        path.mkdir(parents=True, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", str(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # noqa: BLE001  — cache is best-effort
+        pass

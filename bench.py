@@ -102,8 +102,8 @@ def main() -> None:
 
         # Warmup: compile the SAM2 step for the batch shape.
         warm = np.zeros((SEG_BATCH, 1024, 1024, 3), dtype=np.uint8)
-        seg.predictor.predict_logits(warm)
-        seg.predictor.predict_logits(warm)
+        seg.predictor.predict_masks(warm)
+        seg.predictor.predict_masks(warm)
 
         runner = ProcessingRunner(
             config=cfg,
