@@ -634,15 +634,17 @@ def build_entries() -> list[EncoderEntry]:
             notes="BEiT3 multiway tower pending",
         )
     )
+    from atlaspatch_tpu.models.encoders.swin import SwinSpec
+
     e.append(
         EncoderEntry(
             "chief-ctranspath",
             "swin",
             768,
             _pre(224, mode="square"),
+            spec=SwinSpec(),  # swin-tiny + CHIEF ConvStem, spatial-mean pooled
             source="CHIEF CTransPath (Swin-tiny + ConvStem)",
-            implemented=False,
-            notes="Swin + ConvStem pending",
+            notes="NHWC spatial mean-pool forward (reference chief_ctranspath.py:180-186)",
         )
     )
     return e
@@ -740,6 +742,12 @@ def _convert(entry: EncoderEntry, sd: dict) -> dict:
         from atlaspatch_tpu.models.encoders.clip_resnet import open_clip_resnet_to_flax
 
         return open_clip_resnet_to_flax(sd, entry.spec)
+    if family == "swin":
+        from atlaspatch_tpu.models.encoders.swin import hf_swin_to_flax, timm_swin_to_flax
+
+        if any("patch_embed.proj" in k for k in sd):
+            return timm_swin_to_flax(sd, entry.spec)
+        return hf_swin_to_flax(sd, entry.spec)
     raise NotImplementedError(f"no converter for family {family}")
 
 
@@ -764,6 +772,10 @@ def _model_for(entry: EncoderEntry):
         from atlaspatch_tpu.models.encoders.clip_resnet import ClipModifiedResNet
 
         return ClipModifiedResNet(entry.spec)
+    if entry.family == "swin":
+        from atlaspatch_tpu.models.encoders.swin import SwinNet
+
+        return SwinNet(entry.spec)
     raise NotImplementedError(entry.family)
 
 
