@@ -31,6 +31,24 @@ class CoCaSpec:
     has_proj: bool = False  # proj after pooled token
 
 
+def conch_v1_spec() -> CoCaSpec:
+    """CONCH v1 (reference: conch.py:20-65): CoCa with a timm ViT-B/16 trunk and
+    a single-query contrastive attentional pooler → 512-d (proj_contrast=False,
+    normalize=False). Naming verified lazily at checkpoint-load time."""
+    trunk = ViTSpec(
+        img_size=224,
+        patch_size=16,
+        dim=768,
+        depth=12,
+        heads=12,
+        act="gelu",
+        final_norm=True,  # timm trunk keeps its final norm
+        pool="none",
+        ln_eps=1e-5,
+    )
+    return CoCaSpec(trunk=trunk, n_queries=1, pooler_heads=8, output_dim=512)
+
+
 def coca_vit_l14_spec() -> CoCaSpec:
     trunk = ViTSpec(
         img_size=224,
@@ -101,6 +119,40 @@ class CoCaVisual(nn.Module):
         if s.has_proj:
             latent = nn.Dense(s.output_dim, use_bias=False, name="proj")(latent)
         return latent
+
+
+def conch_v1_to_flax(sd, spec: CoCaSpec) -> dict:
+    """CONCH v1 checkpoint → Flax params: timm ViT trunk under visual.trunk.*,
+    contrastive pooler under visual.attn_pool_contrast.*, ln under
+    visual.ln_contrast.*."""
+    trunk_sd = {k[len("visual.trunk."):]: v for k, v in sd.items() if k.startswith("visual.trunk.")}
+    trunk = C.timm_vit_to_flax(trunk_sd, spec.trunk)
+
+    def np_(t):
+        return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+    g = lambda k: "visual.attn_pool_contrast." + k  # noqa: E731
+    d = spec.output_dim
+    in_bias = np_(sd[g("attn.in_proj_bias")])
+    return {
+        "trunk": trunk,
+        "attn_pool": {
+            "query": np_(sd[g("query")]),
+            "ln_q": {"scale": np_(sd[g("ln_q.weight")]), "bias": np_(sd[g("ln_q.bias")])},
+            "ln_k": {"scale": np_(sd[g("ln_k.weight")]), "bias": np_(sd[g("ln_k.bias")])},
+            "q_proj": {"kernel": np_(sd[g("attn.q_proj_weight")]).T, "bias": in_bias[:d]},
+            "k_proj": {"kernel": np_(sd[g("attn.k_proj_weight")]).T, "bias": in_bias[d : 2 * d]},
+            "v_proj": {"kernel": np_(sd[g("attn.v_proj_weight")]).T, "bias": in_bias[2 * d :]},
+            "out_proj": {
+                "kernel": np_(sd[g("attn.out_proj.weight")]).T,
+                "bias": np_(sd[g("attn.out_proj.bias")]),
+            },
+        },
+        "ln_post": {
+            "scale": np_(sd["visual.ln_contrast.weight"]),
+            "bias": np_(sd["visual.ln_contrast.bias"]),
+        },
+    }
 
 
 def open_clip_coca_to_flax(sd, spec: CoCaSpec, prefix: str = "visual.") -> dict:

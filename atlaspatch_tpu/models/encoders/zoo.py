@@ -290,37 +290,43 @@ def build_entries() -> list[EncoderEntry]:
         )
 
     # --- CONCH / OmiCLIP / Quilt / PLIP / BiomedCLIP / MedSigLIP -------------------
+    from atlaspatch_tpu.models.encoders.coca import conch_v1_spec
+
     e.append(
         EncoderEntry(
             "conch_v1",
-            "coca",
+            "conch",
             512,
             _pre(224, interp="bicubic", norm=OPENAI_CLIP),
-            source="MahmoodLab/conch",
-            implemented=False,
-            notes="CoCa attentional-pool tower pending",
+            spec=conch_v1_spec(),
+            source="MahmoodLab/conch conch_ViT-B-16",
+            notes="encode_image(proj_contrast=False, normalize=False) semantics "
+            "(reference conch.py:20-65); checkpoint naming verified at load",
         )
     )
     e.append(
         EncoderEntry(
             "conch_v15",
-            "coca",
+            "timm_vit",
             768,
             _pre(448, mode="square", interp="bicubic", norm=OPENAI_CLIP),
+            spec=_vit(448, 16, 1024, 24, 16, ln_eps=1e-5, proj_dim=768),
             source="MahmoodLab/TITAN conch_v1_5",
-            implemented=False,
-            notes="CoCa attentional-pool tower pending",
+            notes="ViT-L/16 @448 with 768-d projection (reference conch.py:68-113); "
+            "checkpoint naming verified at load",
         )
     )
+    from atlaspatch_tpu.models.encoders.coca import coca_vit_l14_spec
+
     e.append(
         EncoderEntry(
             "omiclip",
             "coca",
             768,
             _pre(224, interp="bicubic", norm=OPENAI_CLIP),
+            spec=coca_vit_l14_spec(),
             source="WangGuangyuLab/Loki coca_ViT-L-14",
-            implemented=False,
-            notes="CoCa attentional-pool tower pending",
+            notes="token-0 latent of the attentional pooler (open_clip CoCa)",
         )
     )
     for name in ("quilt_b_32", "quilt_b_16"):
@@ -748,6 +754,14 @@ def _convert(entry: EncoderEntry, sd: dict) -> dict:
         if any("patch_embed.proj" in k for k in sd):
             return timm_swin_to_flax(sd, entry.spec)
         return hf_swin_to_flax(sd, entry.spec)
+    if family == "coca":
+        from atlaspatch_tpu.models.encoders.coca import open_clip_coca_to_flax
+
+        return open_clip_coca_to_flax(sd, entry.spec)
+    if family == "conch":
+        from atlaspatch_tpu.models.encoders.coca import conch_v1_to_flax
+
+        return conch_v1_to_flax(sd, entry.spec)
     raise NotImplementedError(f"no converter for family {family}")
 
 
@@ -776,6 +790,10 @@ def _model_for(entry: EncoderEntry):
         from atlaspatch_tpu.models.encoders.swin import SwinNet
 
         return SwinNet(entry.spec)
+    if entry.family in ("coca", "conch"):
+        from atlaspatch_tpu.models.encoders.coca import CoCaVisual
+
+        return CoCaVisual(entry.spec)
     raise NotImplementedError(entry.family)
 
 
