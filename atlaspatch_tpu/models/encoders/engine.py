@@ -114,7 +114,8 @@ class JaxFeatureExtractor(FeatureExtractor):
             self.device = jax.devices()[0]
         self.params = jax.device_put(self.params, self.device)
 
-    def _forward(self, images_u8: np.ndarray) -> np.ndarray:
+    def _forward_async(self, images_u8: np.ndarray):
+        """Dispatch the jitted program; returns the device array (not fetched)."""
         import jax
         import jax.numpy as jnp
 
@@ -136,7 +137,10 @@ class JaxFeatureExtractor(FeatureExtractor):
             fn = jax.jit(run)
             self._jitted[shape] = fn
         with jax.default_device(self.device):
-            return np.asarray(fn(self.params, images_u8))
+            return fn(self.params, images_u8)
+
+    def _forward(self, images_u8: np.ndarray) -> np.ndarray:
+        return np.asarray(self._forward_async(images_u8))
 
     def extract_batch(
         self, patches: Sequence[np.ndarray], *, batch_size: int | None = None
@@ -145,25 +149,42 @@ class JaxFeatureExtractor(FeatureExtractor):
             return np.empty((0, self.embedding_dim), dtype=np.float32)
         bs = min(self.max_batch, batch_size or len(patches))
 
-        # Host preprocessing on a thread pool (PIL releases the GIL on resize),
-        # pipelined one step ahead of device compute.
-        def prep_chunk(chunk) -> np.ndarray:
-            return np.stack([self.spec.apply_host(p) for p in chunk])
+        # Software pipeline: (a) per-chunk host preprocessing parallelized over
+        # the thread pool, (b) device programs dispatched asynchronously — the
+        # fetch of chunk i happens after chunk i+1 is enqueued, so host↔device
+        # transfers overlap compute.
+        def prep_chunk(ex: ThreadPoolExecutor, chunk) -> np.ndarray:
+            if len(chunk) >= 4 and self.prep_workers > 1:
+                slices = np.array_split(np.arange(len(chunk)), self.prep_workers)
+                parts = ex.map(
+                    lambda idx: [self.spec.apply_host(chunk[i]) for i in idx],
+                    [s for s in slices if len(s)],
+                )
+                flat = [img for part in parts for img in part]
+            else:
+                flat = [self.spec.apply_host(p) for p in chunk]
+            return np.stack(flat)
 
         chunks = [patches[i : i + bs] for i in range(0, len(patches), bs)]
         outputs: list[np.ndarray] = []
+        pending = None  # (device_array, n_valid)
         with ThreadPoolExecutor(max_workers=self.prep_workers) as ex:
-            futures = [ex.submit(prep_chunk, c) for c in chunks]
-            for fut, chunk in zip(futures, chunks):
-                imgs = fut.result()
+            for chunk in chunks:
+                imgs = prep_chunk(ex, chunk)
                 n = imgs.shape[0]
                 padded = _bucket(n, bs)
                 if padded != n:
                     imgs = np.concatenate(
                         [imgs, np.zeros((padded - n, *imgs.shape[1:]), imgs.dtype)]
                     )
-                feats = self._forward(imgs)[:n]
-                outputs.append(feats)
+                dev = self._forward_async(imgs)
+                if pending is not None:
+                    prev_dev, prev_n = pending
+                    outputs.append(np.asarray(prev_dev)[:prev_n])
+                pending = (dev, n)
+            if pending is not None:
+                prev_dev, prev_n = pending
+                outputs.append(np.asarray(prev_dev)[:prev_n])
         return np.concatenate(outputs, axis=0)
 
     def cleanup(self) -> None:

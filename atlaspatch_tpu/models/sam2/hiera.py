@@ -78,14 +78,14 @@ class MultiScaleAttention(nn.Module):
             H, W = q.shape[1], q.shape[2]
             q = q.reshape(B, H * W, self.num_heads, head_dim)
 
-        # (B, heads, T, d)
+        # (B, heads, T, d); global blocks (4096 tokens) route to the Pallas
+        # flash-attention kernel on TPU, small windowed blocks to plain einsum.
+        from atlaspatch_tpu.ops.attention import attention
+
         q = q.transpose(0, 2, 1, 3)
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
-        scale = head_dim**-0.5
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = attention(q, k, v, sm_scale=head_dim**-0.5)
         out = out.transpose(0, 2, 1, 3).reshape(B, H, W, self.dim_out)
         return nn.Dense(self.dim_out, name="proj")(out)
 
