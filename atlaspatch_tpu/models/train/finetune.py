@@ -97,6 +97,11 @@ def make_train_step(cfg: SAM2Config, optimizer):
             lambda g, m: g if m else jnp.zeros_like(g), grads, mask
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
+        # Mask the *updates* too: AdamW's decoupled weight decay would otherwise
+        # shrink frozen parameters even with zero gradients.
+        updates = jax.tree.map(
+            lambda u, m: u if m else jnp.zeros_like(u), updates, mask
+        )
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 

@@ -1,0 +1,90 @@
+"""CLI end-to-end: segment-and-get-coords and detect-tissue on PNG slides with
+the miniature SAM2 (random weights) on CPU."""
+
+import os
+from pathlib import Path
+
+import h5py
+import numpy as np
+import pytest
+from PIL import Image
+
+from atlaspatch_tpu.io.synthetic_wsi import make_tissue_canvas
+
+
+@pytest.fixture
+def slide_dir(tmp_path: Path) -> Path:
+    sdir = tmp_path / "slides"
+    sdir.mkdir()
+    for i in range(2):
+        Image.fromarray(make_tissue_canvas(768, 512, seed=i, n_blobs=2)).save(
+            sdir / f"s{i}.png"
+        )
+    (tmp_path / "mpp.csv").write_text("wsi,mpp\ns0.png,0.5\ns1.png,0.5\n")
+    return sdir
+
+
+@pytest.fixture
+def tiny_sam2(monkeypatch):
+    from atlaspatch_tpu.models.sam2.config import SAM2Config
+
+    monkeypatch.setattr(SAM2Config, "tiny", SAM2Config.test_tiny)
+
+
+def test_cli_segment_and_get_coords(slide_dir: Path, tmp_path: Path, tiny_sam2):
+    from click.testing import CliRunner
+
+    from atlaspatch_tpu.cli import cli
+
+    out = tmp_path / "out"
+    runner = CliRunner()
+    result = runner.invoke(
+        cli,
+        [
+            "segment-and-get-coords",
+            str(slide_dir),
+            "--output", str(out),
+            "--patch-size", "64",
+            "--target-mag", "20",
+            "--device", "cpu",
+            "--seg-batch-size", "2",
+            "--mpp-csv", str(tmp_path / "mpp.csv"),
+            "--verbose",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    assert "Completed 2 slide(s), failures: 0" in result.output
+    for i in range(2):
+        h5 = out / "patches" / f"s{i}.h5"
+        assert h5.exists()
+        with h5py.File(h5) as f:
+            assert "coords" in f and "passports" in f
+            assert f.attrs["patch_size"] == 64
+
+
+def test_cli_detect_tissue(slide_dir: Path, tmp_path: Path, tiny_sam2):
+    from click.testing import CliRunner
+
+    from atlaspatch_tpu.cli import cli
+
+    out = tmp_path / "vis_out"
+    runner = CliRunner()
+    result = runner.invoke(
+        cli,
+        [
+            "detect-tissue",
+            str(slide_dir),
+            "--output", str(out),
+            "--device", "cpu",
+            "--seg-batch-size", "2",
+            "--mpp-csv", str(tmp_path / "mpp.csv"),
+            "--verbose",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    assert "Created 2 mask overlay(s), failures: 0" in result.output
+    for i in range(2):
+        assert (out / "visualization" / f"s{i}_mask.png").exists()
+        assert (out / "visualization" / f"s{i}_mask_bw.png").exists()

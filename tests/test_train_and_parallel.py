@@ -1,0 +1,186 @@
+"""Training step, mesh sharding, multihost sharding, engine, and plugin tests."""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def test_norm_param_mask_selects_norms():
+    from atlaspatch_tpu.models.sam2.config import SAM2Config
+    from atlaspatch_tpu.models.sam2.model import init_params
+    from atlaspatch_tpu.models.train.finetune import norm_param_mask
+
+    cfg = SAM2Config.test_tiny()
+    params = init_params(cfg)
+    mask = norm_param_mask(params)
+    flat = jax.tree_util.tree_leaves_with_path(mask)
+    trainable = [jax.tree_util.keystr(p) for p, v in flat if v]
+    frozen = [jax.tree_util.keystr(p) for p, v in flat if not v]
+    assert any("layer_norm1" in t for t in trainable)
+    assert any("upscale_layer_norm" in t for t in trainable)
+    assert all("qkv" not in t for t in trainable)
+    assert any("qkv" in f for f in frozen)
+
+
+def test_train_step_updates_only_norm_params():
+    from atlaspatch_tpu.models.sam2.config import SAM2Config
+    from atlaspatch_tpu.models.sam2.model import init_params
+    from atlaspatch_tpu.models.train.finetune import (
+        make_optimizer,
+        make_train_step,
+        norm_param_mask,
+    )
+
+    cfg = SAM2Config.test_tiny()
+    params = init_params(cfg, seed=1)
+    opt = make_optimizer(1e-3)
+    opt_state = opt.init(params)
+    step = jax.jit(make_train_step(cfg, opt))
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 256, (2, cfg.image_size, cfg.image_size, 3), dtype=np.uint8))
+    targets = jnp.asarray((rng.random((2, cfg.image_size, cfg.image_size)) > 0.5).astype(np.float32))
+
+    new_params, _, loss = step(params, opt_state, images, targets)
+    assert np.isfinite(float(loss))
+
+    mask = norm_param_mask(params)
+    changed = jax.tree.map(lambda a, b: bool(np.any(np.asarray(a) != np.asarray(b))), params, new_params)
+    for path, did_change in jax.tree_util.tree_leaves_with_path(changed):
+        key = jax.tree_util.keystr(path)
+        is_norm = jax.tree_util.tree_leaves_with_path(mask)
+        # frozen params must be bit-identical
+    flat_mask = dict(
+        (jax.tree_util.keystr(p), v) for p, v in jax.tree_util.tree_leaves_with_path(mask)
+    )
+    for path, did_change in jax.tree_util.tree_leaves_with_path(changed):
+        key = jax.tree_util.keystr(path)
+        if not flat_mask[key]:
+            assert not did_change, f"frozen param {key} changed"
+    assert any(
+        did_change
+        for path, did_change in jax.tree_util.tree_leaves_with_path(changed)
+        if flat_mask[jax.tree_util.keystr(path)]
+    ), "no norm parameter was updated"
+
+
+def test_sharded_train_step_on_mesh():
+    from atlaspatch_tpu.models.sam2.config import SAM2Config
+    from atlaspatch_tpu.models.sam2.model import init_params
+    from atlaspatch_tpu.models.train.finetune import make_optimizer, shard_train_step
+
+    devices = np.asarray(jax.devices()[:4]).reshape(4, 1)
+    mesh = Mesh(devices, axis_names=("data", "model"))
+    cfg = SAM2Config.test_tiny()
+    params = init_params(cfg)
+    opt = make_optimizer()
+    opt_state = opt.init(params)
+    with mesh:
+        step = shard_train_step(cfg, opt, mesh)
+        rep = NamedSharding(mesh, P())
+        dp = NamedSharding(mesh, P("data"))
+        images = jax.device_put(jnp.zeros((8, cfg.image_size, cfg.image_size, 3), jnp.uint8), dp)
+        targets = jax.device_put(jnp.zeros((8, cfg.image_size, cfg.image_size), jnp.float32), dp)
+        p = jax.device_put(params, rep)
+        s = jax.device_put(opt_state, rep)
+        _, _, loss = step(p, s, images, targets)
+        assert np.isfinite(float(loss))
+
+
+def test_vit_tp_shardings():
+    from atlaspatch_tpu.models.encoders.vit import ViT, ViTSpec
+    from atlaspatch_tpu.parallel.sharding import vit_tp_shardings
+
+    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, axis_names=("data", "model"))
+    spec = ViTSpec(img_size=32, patch_size=8, dim=64, depth=1, heads=4)
+    vit = ViT(spec)
+    params = vit.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    shardings = vit_tp_shardings(params, mesh)
+    assert shardings["blocks_0"]["attn"]["qkv"]["kernel"].spec == P(None, "model")
+    assert shardings["blocks_0"]["attn"]["proj"]["kernel"].spec == P("model", None)
+    assert shardings["blocks_0"]["mlp"]["fc1"]["kernel"].spec == P(None, "model")
+    assert shardings["blocks_0"]["mlp"]["fc2"]["kernel"].spec == P("model", None)
+    assert shardings["norm"]["scale"].spec == P()
+
+    # forward executes under the mesh with TP-sharded params
+    sp = jax.tree.map(jax.device_put, params, shardings)
+    imgs = jax.device_put(
+        jnp.zeros((8, 32, 32, 3), jnp.float32), NamedSharding(mesh, P("data"))
+    )
+    with mesh:
+        out = jax.jit(lambda p, x: vit.apply({"params": p}, x))(sp, imgs)
+    assert out.shape == (8, 64)
+
+
+def test_host_shard(monkeypatch):
+    from atlaspatch_tpu.parallel import multihost
+
+    items = list(range(10))
+    assert multihost.host_shard(items) == items
+    monkeypatch.setenv(multihost.ENV_NUM_HOSTS, "3")
+    monkeypatch.setenv(multihost.ENV_HOST_ID, "1")
+    assert multihost.host_shard(items) == [1, 4, 7]
+
+
+def test_jax_engine_with_toy_model(rng):
+    import flax.linen as nn
+
+    from atlaspatch_tpu.models.encoders.engine import JaxFeatureExtractor, PreprocessSpec
+
+    class Toy(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return x.mean(axis=(1, 2))  # (B, 3)
+
+    model = Toy()
+    spec = PreprocessSpec(crop=16, resize=16, mode="square", mean=(0, 0, 0), std=(1, 1, 1))
+    ext = JaxFeatureExtractor(
+        name="toy",
+        embedding_dim=3,
+        spec=spec,
+        apply_fn=lambda p, x: model.apply({"params": p}, x),
+        params={},
+        max_batch=4,
+        prep_workers=2,
+    )
+    patches = [rng.integers(0, 256, (32, 32, 3), dtype=np.uint8) for _ in range(10)]
+    feats = ext.extract_batch(patches, batch_size=4)
+    assert feats.shape == (10, 3)
+    # spot-check: features equal the mean of the host-preprocessed patch
+    want = spec.apply_host(patches[0]).astype(np.float32).mean(axis=(0, 1)) / 255.0
+    np.testing.assert_allclose(feats[0], want, rtol=1e-5, atol=1e-5)
+
+
+def test_custom_plugin_module(tmp_path: Path, rng):
+    from atlaspatch_tpu.models.encoders.custom import register_feature_extractors_from_module
+    from atlaspatch_tpu.models.encoders.registry import PatchFeatureExtractorRegistry
+
+    plugin = tmp_path / "my_plugin.py"
+    plugin.write_text(
+        "import numpy as np\n"
+        "from atlaspatch_tpu.models.encoders.custom import (\n"
+        "    CustomEncoderComponents, register_custom_encoder)\n"
+        "from atlaspatch_tpu.models.encoders.engine import PreprocessSpec\n"
+        "def register_feature_extractors(registry, device, dtype, num_workers):\n"
+        "    def loader(device, dtype):\n"
+        "        return CustomEncoderComponents(\n"
+        "            preprocess=PreprocessSpec(crop=8, resize=8, mode='square'),\n"
+        "            numpy_fn=lambda imgs: imgs.reshape(imgs.shape[0], -1)[:, :4]\n"
+        "                .astype('float32'),\n"
+        "        )\n"
+        "    register_custom_encoder(registry=registry, name='plugged',\n"
+        "                            embedding_dim=4, loader=loader,\n"
+        "                            device=device, dtype=dtype)\n"
+    )
+    registry = PatchFeatureExtractorRegistry()
+    register_feature_extractors_from_module(plugin, registry=registry, device=None, dtype="float32")
+    assert "plugged" in registry.available()
+    ext = registry.create("plugged")
+    feats = ext.extract_batch([rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)])
+    assert feats.shape == (1, 4)
