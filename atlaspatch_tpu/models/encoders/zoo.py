@@ -669,7 +669,7 @@ def _find_cached_weights(entry: EncoderEntry) -> Path | None:
     """Search ATLASPATCH_WEIGHTS_DIR and the HF hub cache for this encoder."""
     wdir = os.environ.get("ATLASPATCH_WEIGHTS_DIR")
     if wdir:
-        for ext in (".safetensors", ".pt", ".pth", ".bin"):
+        for ext in (".npz", ".safetensors", ".pt", ".pth", ".bin"):
             cand = Path(wdir) / f"{entry.name}{ext}"
             if cand.exists():
                 return cand
@@ -816,13 +816,19 @@ def build_extractor(
     weights_path = _find_cached_weights(entry)
     if weights_path is not None:
         logger.info("Loading %s weights from %s", entry.name, weights_path)
-        params = _convert(entry, _load_state_dict(weights_path))
+        if weights_path.suffix == ".npz":
+            from atlaspatch_tpu.tools.convert_weights import unflatten
+
+            params = unflatten(dict(np.load(weights_path)))
+        else:
+            params = _convert(entry, _load_state_dict(weights_path))
         params = jax.tree.map(lambda a: jnp.asarray(np.asarray(a), jnp.float32), params)
     elif os.environ.get("ATLASPATCH_ALLOW_RANDOM_WEIGHTS") == "1":
         logger.warning("No weights for %s; using deterministic random init.", entry.name)
         size = entry.preprocess.crop
         dummy = jnp.zeros((1, size, size, 3), jnp.float32)
-        params = model.init(jax.random.PRNGKey(0), dummy)["params"]
+        init_fn = jax.jit(lambda key: model.init(key, dummy))
+        params = init_fn(jax.random.PRNGKey(0))["params"]
     else:
         raise RuntimeError(
             f"No cached weights found for encoder '{entry.name}' (source: {entry.source}). "

@@ -119,5 +119,7 @@ def init_params(cfg: SAM2Config, seed: int = 0):
     model = SAM2ImageModel(cfg)
     dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
     boxes = jnp.zeros((1, 1, 4), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(seed), dummy, boxes)
-    return variables["params"]
+    # jit the whole init: eager init dispatches every op as its own tiny
+    # program, which is pathological on remote-compile TPU backends.
+    init_fn = jax.jit(lambda key: model.init(key, dummy, boxes))
+    return init_fn(jax.random.PRNGKey(seed))["params"]

@@ -101,13 +101,20 @@ def reference_attention(q, k, v, sm_scale=None):
 def attention(q, k, v, sm_scale=None, *, min_tokens: int = 1024):
     """Dispatch: Pallas flash attention on TPU for long sequences, jnp otherwise.
 
-    Q tokens and head dim must tile cleanly (T % 128 == 0, D % 128 == 0 — the
-    SAM2 global blocks satisfy neither for D (96); those pad the head dim with
-    zeros, which changes nothing since the zero columns contribute nothing to
-    scores and outputs are sliced back."""
+    Opt-in via ATLASPATCH_FLASH_ATTENTION=1: some TPU toolchains (e.g. remote
+    Mosaic compile through a relay) compile custom kernels very slowly, and the
+    XLA attention is already fast at SAM2's sizes — the kernel is there for
+    environments where it wins.
+
+    Q tokens and head dim must tile cleanly (T % 128 == 0); head dims that
+    aren't multiples of 128 (SAM2 global blocks use 96) are zero-padded, which
+    changes nothing since zero columns contribute nothing to scores."""
+    import os
+
     B, H, Tq, D = q.shape
     use_pallas = (
-        jax.default_backend() == "tpu"
+        os.environ.get("ATLASPATCH_FLASH_ATTENTION") == "1"
+        and jax.default_backend() == "tpu"
         and Tq >= min_tokens
         and Tq % 128 == 0
         and k.shape[2] % 128 == 0

@@ -179,8 +179,49 @@ class ProcessingRunner:
         except (FileNotFoundError, OSError):
             pass
 
+    # --- batch preparation (host stage, runs on the prefetch thread) ---------------
+    def _prepare_batch(
+        self,
+        batch: Sequence[Slide],
+        results: list,
+        failures: list,
+        progress,
+        tracker: InflightTracker,
+        allow_inflight: int,
+    ):
+        """Skip/lock/open a batch and (when the service supports it) render its
+        thumbnails — overlapped with the device stage of the previous batch."""
+        tracker.wait_until_at_most(limit=allow_inflight)
+        opened: list[tuple[Slide, IWSI, int | None, Path]] = []
+        for slide in batch:
+            if self._handle_existing_slide(slide, results, progress):
+                continue
+            fd, lock_path = self._acquire_lock(slide)
+            if fd is None:
+                logger.info("Skipping %s (locked by another process).", slide.path.name)
+                progress.update(1)
+                continue
+            try:
+                opened.append((slide, self.wsi_loader.open(slide), fd, lock_path))
+            except Exception as e:  # noqa: BLE001
+                failures.append((slide, e))
+                logger.error("Failed to open %s: %s", slide.path.name, e)
+                self._release_lock(fd, lock_path)
+                progress.update(1)
+
+        thumbs = None
+        prepare = getattr(self.segmentation, "prepare_thumbnails", None)
+        if opened and callable(prepare):
+            try:
+                thumbs = prepare([w for _, w, _, _ in opened])
+            except Exception:  # noqa: BLE001 — fall back to the combined path
+                thumbs = None
+        return opened, thumbs
+
     # --- main loop -----------------------------------------------------------------
     def run(self) -> tuple[list[ExtractionResult], list[tuple[Slide, Exception | str]]]:
+        from concurrent.futures import ThreadPoolExecutor
+
         slides = self._attach_mpp(self.discover_slides())
         if not slides:
             logger.warning("No slides found to process.")
@@ -195,6 +236,10 @@ class ProcessingRunner:
         patch_workers = max(1, int(self.config.extraction.workers or os.cpu_count() or 4))
         batch_size = max(1, self.config.segmentation.batch_size)
         max_open_slides = max(1, int(self.config.extraction.max_open_slides or 200))
+        allow_inflight = max(0, max_open_slides - batch_size)
+
+        batches = list(_chunked(slides, batch_size))
+        prefetcher = ThreadPoolExecutor(max_workers=1, thread_name_prefix="batch-prep")
 
         with PatchExtractionExecutor(
             extractor=self.extractor,
@@ -204,26 +249,15 @@ class ProcessingRunner:
         ) as executor:
             tracker = InflightTracker(results=results, failures=failures, progress=progress)
 
-            for batch in _chunked(slides, batch_size):
-                allow_inflight = max(0, max_open_slides - batch_size)
-                tracker.wait_until_at_most(limit=allow_inflight)
+            prep_args = (results, failures, progress, tracker, allow_inflight)
+            prep_fut = prefetcher.submit(self._prepare_batch, batches[0], *prep_args)
 
-                opened: list[tuple[Slide, IWSI, int | None, Path]] = []
-                for slide in batch:
-                    if self._handle_existing_slide(slide, results, progress):
-                        continue
-                    fd, lock_path = self._acquire_lock(slide)
-                    if fd is None:
-                        logger.info("Skipping %s (locked by another process).", slide.path.name)
-                        progress.update(1)
-                        continue
-                    try:
-                        opened.append((slide, self.wsi_loader.open(slide), fd, lock_path))
-                    except Exception as e:  # noqa: BLE001
-                        failures.append((slide, e))
-                        logger.error("Failed to open %s: %s", slide.path.name, e)
-                        self._release_lock(fd, lock_path)
-                        progress.update(1)
+            for idx in range(len(batches)):
+                opened, thumbs = prep_fut.result()
+                if idx + 1 < len(batches):
+                    prep_fut = prefetcher.submit(
+                        self._prepare_batch, batches[idx + 1], *prep_args
+                    )
 
                 if not opened:
                     continue
@@ -231,11 +265,13 @@ class ProcessingRunner:
                 submitted: set[int] = set()
                 try:
                     wsis = [w for _, w, _, _ in opened]
-                    masks = (
-                        self.segmentation.segment_batch(wsis)
-                        if len(wsis) > 1
-                        else [self.segmentation.segment_thumbnail(wsis[0])]
-                    )
+                    segment_prepared = getattr(self.segmentation, "segment_thumbnails", None)
+                    if thumbs is not None and callable(segment_prepared):
+                        masks = segment_prepared(thumbs)
+                    elif len(wsis) > 1:
+                        masks = self.segmentation.segment_batch(wsis)
+                    else:
+                        masks = [self.segmentation.segment_thumbnail(wsis[0])]
                 except Exception as e:  # noqa: BLE001
                     for slide, wsi, fd, path in opened:
                         failures.append((slide, e))
@@ -268,5 +304,6 @@ class ProcessingRunner:
 
             tracker.wait_until_at_most(limit=0)
 
+        prefetcher.shutdown(wait=True)
         progress.close()
         return results, failures

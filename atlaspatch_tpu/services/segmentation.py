@@ -226,16 +226,23 @@ class SAM2SegmentationService(SegmentationService):
             source_shape=(int(mask_arr.shape[0]), int(mask_arr.shape[1])),
         )
 
-    def segment_batch(self, wsis: Sequence[IWSI]) -> list[Mask]:
-        """Thumbnails on a host thread pool; one fused device batch for masks."""
+    def prepare_thumbnails(self, wsis: Sequence[IWSI]) -> list:
+        """Host stage: thumbnails on a thread pool. Split out so the runner can
+        overlap this with the device stage of the previous batch."""
         max_workers = min(8, len(wsis), os.cpu_count() or 8)
         with ThreadPoolExecutor(max_workers=max_workers, thread_name_prefix="thumb") as ex:
-            thumbs = list(ex.map(self._prepare_thumbnail, wsis))
+            return list(ex.map(self._prepare_thumbnail, wsis))
+
+    def segment_thumbnails(self, thumbs: Sequence) -> list[Mask]:
+        """Device stage: one fused batch over prepared thumbnails."""
         masks = self.predictor.predict_batch(thumbs, resize_to_input=True)
         return [
             Mask(data=m.astype(np.float32), source_shape=(int(m.shape[0]), int(m.shape[1])))
             for m in masks
         ]
+
+    def segment_batch(self, wsis: Sequence[IWSI]) -> list[Mask]:
+        return self.segment_thumbnails(self.prepare_thumbnails(wsis))
 
     def close(self) -> None:
         try:

@@ -64,16 +64,33 @@ def main() -> None:
 
     class BenchSegmentation(SAM2SegmentationService):
         """Times the true SAM2 device step; hands geometry a representative
-        tissue mask (random-weight logits have no structure)."""
+        tissue mask (random-weight logits have no structure). Thumbnails carry
+        through prepare_thumbnails so the runner's prefetch pipeline is
+        exercised as in production."""
+
+        _tissue_by_id: dict = {}
+
+        @staticmethod
+        def _tissue_of(thumb):
+            return (np.asarray(thumb.convert("L"), np.float32) < 220).astype(np.float32)
+
+        def prepare_thumbnails(self, wsis):
+            thumbs = super().prepare_thumbnails(wsis)
+            for t in thumbs:  # keyed per-thumbnail: prefetch thread safe
+                self._tissue_by_id[id(t)] = self._tissue_of(t)
+            return thumbs
+
+        def segment_thumbnails(self, thumbs):
+            super().segment_thumbnails(thumbs)  # timed device step
+            tissue = [self._tissue_by_id.pop(id(t), None) for t in thumbs]
+            tissue = [
+                tis if tis is not None else self._tissue_of(t)
+                for tis, t in zip(tissue, thumbs)
+            ]
+            return [Mask(data=tis, source_shape=tis.shape) for tis in tissue]
 
         def segment_batch(self, wsis):
-            sam_masks = super().segment_batch(wsis)
-            out = []
-            for wsi, m in zip(wsis, sam_masks):
-                thumb = np.asarray(wsi.get_thumb((1024, 1024)).convert("L"), np.float32)
-                tissue = (thumb < 220).astype(np.float32)
-                out.append(Mask(data=tissue, source_shape=m.source_shape))
-            return out
+            return self.segment_thumbnails(self.prepare_thumbnails(wsis))
 
         def segment_thumbnail(self, wsi):
             return self.segment_batch([wsi])[0]
