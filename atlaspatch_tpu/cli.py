@@ -82,6 +82,11 @@ _COMMON_OPTIONS: list = [
                  help="Skip existing H5."),
     click.option("--sam2-checkpoint", type=click.Path(exists=True), default=None,
                  help="Path to a SAM2 checkpoint (.pth/.safetensors)."),
+    click.option("--seg-precision",
+                 type=click.Choice(["float32", "bfloat16"], case_sensitive=False),
+                 default="float32", show_default=True,
+                 help="Segmentation compute precision (bfloat16 = faster, "
+                      "hairline mask-boundary differences)."),
     click.option("--verbose", "-v", is_flag=True, help="Enable debug logging."),
 ]
 
@@ -131,6 +136,7 @@ def _build_app_config(kw: dict, feature_cfg: FeatureExtractionConfig | None) -> 
             checkpoint_path=Path(kw["sam2_checkpoint"]) if kw.get("sam2_checkpoint") else None,
             device=kw["device"].lower(),
             batch_size=kw["seg_batch_size"],
+            precision=kw.get("seg_precision", "float32").lower(),
         ),
         extraction=ExtractionConfig(
             patch_size=kw["patch_size"],

@@ -72,6 +72,10 @@ class SegmentationConfig:
     thumbnail_max: int = 1024
     batch_size: int = 1
     mask_threshold: float = 0.0
+    # float32 (default) for strict reference parity; bfloat16 runs the trunk on
+    # the MXU's native reduced precision (~2-4x faster; boundary pixels may
+    # differ by a hair).
+    precision: str = "float32"
 
     def validated(self) -> "SegmentationConfig":
         if self.checkpoint_path is not None and not Path(self.checkpoint_path).exists():
@@ -81,6 +85,12 @@ class SegmentationConfig:
         self.device = normalize_device(str(self.device))
         _ensure_positive(self.thumbnail_max, "thumbnail_max")
         _ensure_positive(self.batch_size, "segmentation batch_size")
+        prec = str(self.precision).lower()
+        if prec == "float16":
+            prec = "bfloat16"
+        if prec not in ("float32", "bfloat16"):
+            raise ValueError(f"segmentation precision must be float32/bfloat16, got {self.precision}")
+        self.precision = prec
         return self
 
 

@@ -629,15 +629,18 @@ def build_entries() -> list[EncoderEntry]:
     )
 
     # --- remaining special towers --------------------------------------------------
+    from atlaspatch_tpu.models.encoders.beit3 import Beit3Spec
+
     e.append(
         EncoderEntry(
             "musk",
             "beit3",
             1024,
             _pre(384, mode="square", interp="bicubic", norm=HALF),
+            spec=Beit3Spec(),  # BEiT3-large @384, Inception norm (musk.py:12-85)
             source="xiangjx/musk",
-            implemented=False,
-            notes="BEiT3 multiway tower pending",
+            notes="single-scale global CLS embedding; ms_aug TTA aggregation and "
+            "checkpoint naming verified at load",
         )
     )
     from atlaspatch_tpu.models.encoders.swin import SwinSpec
@@ -762,6 +765,10 @@ def _convert(entry: EncoderEntry, sd: dict) -> dict:
         from atlaspatch_tpu.models.encoders.coca import conch_v1_to_flax
 
         return conch_v1_to_flax(sd, entry.spec)
+    if family == "beit3":
+        from atlaspatch_tpu.models.encoders.beit3 import musk_beit3_to_flax
+
+        return musk_beit3_to_flax(sd, entry.spec)
     raise NotImplementedError(f"no converter for family {family}")
 
 
@@ -794,6 +801,10 @@ def _model_for(entry: EncoderEntry):
         from atlaspatch_tpu.models.encoders.coca import CoCaVisual
 
         return CoCaVisual(entry.spec)
+    if entry.family == "beit3":
+        from atlaspatch_tpu.models.encoders.beit3 import Beit3Vision
+
+        return Beit3Vision(entry.spec)
     raise NotImplementedError(entry.family)
 
 

@@ -84,11 +84,15 @@ def segment_step(cfg: SAM2Config, params, images_u8: jnp.ndarray) -> jnp.ndarray
     torch-parity bilinear interpolation.
     """
     model = SAM2ImageModel(cfg)
-    pixels = normalize_images(cfg, images_u8)
+    # Compute dtype follows the parameters (float32 for parity; bfloat16 when
+    # the predictor loaded reduced-precision params).
+    param_dtype = jax.tree_util.tree_leaves(params)[0].dtype
+    pixels = normalize_images(cfg, images_u8).astype(param_dtype)
     B = images_u8.shape[0]
     box = jnp.asarray([[0.0, 0.0, cfg.image_size, cfg.image_size]], dtype=jnp.float32)
     boxes = jnp.broadcast_to(box[None], (B, 1, 4))
     masks, _iou, _obj = model.apply({"params": params}, pixels, boxes, multimask_output=False)
+    masks = masks.astype(jnp.float32)
     low_res = masks[:, 0, 0]  # (B, S4, S4)
     logits = interpolate_torch(
         low_res[..., None], (cfg.image_size, cfg.image_size), "bilinear"

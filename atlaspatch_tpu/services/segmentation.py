@@ -105,6 +105,8 @@ class SAM2Predictor:
                 _ENV_CHECKPOINT,
             )
             params = init_params(self.sam2_cfg)
+        if getattr(self.cfg, "precision", "float32") == "bfloat16":
+            params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
         return jax.device_put(params, self._device)
 
     # --- input/output resizing (host, PIL semantics as in the reference) -----------
