@@ -1,0 +1,83 @@
+"""Encoder zoo registry sanity: every reference name present, dims correct,
+models constructible, small towers initialize and run."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from atlaspatch_tpu.models.encoders.zoo import ENTRIES, ZOO_STATUS, _model_for, build_default_registry
+
+# The 66 names the reference registers (SURVEY.md §2 rows 20-44).
+REFERENCE_NAMES = {
+    "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
+    "convnext_tiny", "convnext_small", "convnext_base", "convnext_large",
+    "vit_b_16", "vit_b_32", "vit_l_16", "vit_l_32", "vit_h_14",
+    "dinov2_small", "dinov2_base", "dinov2_large", "dinov2_giant",
+    "dinov3_vits16", "dinov3_vits16_plus", "dinov3_vitb16", "dinov3_vitl16",
+    "dinov3_vitl16_sat", "dinov3_vith16_plus", "dinov3_vit7b16", "dinov3_vit7b16_sat",
+    "clip_rn50", "clip_rn101", "clip_rn50x4", "clip_rn50x16", "clip_rn50x64",
+    "clip_vit_b_32", "clip_vit_b_16", "clip_vit_l_14", "clip_vit_l_14_336",
+    "conch_v1", "conch_v15", "omiclip",
+    "quilt_b_32", "quilt_b_16", "quilt_b_16_pmb",
+    "uni_v1", "uni_v2",
+    "lunit_resnet50_bt", "lunit_resnet50_swav", "lunit_resnet50_mocov2",
+    "lunit_vit_small_patch16_dino", "lunit_vit_small_patch8_dino",
+    "plip", "medsiglip", "musk", "openmidnight", "pathorchestra",
+    "h_optimus_0", "h_optimus_1", "h0_mini",
+    "hibou_b", "hibou_l", "biomedclip",
+    "phikon_v1", "phikon_v2", "virchow_v1", "virchow_v2",
+    "prov_gigapath", "midnight", "chief-ctranspath",
+}
+
+REFERENCE_DIMS = {
+    "resnet18": 512, "resnet50": 2048, "convnext_tiny": 768, "convnext_large": 1536,
+    "vit_b_16": 768, "vit_h_14": 1280, "dinov2_small": 384, "dinov2_giant": 1536,
+    "dinov3_vit7b16": 4096, "clip_rn50": 1024, "clip_rn50x4": 640,
+    "clip_vit_b_16": 512, "clip_vit_l_14": 768, "conch_v1": 512, "conch_v15": 768,
+    "omiclip": 768, "quilt_b_16": 512, "uni_v1": 1024, "uni_v2": 1536,
+    "lunit_resnet50_bt": 2048, "lunit_vit_small_patch16_dino": 384,
+    "plip": 512, "medsiglip": 1152, "musk": 1024, "openmidnight": 1536,
+    "pathorchestra": 1024, "h_optimus_0": 1536, "h0_mini": 1536,
+    "hibou_b": 768, "hibou_l": 1024, "biomedclip": 512, "phikon_v1": 768,
+    "phikon_v2": 1024, "virchow_v1": 2560, "virchow_v2": 2560,
+    "prov_gigapath": 1536, "midnight": 3072, "chief-ctranspath": 768,
+}
+
+
+def test_all_reference_names_registered():
+    assert set(ENTRIES.keys()) == REFERENCE_NAMES
+    assert len(ENTRIES) == 66
+    assert ZOO_STATUS["pending"] == []
+
+
+def test_embedding_dims():
+    for name, dim in REFERENCE_DIMS.items():
+        assert ENTRIES[name].embedding_dim == dim, name
+
+
+def test_all_models_constructible():
+    for name, entry in ENTRIES.items():
+        model = _model_for(entry)
+        assert model is not None, name
+
+
+def test_registry_builds_and_lists():
+    registry = build_default_registry(device="cpu")
+    assert sorted(registry.available()) == sorted(REFERENCE_NAMES)
+
+
+@pytest.mark.parametrize("name", ["resnet18", "lunit_vit_small_patch16_dino", "chief-ctranspath"])
+def test_small_towers_forward(name, monkeypatch):
+    """Init + forward for small towers (random weights) produces correct dims."""
+    monkeypatch.setenv("ATLASPATCH_ALLOW_RANDOM_WEIGHTS", "1")
+    from atlaspatch_tpu.models.encoders.zoo import build_extractor
+
+    entry = ENTRIES[name]
+    ext = build_extractor(entry, device=jax.devices("cpu")[0], max_batch=2)
+    rng = np.random.default_rng(0)
+    patches = [rng.integers(0, 256, (64, 64, 3), dtype=np.uint8) for _ in range(2)]
+    feats = ext.extract_batch(patches, batch_size=2)
+    assert feats.shape == (2, entry.embedding_dim)
+    assert np.isfinite(feats).all()
+    ext.cleanup()
