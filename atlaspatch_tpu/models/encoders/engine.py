@@ -94,6 +94,10 @@ class JaxFeatureExtractor(FeatureExtractor):
     """Runs a Flax apply function over preprocessed patch batches on device.
 
     apply_fn(params, images_f32_nhwc) -> (N, D) features.
+
+    With a `mesh` (axes ('data','model')), batches shard over 'data' and params
+    follow `param_shardings` (replicated by default; pass tensor-parallel
+    shardings from parallel/sharding.py for ViT-g-class encoders).
     """
 
     name: str
@@ -102,6 +106,8 @@ class JaxFeatureExtractor(FeatureExtractor):
     apply_fn: Callable
     params: dict
     device: object | None = None
+    mesh: object | None = None
+    param_shardings: object | None = None
     compute_dtype: str = "float32"
     max_batch: int = 256
     prep_workers: int = 8
@@ -109,10 +115,22 @@ class JaxFeatureExtractor(FeatureExtractor):
 
     def __post_init__(self) -> None:
         import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        if self.device is None:
-            self.device = jax.devices()[0]
-        self.params = jax.device_put(self.params, self.device)
+        if self.mesh is not None:
+            if self.param_shardings is None:
+                replicated = NamedSharding(self.mesh, P())
+                self.param_shardings = jax.tree.map(lambda _: replicated, self.params)
+            self.params = jax.tree.map(jax.device_put, self.params, self.param_shardings)
+            self._data_sharding = NamedSharding(self.mesh, P("data"))
+            # pad batches to a multiple of the data axis
+            self._batch_align = int(self.mesh.shape["data"])
+        else:
+            if self.device is None:
+                self.device = jax.devices()[0]
+            self.params = jax.device_put(self.params, self.device)
+            self._data_sharding = None
+            self._batch_align = 1
 
     def _forward_async(self, images_u8: np.ndarray):
         """Dispatch the jitted program; returns the device array (not fetched)."""
@@ -134,8 +152,14 @@ class JaxFeatureExtractor(FeatureExtractor):
                 out = self.apply_fn(params, x)
                 return out.astype(jnp.float32)
 
-            fn = jax.jit(run)
+            if self._data_sharding is not None:
+                fn = jax.jit(run, out_shardings=self._data_sharding)
+            else:
+                fn = jax.jit(run)
             self._jitted[shape] = fn
+        if self._data_sharding is not None:
+            images = jax.device_put(images_u8, self._data_sharding)
+            return fn(self.params, images)
         with jax.default_device(self.device):
             return fn(self.params, images_u8)
 
@@ -173,6 +197,8 @@ class JaxFeatureExtractor(FeatureExtractor):
                 imgs = prep_chunk(ex, chunk)
                 n = imgs.shape[0]
                 padded = _bucket(n, bs)
+                if self._batch_align > 1:
+                    padded = -(-padded // self._batch_align) * self._batch_align
                 if padded != n:
                     imgs = np.concatenate(
                         [imgs, np.zeros((padded - n, *imgs.shape[1:]), imgs.dtype)]

@@ -812,6 +812,8 @@ def build_extractor(
     entry: EncoderEntry,
     *,
     device=None,
+    mesh=None,
+    tensor_parallel: bool = False,
     compute_dtype: str = "float32",
     max_batch: int = 256,
 ) -> JaxFeatureExtractor:
@@ -850,6 +852,12 @@ def build_extractor(
     def apply_fn(p, x):
         return model.apply({"params": p}, x)
 
+    param_shardings = None
+    if mesh is not None and tensor_parallel:
+        from atlaspatch_tpu.parallel.sharding import vit_tp_shardings
+
+        param_shardings = vit_tp_shardings(params, mesh)
+
     return JaxFeatureExtractor(
         name=entry.name,
         embedding_dim=entry.embedding_dim,
@@ -857,6 +865,8 @@ def build_extractor(
         apply_fn=apply_fn,
         params=params,
         device=device,
+        mesh=mesh,
+        param_shardings=param_shardings,
         compute_dtype=compute_dtype,
         max_batch=max_batch,
     )

@@ -1,0 +1,61 @@
+"""Mesh-sharded embedding engine: data-parallel and tensor-parallel paths on
+the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from atlaspatch_tpu.models.encoders.engine import JaxFeatureExtractor, PreprocessSpec
+from atlaspatch_tpu.models.encoders.vit import ViT, ViTSpec
+from atlaspatch_tpu.parallel.sharding import vit_tp_shardings
+
+
+def _toy_vit():
+    spec = ViTSpec(img_size=16, patch_size=8, dim=32, depth=1, heads=4, pool="cls")
+    model = ViT(spec)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))["params"]
+    return model, params, spec
+
+
+def _make_ext(model, params, mesh=None, shardings=None):
+    return JaxFeatureExtractor(
+        name="toy-vit",
+        embedding_dim=32,
+        spec=PreprocessSpec(crop=16, resize=16, mode="square", mean=(0, 0, 0), std=(1, 1, 1)),
+        apply_fn=lambda p, x: model.apply({"params": p}, x),
+        params=params,
+        mesh=mesh,
+        param_shardings=shardings,
+        max_batch=8,
+        prep_workers=2,
+    )
+
+
+def test_dp_mesh_matches_single_device(rng):
+    model, params, _ = _toy_vit()
+    patches = [rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(13)]
+
+    single = _make_ext(model, params).extract_batch(patches, batch_size=8)
+
+    devices = np.asarray(jax.devices()[:8]).reshape(8, 1)
+    mesh = Mesh(devices, axis_names=("data", "model"))
+    dp = _make_ext(model, params, mesh=mesh).extract_batch(patches, batch_size=8)
+
+    assert dp.shape == (13, 32)
+    np.testing.assert_allclose(dp, single, rtol=1e-5, atol=1e-5)
+
+
+def test_tp_mesh_matches_single_device(rng):
+    model, params, _ = _toy_vit()
+    patches = [rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(8)]
+
+    single = _make_ext(model, params).extract_batch(patches, batch_size=8)
+
+    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, axis_names=("data", "model"))
+    shardings = vit_tp_shardings(params, mesh)
+    tp = _make_ext(model, params, mesh=mesh, shardings=shardings).extract_batch(
+        patches, batch_size=8
+    )
+    np.testing.assert_allclose(tp, single, rtol=1e-5, atol=1e-5)
