@@ -218,6 +218,66 @@ class ProcessingRunner:
                 thumbs = None
         return opened, thumbs
 
+    # --- segmentation dispatch / batch completion ------------------------------------
+    def _dispatch_segmentation(self, opened, thumbs, failures, progress):
+        """Start segmentation for a batch; returns a zero-arg resolve() → masks,
+        or None when dispatch itself failed (failures recorded)."""
+        try:
+            wsis = [w for _, w, _, _ in opened]
+            seg_async = getattr(self.segmentation, "segment_thumbnails_async", None)
+            if thumbs is not None and callable(seg_async):
+                return seg_async(thumbs)
+            if len(wsis) > 1:
+                masks = self.segmentation.segment_batch(wsis)
+            else:
+                masks = [self.segmentation.segment_thumbnail(wsis[0])]
+            return lambda: masks
+        except Exception as e:  # noqa: BLE001
+            for slide, wsi, fd, path in opened:
+                failures.append((slide, e))
+                logger.error("Segmentation failed for %s: %s", slide.path.name, e)
+                try:
+                    wsi.cleanup()
+                except Exception:
+                    pass
+                self._release_lock(fd, path)
+                progress.update(1)
+            return None
+
+    def _finish_batch(self, pending, executor, tracker, failures, progress) -> None:
+        """Resolve a dispatched batch's masks and hand slides to extraction."""
+        opened, resolve = pending
+        submitted: set[int] = set()
+        try:
+            masks = resolve()
+        except Exception as e:  # noqa: BLE001
+            for slide, wsi, fd, path in opened:
+                failures.append((slide, e))
+                logger.error("Segmentation failed for %s: %s", slide.path.name, e)
+                progress.update(1)
+        else:
+            for (slide, wsi, lock_fd, lock_path), mask in zip(opened, masks):
+                fut = executor.submit(
+                    ExtractionTask(
+                        slide=slide,
+                        wsi=wsi,
+                        mask=mask.data,
+                        lock_fd=lock_fd,
+                        lock_path=lock_path,
+                    )
+                )
+                tracker.add(fut, slide)
+                submitted.add(id(wsi))
+        finally:
+            for _slide, wsi, lock_fd, lock_path in opened:
+                if id(wsi) in submitted:
+                    continue
+                try:
+                    wsi.cleanup()
+                except Exception:
+                    pass
+                self._release_lock(lock_fd, lock_path)
+
     # --- main loop -----------------------------------------------------------------
     def run(self) -> tuple[list[ExtractionResult], list[tuple[Slide, Exception | str]]]:
         from concurrent.futures import ThreadPoolExecutor
@@ -252,6 +312,10 @@ class ProcessingRunner:
             prep_args = (results, failures, progress, tracker, allow_inflight)
             prep_fut = prefetcher.submit(self._prepare_batch, batches[0], *prep_args)
 
+            # Three-stage pipeline: while the device segments batch i, the host
+            # (a) prepares batch i+1 (prefetch thread) and (b) fetches batch
+            # i-1's masks and submits its extraction.
+            pending: tuple[list, object] | None = None
             for idx in range(len(batches)):
                 opened, thumbs = prep_fut.result()
                 if idx + 1 < len(batches):
@@ -259,49 +323,17 @@ class ProcessingRunner:
                         self._prepare_batch, batches[idx + 1], *prep_args
                     )
 
-                if not opened:
-                    continue
+                resolve = None
+                if opened:
+                    resolve = self._dispatch_segmentation(opened, thumbs, failures, progress)
 
-                submitted: set[int] = set()
-                try:
-                    wsis = [w for _, w, _, _ in opened]
-                    segment_prepared = getattr(self.segmentation, "segment_thumbnails", None)
-                    if thumbs is not None and callable(segment_prepared):
-                        masks = segment_prepared(thumbs)
-                    elif len(wsis) > 1:
-                        masks = self.segmentation.segment_batch(wsis)
-                    else:
-                        masks = [self.segmentation.segment_thumbnail(wsis[0])]
-                except Exception as e:  # noqa: BLE001
-                    for slide, wsi, fd, path in opened:
-                        failures.append((slide, e))
-                        logger.error("Segmentation failed for %s: %s", slide.path.name, e)
-                        progress.update(1)
-                else:
-                    for (slide, wsi, lock_fd, lock_path), mask in zip(opened, masks):
-                        fut = executor.submit(
-                            ExtractionTask(
-                                slide=slide,
-                                wsi=wsi,
-                                mask=mask.data,
-                                lock_fd=lock_fd,
-                                lock_path=lock_path,
-                            )
-                        )
-                        tracker.add(fut, slide)
-                        submitted.add(id(wsi))
-                finally:
-                    for _slide, wsi, lock_fd, lock_path in opened:
-                        if id(wsi) in submitted:
-                            continue
-                        try:
-                            wsi.cleanup()
-                        except Exception:
-                            pass
-                        self._release_lock(lock_fd, lock_path)
+                if pending is not None:
+                    self._finish_batch(pending, executor, tracker, failures, progress)
+                    tracker.wait_until_at_most(limit=max_open_slides)
+                pending = (opened, resolve) if resolve is not None else None
 
-                tracker.wait_until_at_most(limit=max_open_slides)
-
+            if pending is not None:
+                self._finish_batch(pending, executor, tracker, failures, progress)
             tracker.wait_until_at_most(limit=0)
 
         prefetcher.shutdown(wait=True)

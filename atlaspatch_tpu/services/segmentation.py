@@ -151,26 +151,37 @@ class SAM2Predictor:
             out = np.asarray(logits)
         return out
 
+    def predict_masks_async(self, images_u8: np.ndarray):
+        """Dispatch the fused device program; returns the packed device array
+        WITHOUT fetching, so the caller can overlap the next batch's transfer
+        and compute with this batch's readback."""
+        import jax
+        import jax.numpy as jnp
+
+        from atlaspatch_tpu.models.sam2.model import segment_step_packed
+
+        with perf.stage("segment_dispatch"), jax.default_device(self._device):
+            return segment_step_packed(
+                self.sam2_cfg,
+                self.params,
+                jnp.asarray(images_u8),
+                jnp.float32(self.cfg.mask_threshold),
+            )
+
+    @staticmethod
+    def fetch_masks(packed_device) -> np.ndarray:
+        with perf.stage("segment_fetch"):
+            packed_np = np.asarray(packed_device)
+        return np.unpackbits(packed_np, axis=-1)
+
     def predict_masks(self, images_u8: np.ndarray) -> np.ndarray:
         """(B,1024,1024,3) uint8 → (B,1024,1024) uint8 binary masks.
 
         Thresholding happens on device and only packed bits cross the
         host link (models/sam2/model.py:segment_step_packed).
         """
-        import jax
-        import jax.numpy as jnp
-
-        from atlaspatch_tpu.models.sam2.model import segment_step_packed
-
-        with perf.stage("segment_device"), jax.default_device(self._device):
-            packed = segment_step_packed(
-                self.sam2_cfg,
-                self.params,
-                jnp.asarray(images_u8),
-                jnp.float32(self.cfg.mask_threshold),
-            )
-            packed_np = np.asarray(packed)
-        return np.unpackbits(packed_np, axis=-1)
+        with perf.stage("segment_device"):
+            return self.fetch_masks(self.predict_masks_async(images_u8))
 
     def predict_batch(
         self, images: Sequence, *, resize_to_input: bool = True
@@ -235,13 +246,42 @@ class SAM2SegmentationService(SegmentationService):
         with ThreadPoolExecutor(max_workers=max_workers, thread_name_prefix="thumb") as ex:
             return list(ex.map(self._prepare_thumbnail, wsis))
 
+    def segment_thumbnails_async(self, thumbs: Sequence):
+        """Dispatch the device stage; returns a zero-arg resolve() producing the
+        masks. The runner uses this to overlap batch i+1's transfer+compute
+        with batch i's readback and extraction submit."""
+        arrs, orig_shapes = [], []
+        for img in thumbs:
+            resized, orig = self.predictor._resize_input(self.predictor._normalize_input(img))
+            arrs.append(resized)
+            orig_shapes.append(orig)
+        n = len(arrs)
+        size = self.predictor.input_size
+        padded = _pad_to_pow2_batch(n, max_batch=max(self.cfg.batch_size, n))
+        batch = np.zeros((padded, size, size, 3), dtype=np.uint8)
+        batch[:n] = np.stack(arrs)
+        packed_dev = self.predictor.predict_masks_async(batch)
+
+        def resolve() -> list[Mask]:
+            bin_masks = self.predictor.fetch_masks(packed_dev)[:n]
+            out = []
+            for i in range(n):
+                mask = bin_masks[i].astype(np.float32)
+                if mask.shape[:2] != orig_shapes[i]:
+                    mask = self.predictor._resize_mask(mask, orig_shapes[i])
+                out.append(
+                    Mask(
+                        data=mask.astype(np.float32),
+                        source_shape=(int(mask.shape[0]), int(mask.shape[1])),
+                    )
+                )
+            return out
+
+        return resolve
+
     def segment_thumbnails(self, thumbs: Sequence) -> list[Mask]:
         """Device stage: one fused batch over prepared thumbnails."""
-        masks = self.predictor.predict_batch(thumbs, resize_to_input=True)
-        return [
-            Mask(data=m.astype(np.float32), source_shape=(int(m.shape[0]), int(m.shape[1])))
-            for m in masks
-        ]
+        return self.segment_thumbnails_async(thumbs)()
 
     def segment_batch(self, wsis: Sequence[IWSI]) -> list[Mask]:
         return self.segment_thumbnails(self.prepare_thumbnails(wsis))
