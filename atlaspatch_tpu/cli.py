@@ -82,6 +82,9 @@ _COMMON_OPTIONS: list = [
                  help="Skip existing H5."),
     click.option("--sam2-checkpoint", type=click.Path(exists=True), default=None,
                  help="Path to a SAM2 checkpoint (.pth/.safetensors)."),
+    click.option("--sam2-config", type=click.Path(exists=True), default=None,
+                 help="SAM2 architecture YAML (reference hydra format); "
+                      "defaults to the built-in hiera-tiny spec."),
     click.option("--seg-precision",
                  type=click.Choice(["float32", "bfloat16"], case_sensitive=False),
                  default="float32", show_default=True,
@@ -134,6 +137,7 @@ def _build_app_config(kw: dict, feature_cfg: FeatureExtractionConfig | None) -> 
         ),
         segmentation=SegmentationConfig(
             checkpoint_path=Path(kw["sam2_checkpoint"]) if kw.get("sam2_checkpoint") else None,
+            config_path=Path(kw["sam2_config"]) if kw.get("sam2_config") else None,
             device=kw["device"].lower(),
             batch_size=kw["seg_batch_size"],
             precision=kw.get("seg_precision", "float32").lower(),

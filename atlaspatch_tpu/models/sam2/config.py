@@ -75,6 +75,56 @@ class SAM2Config:
         return cls()
 
     @classmethod
+    def from_reference_yaml(cls, path) -> "SAM2Config":
+        """Build a config from the reference's hydra model YAML
+        (reference: atlas_patch/configs/sam2.1_hiera_t.yaml). Only the
+        image-prediction fields are read; video-only sections are ignored."""
+        import yaml
+
+        with open(path) as f:
+            doc = yaml.safe_load(f)
+        model = doc.get("model", doc)
+        enc = model.get("image_encoder", {})
+        trunk = enc.get("trunk", {})
+        neck = enc.get("neck", {})
+
+        kwargs: dict = {}
+        if "embed_dim" in trunk:
+            kwargs["hidden_size"] = int(trunk["embed_dim"])
+        if "stages" in trunk:
+            stages = tuple(int(s) for s in trunk["stages"])
+            kwargs["blocks_per_stage"] = stages
+            base = kwargs.get("hidden_size", 96)
+            kwargs["embed_dim_per_stage"] = tuple(base * 2**i for i in range(len(stages)))
+            base_heads = int(trunk.get("num_heads", 1))
+            kwargs["num_heads_per_stage"] = tuple(
+                base_heads * 2**i for i in range(len(stages))
+            )
+        if "global_att_blocks" in trunk:
+            kwargs["global_attention_blocks"] = tuple(
+                int(b) for b in trunk["global_att_blocks"]
+            )
+        if "window_pos_embed_bkg_spatial_size" in trunk:
+            kwargs["window_pos_embed_bkg_size"] = tuple(
+                int(v) for v in trunk["window_pos_embed_bkg_spatial_size"]
+            )
+        if "window_spec" in trunk:
+            kwargs["window_size_per_stage"] = tuple(int(v) for v in trunk["window_spec"])
+        if "d_model" in neck:
+            kwargs["fpn_hidden_size"] = int(neck["d_model"])
+        if "backbone_channel_list" in neck:
+            kwargs["backbone_channel_list"] = tuple(
+                int(c) for c in neck["backbone_channel_list"]
+            )
+        if "fpn_top_down_levels" in neck:
+            kwargs["fpn_top_down_levels"] = tuple(
+                int(v) for v in neck["fpn_top_down_levels"]
+            )
+        if "image_size" in model:
+            kwargs["image_size"] = int(model["image_size"])
+        return cls(**kwargs)
+
+    @classmethod
     def test_tiny(cls) -> "SAM2Config":
         """Miniature config for fast unit tests (same topology, tiny dims)."""
         return cls(

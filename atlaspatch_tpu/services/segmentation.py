@@ -55,7 +55,12 @@ class SAM2Predictor:
 
         setup_jax_cache()
         self.cfg = cfg
-        self.sam2_cfg = sam2_cfg or SAM2Config.tiny()
+        if sam2_cfg is not None:
+            self.sam2_cfg = sam2_cfg
+        elif cfg.config_path is not None:
+            self.sam2_cfg = SAM2Config.from_reference_yaml(cfg.config_path)
+        else:
+            self.sam2_cfg = SAM2Config.tiny()
         self.input_size = self.sam2_cfg.image_size
 
         platform = cfg.device.split(":")[0]
