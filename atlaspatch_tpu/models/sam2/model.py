@@ -101,6 +101,41 @@ def segment_step(cfg: SAM2Config, params, images_u8: jnp.ndarray) -> jnp.ndarray
 
 
 @partial(jax.jit, static_argnums=(0,))
+def segment_step_packed_from_thumbs(
+    cfg: SAM2Config, params, thumbs_u8: jnp.ndarray, threshold: jnp.ndarray
+):
+    """segment_step_packed with ON-DEVICE thumbnail upscaling.
+
+    thumbs_u8: (B, h, w, 3) uint8 at the thumbnail's native size — shipping
+    these instead of host-resized 1024² images shrinks the host→device
+    transfer by up to ~20×. The bilinear upscale to the model input runs on
+    device in float32 (same half-pixel mapping as the host PIL path, minus
+    PIL's uint8 intermediate rounding).
+    """
+    S = cfg.image_size
+    up = interpolate_torch(thumbs_u8.astype(jnp.float32), (S, S), "bilinear")
+    mean = jnp.asarray(cfg.pixel_mean, jnp.float32)
+    std = jnp.asarray(cfg.pixel_std, jnp.float32)
+    pixels = (up / 255.0 - mean) / std
+
+    model = SAM2ImageModel(cfg)
+    param_dtype = jax.tree_util.tree_leaves(params)[0].dtype
+    pixels = pixels.astype(param_dtype)
+    B = thumbs_u8.shape[0]
+    box = jnp.asarray([[0.0, 0.0, S, S]], dtype=jnp.float32)
+    boxes = jnp.broadcast_to(box[None], (B, 1, 4))
+    masks, _iou, _obj = model.apply({"params": params}, pixels, boxes, multimask_output=False)
+    low_res = masks[:, 0, 0].astype(jnp.float32)
+    logits = interpolate_torch(low_res[..., None], (S, S), "bilinear")[..., 0]
+    bits = (logits > threshold).astype(jnp.uint8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    packed = jnp.einsum(
+        "bswk,k->bsw", bits.reshape(B, S, S // 8, 8), weights, preferred_element_type=jnp.uint32
+    )
+    return packed.astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnums=(0,))
 def segment_step_packed(cfg: SAM2Config, params, images_u8: jnp.ndarray, threshold: jnp.ndarray):
     """segment_step + on-device thresholding and bit-packing.
 

@@ -173,6 +173,50 @@ class SAM2Predictor:
                 jnp.float32(self.cfg.mask_threshold),
             )
 
+    def predict_masks_grouped_async(self, arrs: Sequence[np.ndarray]):
+        """Dispatch native-size thumbnails grouped by shape; the bilinear
+        upscale to the model input runs ON DEVICE (host→device bytes shrink by
+        the thumbnail/model-size ratio — the dominant cost on slow host links).
+
+        Returns resolve() → list of (1024,1024) uint8 binary masks in input
+        order.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from atlaspatch_tpu.models.sam2.model import segment_step_packed_from_thumbs
+
+        groups: dict[tuple[int, int], list[int]] = {}
+        for i, a in enumerate(arrs):
+            groups.setdefault((a.shape[0], a.shape[1]), []).append(i)
+
+        handles = []
+        with perf.stage("segment_dispatch"), jax.default_device(self._device):
+            for (h, w), idxs in groups.items():
+                n = len(idxs)
+                padded = _pad_to_pow2_batch(n, max_batch=max(self.cfg.batch_size, n))
+                batch = np.zeros((padded, h, w, 3), dtype=np.uint8)
+                for j, i in enumerate(idxs):
+                    batch[j] = arrs[i]
+                packed = segment_step_packed_from_thumbs(
+                    self.sam2_cfg,
+                    self.params,
+                    jnp.asarray(batch),
+                    jnp.float32(self.cfg.mask_threshold),
+                )
+                handles.append((packed, idxs))
+
+        def resolve() -> list[np.ndarray]:
+            out: list[np.ndarray | None] = [None] * len(arrs)
+            with perf.stage("segment_fetch"):
+                for packed, idxs in handles:
+                    bits = np.unpackbits(np.asarray(packed), axis=-1)
+                    for j, i in enumerate(idxs):
+                        out[i] = bits[j]
+            return out  # type: ignore[return-value]
+
+        return resolve
+
     @staticmethod
     def fetch_masks(packed_device) -> np.ndarray:
         with perf.stage("segment_fetch"):
@@ -254,7 +298,36 @@ class SAM2SegmentationService(SegmentationService):
     def segment_thumbnails_async(self, thumbs: Sequence):
         """Dispatch the device stage; returns a zero-arg resolve() producing the
         masks. The runner uses this to overlap batch i+1's transfer+compute
-        with batch i's readback and extraction submit."""
+        with batch i's readback and extraction submit.
+
+        Default path ships native-size thumbnails and upscales on device
+        (predict_masks_grouped_async); ATLASPATCH_HOST_RESIZE=1 selects the
+        PIL host-resize path (bit-matches the reference's input chain).
+        """
+        if os.environ.get("ATLASPATCH_HOST_RESIZE") == "1":
+            return self._segment_thumbnails_async_host_resize(thumbs)
+
+        arrs = [self.predictor._normalize_input(img) for img in thumbs]
+        orig_shapes = [(a.shape[0], a.shape[1]) for a in arrs]
+        resolve_bits = self.predictor.predict_masks_grouped_async(arrs)
+
+        def resolve() -> list[Mask]:
+            out = []
+            for bits, orig in zip(resolve_bits(), orig_shapes):
+                mask = bits.astype(np.float32)
+                if mask.shape[:2] != orig:
+                    mask = self.predictor._resize_mask(mask, orig)
+                out.append(
+                    Mask(
+                        data=mask.astype(np.float32),
+                        source_shape=(int(mask.shape[0]), int(mask.shape[1])),
+                    )
+                )
+            return out
+
+        return resolve
+
+    def _segment_thumbnails_async_host_resize(self, thumbs: Sequence):
         arrs, orig_shapes = [], []
         for img in thumbs:
             resized, orig = self.predictor._resize_input(self.predictor._normalize_input(img))

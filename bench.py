@@ -27,8 +27,10 @@ from pathlib import Path
 
 import numpy as np
 
-N_SLIDES = 48
-SEG_BATCH = 8
+import os
+
+N_SLIDES = int(os.environ.get("ATLASPATCH_BENCH_SLIDES", "48"))
+SEG_BATCH = int(os.environ.get("ATLASPATCH_BENCH_SEG_BATCH", "8"))
 SLIDE_W, SLIDE_H = 4096, 3072
 BASELINE_SLIDES_PER_HOUR = 100 / 19 * 3600  # reference: 100 WSIs / ~19 s
 
@@ -138,6 +140,10 @@ def main() -> None:
         assert not failures, failures[:3]
         total_patches = sum(r.num_patches for r in results)
         assert len(results) == N_SLIDES and total_patches > 0
+
+    from atlaspatch_tpu.utils import perf
+
+    perf.log_report()  # per-stage breakdown when ATLASPATCH_PROFILE=1
 
     slides_per_hour = N_SLIDES / elapsed * 3600
     print(
