@@ -82,14 +82,22 @@ def main() -> None:
                 self._tissue_by_id[id(t)] = self._tissue_of(t)
             return thumbs
 
-        def segment_thumbnails(self, thumbs):
-            super().segment_thumbnails(thumbs)  # timed device step
+        def segment_thumbnails_async(self, thumbs):
+            inner_resolve = super().segment_thumbnails_async(thumbs)  # timed device path
             tissue = [self._tissue_by_id.pop(id(t), None) for t in thumbs]
             tissue = [
                 tis if tis is not None else self._tissue_of(t)
                 for tis, t in zip(tissue, thumbs)
             ]
-            return [Mask(data=tis, source_shape=tis.shape) for tis in tissue]
+
+            def resolve():
+                inner_resolve()  # wait for the real device masks (timed)
+                return [Mask(data=tis, source_shape=tis.shape) for tis in tissue]
+
+            return resolve
+
+        def segment_thumbnails(self, thumbs):
+            return self.segment_thumbnails_async(thumbs)()
 
         def segment_batch(self, wsis):
             return self.segment_thumbnails(self.prepare_thumbnails(wsis))
