@@ -652,7 +652,10 @@ static bool read_region_impl(const AtlasTiff* t, int level, int64_t x, int64_t y
   }
   const IFD& d = t->level_ifd(level);
   const int64_t W = (int64_t)d.width, H = (int64_t)d.height;
-  std::memset(out, 255, (size_t)(w * h * 3));  // background: white
+  // Out-of-bounds background: black, matching OpenSlide's read_region
+  // semantics (transparent RGBA -> black after RGB conversion), which the
+  // reference pipeline sees (openslide_wsi.py:198).
+  std::memset(out, 0, (size_t)(w * h * 3));
 
   int64_t cw = d.tiled ? (int64_t)d.tile_w : W;
   int64_t chh = d.tiled ? (int64_t)d.tile_h : (int64_t)d.rows_per_strip;

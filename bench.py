@@ -118,7 +118,10 @@ def main() -> None:
 
         cfg = AppConfig(
             processing=ProcessingConfig(input_path=in_dir),
-            segmentation=SegmentationConfig(device="tpu", batch_size=SEG_BATCH),
+            segmentation=SegmentationConfig(
+                device="tpu", batch_size=SEG_BATCH,
+                precision=os.environ.get("ATLASPATCH_BENCH_SEG_PRECISION", "float32"),
+            ),
             extraction=ExtractionConfig(patch_size=256, target_magnification=20,
                                         tissue_threshold=0.0),
             output=OutputConfig(output_root=out_root, skip_existing=False),
@@ -127,10 +130,12 @@ def main() -> None:
         seg = BenchSegmentation(cfg.segmentation)
         extractor = PatchExtractionService(cfg.extraction, cfg.output)
 
-        # Warmup: compile the SAM2 step for the batch shape.
-        warm = np.zeros((SEG_BATCH, 1024, 1024, 3), dtype=np.uint8)
-        seg.predictor.predict_masks(warm)
-        seg.predictor.predict_masks(warm)
+        # Warmup: compile the SAM2 step for the exact thumbnail shapes/batch
+        # the measurement uses (grouped native-size path).
+        warm_wsis = [slides[f"slide{i:03d}"] for i in range(min(SEG_BATCH, N_SLIDES))]
+        warm_thumbs = seg.prepare_thumbnails(warm_wsis)
+        seg.segment_thumbnails(warm_thumbs)
+        seg.segment_thumbnails(warm_thumbs)
 
         runner = ProcessingRunner(
             config=cfg,
