@@ -307,8 +307,17 @@ class SAM2SegmentationService(SegmentationService):
         if os.environ.get("ATLASPATCH_HOST_RESIZE") == "1":
             return self._segment_thumbnails_async_host_resize(thumbs)
 
+        size = self.predictor.input_size
         arrs = [self.predictor._normalize_input(img) for img in thumbs]
         orig_shapes = [(a.shape[0], a.shape[1]) for a in arrs]
+        # Device upscaling matches PIL only for UPSAMPLING; oversized thumbnails
+        # (possible when --thumbnail-max exceeds the model input) are resized on
+        # host with PIL's antialiased filter first.
+        arrs = [
+            a if (a.shape[0] <= size and a.shape[1] <= size)
+            else self.predictor._resize_input(a)[0]
+            for a in arrs
+        ]
         resolve_bits = self.predictor.predict_masks_grouped_async(arrs)
 
         def resolve() -> list[Mask]:
