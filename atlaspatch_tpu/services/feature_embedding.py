@@ -195,8 +195,23 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
             with h5py.File(result.h5_path, "r") as f:
                 coords = f["coords"][:]
 
+            # One-block-ahead read pipeline: while the device embeds block i,
+            # a background thread reads block i+1's pixels from the slide.
+            batch = max(1, int(self.feature_cfg.batch_size))
+            total_rows = int(coords.shape[0])
+            prefetcher = ThreadPoolExecutor(max_workers=1, thread_name_prefix="block-read")
+            pending: dict[int, object] = {}
+
+            def read_block(start: int) -> list:
+                stop = min(start + batch, total_rows)
+                return self._read_patch_block(wsi, coords[start:stop])
+
             def feature_fn(start: int, stop: int) -> np.ndarray:
-                patches = self._read_patch_block(wsi, coords[start:stop])
+                fut = pending.pop(start, None)
+                patches = fut.result() if fut is not None else read_block(start)
+                next_start = stop
+                if next_start < total_rows and next_start not in pending:
+                    pending[next_start] = prefetcher.submit(read_block, next_start)
                 return extractor.extract_batch(
                     patches, batch_size=self.feature_cfg.batch_size
                 )
@@ -214,15 +229,21 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
                 slide_stem=result.slide.stem,
                 wsi_path=str(wsi.path),
             )
-            writer.append_features(
-                output_path=result.h5_path,
-                feature_name=extractor.name,
-                feature_fn=feature_fn,
-                num_rows=int(coords.shape[0]),
-                feature_batch=self.feature_cfg.batch_size,
-                feature_attrs={"name": extractor.name, "embedding_dim": extractor.embedding_dim},
-                expected_total=result.num_patches,
-            )
+            try:
+                writer.append_features(
+                    output_path=result.h5_path,
+                    feature_name=extractor.name,
+                    feature_fn=feature_fn,
+                    num_rows=int(coords.shape[0]),
+                    feature_batch=self.feature_cfg.batch_size,
+                    feature_attrs={
+                        "name": extractor.name,
+                        "embedding_dim": extractor.embedding_dim,
+                    },
+                    expected_total=result.num_patches,
+                )
+            finally:
+                prefetcher.shutdown(wait=True)
             self._add_feature_to_cache(
                 result.h5_path, extractor.name, expected_total=result.num_patches
             )
