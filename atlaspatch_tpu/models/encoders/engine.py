@@ -191,8 +191,10 @@ class JaxFeatureExtractor(FeatureExtractor):
 
         chunks = [patches[i : i + bs] for i in range(0, len(patches), bs)]
         outputs: list[np.ndarray] = []
-        pending = None  # (device_array, n_valid)
-        with ThreadPoolExecutor(max_workers=self.prep_workers) as ex:
+        pending = None  # (dispatch_future, n_valid)
+        with ThreadPoolExecutor(max_workers=self.prep_workers) as ex, ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="h2d-dispatch"
+        ) as dispatcher:
             for chunk in chunks:
                 imgs = prep_chunk(ex, chunk)
                 n = imgs.shape[0]
@@ -203,14 +205,17 @@ class JaxFeatureExtractor(FeatureExtractor):
                     imgs = np.concatenate(
                         [imgs, np.zeros((padded - n, *imgs.shape[1:]), imgs.dtype)]
                     )
-                dev = self._forward_async(imgs)
+                # Dispatch (incl. the host→device transfer, which may be
+                # synchronous on tunneled backends) on its own thread so chunk
+                # i+1's upload overlaps chunk i's compute + readback.
+                dev_fut = dispatcher.submit(self._forward_async, imgs)
                 if pending is not None:
-                    prev_dev, prev_n = pending
-                    outputs.append(np.asarray(prev_dev)[:prev_n])
-                pending = (dev, n)
+                    prev_fut, prev_n = pending
+                    outputs.append(np.asarray(prev_fut.result())[:prev_n])
+                pending = (dev_fut, n)
             if pending is not None:
-                prev_dev, prev_n = pending
-                outputs.append(np.asarray(prev_dev)[:prev_n])
+                prev_fut, prev_n = pending
+                outputs.append(np.asarray(prev_fut.result())[:prev_n])
         return np.concatenate(outputs, axis=0)
 
     def cleanup(self) -> None:
