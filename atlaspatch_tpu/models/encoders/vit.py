@@ -14,7 +14,7 @@ einsum on the MXU; bfloat16 compute optional with float32 softmax.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import flax.linen as nn
 import jax

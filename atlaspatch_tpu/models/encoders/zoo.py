@@ -19,16 +19,15 @@ from __future__ import annotations
 
 import logging
 import os
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 from pathlib import Path
-from typing import Any, Callable
+from typing import Any
 
 import numpy as np
 
 from atlaspatch_tpu.models.encoders.convnext import (
     CONVNEXT_SPECS,
     ConvNeXt,
-    ConvNeXtSpec,
     torchvision_convnext_to_flax,
 )
 from atlaspatch_tpu.models.encoders.engine import JaxFeatureExtractor, PreprocessSpec
@@ -36,7 +35,6 @@ from atlaspatch_tpu.models.encoders.registry import PatchFeatureExtractorRegistr
 from atlaspatch_tpu.models.encoders.resnet import (
     RESNET_SPECS,
     ResNet,
-    ResNetSpec,
     torchvision_resnet_to_flax,
 )
 from atlaspatch_tpu.models.encoders.vit import ViT, ViTSpec

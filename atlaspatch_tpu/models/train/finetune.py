@@ -11,7 +11,6 @@ replicated — XLA inserts the gradient all-reduce.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import jax

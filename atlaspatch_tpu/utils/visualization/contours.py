@@ -8,7 +8,7 @@ from pathlib import Path
 from typing import Sequence
 
 import numpy as np
-from PIL import Image, ImageDraw
+from PIL import ImageDraw
 
 from atlaspatch_tpu.io.iwsi import IWSI
 from atlaspatch_tpu.ops.contours import scale_contours
