@@ -26,7 +26,11 @@ logger = logging.getLogger("atlaspatch_tpu.io.native")
 
 _SRC_DIR = Path(__file__).resolve().parent
 _LIB_PATH = _SRC_DIR / "libatlas_native.so"
-_SOURCES = [_SRC_DIR / "atlas_tiff.cc", _SRC_DIR / "atlas_contours.cc"]
+_SOURCES = [
+    _SRC_DIR / "atlas_tiff.cc",
+    _SRC_DIR / "atlas_contours.cc",
+    _SRC_DIR / "atlas_j2k.cc",
+]
 _BUILD_LOCK = threading.Lock()
 _LIB: ctypes.CDLL | None = None
 _LOAD_FAILED = False
@@ -53,6 +57,7 @@ def build_library(force: bool = False) -> Path:
                 *[str(s) for s in _SOURCES],
                 "-ljpeg",
                 "-lz",
+                "-ldl",
             ]
             logger.info("Building native library: %s", " ".join(cmd))
             subprocess.run(cmd, check=True, capture_output=True, text=True)

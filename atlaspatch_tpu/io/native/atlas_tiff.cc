@@ -8,14 +8,15 @@
 //   * Deflate (8 / 32946) — zlib, with TIFF predictor 2
 //   * LZW (5) — own implementation, with predictor 2
 //   * PackBits (32773) and uncompressed (1)
-// JPEG2000-compressed SVS (33003/33005) is detected and reported cleanly.
+//   * JPEG2000 (Aperio 33003 YCbCr / 33005 RGB, plus standard 34712) —
+//     openjpeg via dlopen (atlas_j2k.cc); clean error if the lib is absent
 //
 // Thread safety: handles are immutable after open; reads use pread(2); every
 // decode uses local codec state — safe for concurrent region reads from
 // Python threads (the GIL is released during ctypes calls).
 //
-// Build: g++ -O3 -shared -fPIC atlas_tiff.cc atlas_contours.cc -o
-//        libatlas_native.so -ljpeg -lz
+// Build: g++ -O3 -shared -fPIC atlas_tiff.cc atlas_contours.cc atlas_j2k.cc
+//        -o libatlas_native.so -ljpeg -lz -ldl
 
 #include <algorithm>
 #include <cstdint>
@@ -33,6 +34,10 @@
 #include <jpeglib.h>
 #include <csetjmp>
 #include <zlib.h>
+
+// atlas_j2k.cc — openjpeg-backed JPEG2000 decode (dlopen'd at first use)
+bool j2k_decode(const uint8_t* src, size_t n, uint8_t* out, uint64_t cw,
+                uint64_t ch, uint32_t spp, bool force_ycbcr, std::string* err);
 
 namespace {
 
@@ -407,10 +412,11 @@ struct AtlasTiff {
           return false;
         }
         break;
-      case 33003:
-      case 33005:
-        *err = "Aperio JPEG2000 compression not supported in this build";
-        return false;
+      case 33003:  // Aperio J2K, YCbCr components (transform outside codestream)
+      case 33005:  // Aperio J2K, RGB components
+      case 34712:  // standard TIFF JPEG2000
+        return j2k_decode(raw.data(), n, out, cw, ch, d.spp,
+                          /*force_ycbcr=*/d.compression == 33003, err);
       default:
         *err = "unsupported compression " + std::to_string(d.compression);
         return false;

@@ -165,3 +165,85 @@ def test_extraction_on_tiff_slide(tmp_path: Path):
     assert result.num_patches > 0
     assert result.h5_path.exists()
     wsi.cleanup()
+
+
+# ------------------------------------------------------------------ JPEG2000
+def _j2k_lib_present() -> bool:
+    import ctypes
+
+    try:
+        ctypes.CDLL("libopenjp2.so.7")
+        return True
+    except OSError:
+        return False
+
+
+@pytest.mark.skipif(not _j2k_lib_present(), reason="libopenjp2 not installed")
+@pytest.mark.parametrize("tile", [64, None])
+def test_j2k_rgb_decode(tmp_path: Path, canvas, tile):
+    """Aperio 33005: RGB components in raw J2K codestreams — lossless encode
+    via PIL/openjpeg must round-trip bit-exactly through the native decoder."""
+    path = tmp_path / "j2k_rgb.svs"
+    arrays = write_pyramid(path, canvas, levels=2, tile=tile, compression=33005)
+    t = AtlasTiffFile(str(path))
+    for lv, arr in enumerate(arrays):
+        h, w = arr.shape[:2]
+        np.testing.assert_array_equal(t.read_region_level(lv, 0, 0, w, h), arr)
+    sub = t.read_region_level(0, 100, 50, 64, 64)
+    np.testing.assert_array_equal(sub, arrays[0][50:114, 100:164])
+    t.close()
+
+
+@pytest.mark.skipif(not _j2k_lib_present(), reason="libopenjp2 not installed")
+def test_j2k_ycbcr_decode(tmp_path: Path, canvas):
+    """Aperio 33003: YCbCr components with the RGB transform applied outside
+    the codestream. Oracle: encode YCbCr planes losslessly, invert with the
+    decoder's exact libjpeg-style fixed-point math in numpy."""
+    from tests.tiff_builder import rgb_to_full_range_ycbcr
+
+    ycc = rgb_to_full_range_ycbcr(canvas)
+    path = tmp_path / "j2k_ycc.svs"
+    write_pyramid(path, ycc, levels=1, tile=64, compression=33003)
+
+    y = ycc[..., 0].astype(np.int64)
+    cb = ycc[..., 1].astype(np.int64) - 128
+    cr = ycc[..., 2].astype(np.int64) - 128
+    expect = np.clip(
+        np.stack(
+            [
+                y + ((91881 * cr + 32768) >> 16),
+                y - ((22554 * cb + 46802 * cr + 32768) >> 16),
+                y + ((116130 * cb + 32768) >> 16),
+            ],
+            axis=-1,
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+
+    t = AtlasTiffFile(str(path))
+    out = t.read_region_level(0, 0, 0, canvas.shape[1], canvas.shape[0])
+    np.testing.assert_array_equal(out, expect)
+    # And the YCbCr→RGB inversion stays within rounding distance of the source
+    assert np.abs(out.astype(np.int32) - canvas.astype(np.int32)).max() <= 2
+    t.close()
+
+
+@pytest.mark.skipif(not _j2k_lib_present(), reason="libopenjp2 not installed")
+def test_j2k_full_pipeline_extraction(tmp_path: Path):
+    """A J2K-compressed SVS flows through TiffWSI → extraction end to end."""
+    cv = make_tissue_canvas(512, 512, seed=9, n_blobs=2)
+    path = tmp_path / "slide_j2k.svs"
+    write_pyramid(
+        path,
+        cv,
+        levels=2,
+        tile=64,
+        compression=33005,
+        description="Aperio Fake |AppMag = 20|MPP = 0.5",
+    )
+    wsi = TiffWSI(path=str(path))
+    region = wsi.extract((64, 64), 0, (128, 128))
+    assert wsi.mpp == pytest.approx(0.5)
+    np.testing.assert_array_equal(region, cv[64:192, 64:192])
+    wsi.cleanup()

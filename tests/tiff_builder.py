@@ -19,6 +19,33 @@ TYPE_LONG = 4
 TYPE_RATIONAL = 5
 
 
+def _j2k_encode_lossless(arr: np.ndarray) -> bytes:
+    """Encode an (H, W, C) uint8 array as a raw lossless J2K codestream.
+
+    mct=0 keeps the components as given (no in-codestream color transform) —
+    exactly how Aperio stores both 33005 (RGB comps) and 33003 (YCbCr comps)."""
+    import io
+
+    from PIL import Image
+
+    img = Image.fromarray(arr.squeeze() if arr.shape[2] == 1 else arr)
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG2000", irreversible=False, no_jp2=True, mct=0)
+    return buf.getvalue()
+
+
+def rgb_to_full_range_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """JPEG-style full-range RGB→YCbCr (rounded), the inverse of the decoder's
+    fixed-point YCbCr→RGB. Used to author 33003-style test slides."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.clip(np.stack([y, cb, cr], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
 def _packbits_encode(row: bytes) -> bytes:
     # naive literal-only PackBits (valid, if not maximally compressed)
     out = bytearray()
@@ -79,6 +106,16 @@ class TiffWriter:
             chunks = [zlib.compress(c) for c in chunks]
         elif compression == 32773:
             chunks = [_packbits_encode(c) for c in chunks]
+        elif compression in (33003, 33005, 34712):
+            # Raw J2K codestreams per chunk (lossless), as Aperio writes them.
+            # For 33003 the caller is expected to pass YCbCr-converted pixels.
+            row_w = tile if tile else w
+            chunks = [
+                _j2k_encode_lossless(
+                    np.frombuffer(c, dtype=np.uint8).reshape(-1, row_w, spp)
+                )
+                for c in chunks
+            ]
         elif compression != 1:
             raise ValueError(f"writer does not support compression {compression}")
 
