@@ -6,10 +6,13 @@ multiway transformer degenerates to the vision ("A") experts for image-only
 input; sub-LayerNorm (torchscale `subln`) puts an extra LN after the attention
 context and inside the FFN. Positions are fairseq-style with a 2-slot offset.
 
-The multi-scale TTA aggregation (`ms_aug`) of the MUSK wrapper averages
-multi-crop CLS embeddings at inference; the single-scale global embedding is
-produced here and aggregation composes on top (engine-level, single scale by
-default) — dimensions match either way.
+`musk_ms_aug_apply` reproduces the MUSK wrapper's ms_aug=True inference used
+by the reference (musk.py:60-70): per scale s, bicubic-upsample to s·384
+(torch semantics), chessboard-split into s² crops of 384, encode each crop,
+average the CLS vectors over crops, and concatenate scales — 2048-d for the
+default scales (1, 2). Note the reference module declares embedding_dim=1024
+(musk.py:13) but its extract_batch stores the model's actual output width, so
+the features written to H5 are 2048-d; we declare the true stored width.
 """
 
 from __future__ import annotations
@@ -112,6 +115,32 @@ class Beit3Vision(nn.Module):
         if s.final_norm:
             x = nn.LayerNorm(epsilon=s.ln_eps, name="norm")(x)
         return x[:, 0]
+
+
+def musk_ms_aug_apply(model, params, images, scales: tuple[int, ...] = (1, 2)):
+    """MUSK ms_aug=True forward (reference musk.py:60-70): multi-scale
+    chessboard TTA over the vision tower, mean CLS per scale, scales
+    concatenated. No output normalization (the reference passes
+    out_norm=False). images: (B, S, S, 3) normalized pixels."""
+    from atlaspatch_tpu.models.sam2.interp import interpolate_torch
+
+    B, S = images.shape[0], images.shape[1]
+    outs = []
+    for s in scales:
+        if s == 1:
+            cls = model.apply({"params": params}, images)
+        else:
+            up = interpolate_torch(images, (S * s, S * s), "bicubic")
+            # chessboard split: crop (i, j) at batch slot (i*s + j)*B + b
+            crops = (
+                up.reshape(B, s, S, s, S, -1)
+                .transpose(1, 3, 0, 2, 4, 5)
+                .reshape(s * s * B, S, S, -1)
+            )
+            cls = model.apply({"params": params}, crops)
+            cls = cls.reshape(s * s, B, cls.shape[-1]).mean(axis=0)
+        outs.append(cls)
+    return jnp.concatenate(outs, axis=-1)
 
 
 def musk_beit3_to_flax(sd, spec: Beit3Spec) -> dict:

@@ -633,12 +633,15 @@ def build_entries() -> list[EncoderEntry]:
         EncoderEntry(
             "musk",
             "beit3",
-            1024,
-            _pre(384, mode="square", interp="bicubic", norm=HALF),
+            2048,
+            # Resize(384) shortest-edge bicubic + CenterCrop(384), Inception
+            # norm = (0.5, 0.5, 0.5) (reference musk.py:16-27)
+            _pre(384, interp="bicubic", norm=HALF),
             spec=Beit3Spec(),  # BEiT3-large @384, Inception norm (musk.py:12-85)
             source="xiangjx/musk",
-            notes="single-scale global CLS embedding; ms_aug TTA aggregation and "
-            "checkpoint naming verified at load",
+            notes="ms_aug multi-scale TTA (scales 1+2): mean CLS per scale, "
+            "concatenated → 2048-d as actually stored by the reference "
+            "(its declared 1024 is only the empty-batch fallback)",
         )
     )
     from atlaspatch_tpu.models.encoders.swin import SwinSpec
@@ -847,8 +850,16 @@ def build_extractor(
             "ATLASPATCH_ALLOW_RANDOM_WEIGHTS=1 for benchmarking."
         )
 
-    def apply_fn(p, x):
-        return model.apply({"params": p}, x)
+    if entry.family == "beit3":
+        from atlaspatch_tpu.models.encoders.beit3 import musk_ms_aug_apply
+
+        def apply_fn(p, x):
+            return musk_ms_aug_apply(model, p, x)
+
+    else:
+
+        def apply_fn(p, x):
+            return model.apply({"params": p}, x)
 
     param_shardings = None
     if mesh is not None and tensor_parallel:

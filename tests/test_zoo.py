@@ -37,7 +37,7 @@ REFERENCE_DIMS = {
     "clip_vit_b_16": 512, "clip_vit_l_14": 768, "conch_v1": 512, "conch_v15": 768,
     "omiclip": 768, "quilt_b_16": 512, "uni_v1": 1024, "uni_v2": 1536,
     "lunit_resnet50_bt": 2048, "lunit_vit_small_patch16_dino": 384,
-    "plip": 512, "medsiglip": 1152, "musk": 1024, "openmidnight": 1536,
+    "plip": 512, "medsiglip": 1152, "musk": 2048, "openmidnight": 1536,
     "pathorchestra": 1024, "h_optimus_0": 1536, "h0_mini": 1536,
     "hibou_b": 768, "hibou_l": 1024, "biomedclip": 512, "phikon_v1": 768,
     "phikon_v2": 1024, "virchow_v1": 2560, "virchow_v2": 2560,
