@@ -171,6 +171,19 @@ def _build_app_config(kw: dict, feature_cfg: FeatureExtractionConfig | None) -> 
 def _run_pipeline(
     *, feature_cfg: FeatureExtractionConfig | None = None, registry=None, **kw
 ) -> tuple[list, list]:
+    from atlaspatch_tpu.utils import perf
+
+    with perf.maybe_trace():
+        results, failures = _run_pipeline_inner(
+            feature_cfg=feature_cfg, registry=registry, **kw
+        )
+    perf.log_report()
+    return results, failures
+
+
+def _run_pipeline_inner(
+    *, feature_cfg: FeatureExtractionConfig | None = None, registry=None, **kw
+) -> tuple[list, list]:
     from atlaspatch_tpu.orchestration.runner import ProcessingRunner
     from atlaspatch_tpu.parallel.multihost import maybe_init_distributed
     from atlaspatch_tpu.services.extraction import PatchExtractionService

@@ -66,6 +66,27 @@ def reset() -> None:
         _counts.clear()
 
 
+@contextmanager
+def maybe_trace():
+    """XLA-level profiling: when ATLASPATCH_JAX_TRACE=<dir> is set, capture a
+    jax.profiler trace (TensorBoard/Perfetto-compatible) around the wrapped
+    run. Complements the host-side stage counters above with device timelines
+    (HLO op durations, HBM traffic, transfer overlap)."""
+    trace_dir = os.environ.get("ATLASPATCH_JAX_TRACE")
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(trace_dir)
+    logger.warning("JAX profiler trace capturing to %s", trace_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+        logger.warning("JAX profiler trace written to %s", trace_dir)
+
+
 def log_report() -> None:
     if not enabled():
         return
