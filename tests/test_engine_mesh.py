@@ -59,3 +59,38 @@ def test_tp_mesh_matches_single_device(rng):
         patches, batch_size=8
     )
     np.testing.assert_allclose(tp, single, rtol=1e-5, atol=1e-5)
+
+
+def test_engine_musk_ms_aug_integration(rng):
+    """The ms_aug multi-scale apply path composes with the batching engine:
+    features come out (N, 2*dim) and match a direct single-call apply."""
+    from atlaspatch_tpu.models.encoders.beit3 import (
+        Beit3Spec,
+        Beit3Vision,
+        musk_ms_aug_apply,
+    )
+
+    spec = Beit3Spec(img_size=32, patch_size=8, dim=32, depth=1, heads=4, ffn_dim=64)
+    model = Beit3Vision(spec)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32)
+    )["params"]
+
+    pre = PreprocessSpec(crop=32, resize=32, mode="square", mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5))
+    engine = JaxFeatureExtractor(
+        name="musk-tiny",
+        embedding_dim=64,
+        spec=pre,
+        apply_fn=lambda p, x: musk_ms_aug_apply(model, p, x),
+        params=params,
+    )
+    patches = [
+        rng.integers(0, 256, (32, 32, 3), dtype=np.uint8) for _ in range(5)
+    ]
+    feats = engine.extract_batch(patches, batch_size=4)
+    assert feats.shape == (5, 64) and np.isfinite(feats).all()
+
+    # Oracle: normalize the same pixels directly and apply once.
+    x = (np.stack(patches).astype(np.float32) / 255.0 - 0.5) / 0.5
+    want = np.asarray(musk_ms_aug_apply(model, params, jnp.asarray(x)))
+    np.testing.assert_allclose(feats, want, rtol=1e-4, atol=1e-5)
