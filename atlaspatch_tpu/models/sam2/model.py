@@ -154,6 +154,24 @@ def segment_step_packed(cfg: SAM2Config, params, images_u8: jnp.ndarray, thresho
     return packed.astype(jnp.uint8)
 
 
+def make_sharded_segment_step(cfg: SAM2Config, mesh, *, data_axis: str = "data",
+                              from_thumbs: bool = True):
+    """Multi-chip serving: jit the packed segmentation step over a mesh with
+    parameters replicated and the image batch sharded across `data_axis`.
+
+    The forward is embarrassingly parallel over the batch, so XLA partitions
+    it with zero collectives — N chips segment N×(per-chip batch) thumbnails
+    concurrently. The batch's leading dim must be divisible by the mesh's
+    data-axis size (callers pad; see SAM2Predictor)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    batched = NamedSharding(mesh, P(data_axis))
+    fn = segment_step_packed_from_thumbs if from_thumbs else segment_step_packed
+    inner = partial(fn.__wrapped__, cfg)  # un-jitted body, cfg closed over
+    return jax.jit(inner, in_shardings=(repl, batched, repl), out_shardings=batched)
+
+
 def init_params(cfg: SAM2Config, seed: int = 0):
     model = SAM2ImageModel(cfg)
     dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)

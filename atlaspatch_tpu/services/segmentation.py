@@ -48,13 +48,24 @@ def _pad_to_pow2_batch(n: int, max_batch: int) -> int:
 class SAM2Predictor:
     """Batched SAM2 mask prediction with resizing helpers."""
 
-    def __init__(self, cfg: SegmentationConfig, sam2_cfg: SAM2Config | None = None):
+    def __init__(
+        self,
+        cfg: SegmentationConfig,
+        sam2_cfg: SAM2Config | None = None,
+        *,
+        mesh=None,
+        data_axis: str = "data",
+    ):
         import jax
 
         from atlaspatch_tpu.utils.jaxsetup import setup_jax_cache
 
         setup_jax_cache()
         self.cfg = cfg
+        self._mesh = mesh
+        self._data_axis = data_axis
+        self._n_data = int(mesh.shape[data_axis]) if mesh is not None else 1
+        self._sharded_steps: dict = {}
         if sam2_cfg is not None:
             self.sam2_cfg = sam2_cfg
         elif cfg.config_path is not None:
@@ -112,7 +123,23 @@ class SAM2Predictor:
             params = init_params(self.sam2_cfg)
         if getattr(self.cfg, "precision", "float32") == "bfloat16":
             params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.device_put(params, NamedSharding(self._mesh, P()))
         return jax.device_put(params, self._device)
+
+    def _sharded_step(self, from_thumbs: bool):
+        """Per-mesh jitted DP segmentation step (params replicated, batch
+        sharded over the data axis); cached per variant."""
+        if from_thumbs not in self._sharded_steps:
+            from atlaspatch_tpu.models.sam2.model import make_sharded_segment_step
+
+            self._sharded_steps[from_thumbs] = make_sharded_segment_step(
+                self.sam2_cfg, self._mesh, data_axis=self._data_axis,
+                from_thumbs=from_thumbs,
+            )
+        return self._sharded_steps[from_thumbs]
 
     # --- input/output resizing (host, PIL semantics as in the reference) -----------
     def _normalize_input(self, image) -> np.ndarray:
@@ -166,6 +193,17 @@ class SAM2Predictor:
         from atlaspatch_tpu.models.sam2.model import segment_step_packed
 
         with perf.stage("segment_dispatch"), jax.default_device(self._device):
+            if self._mesh is not None:
+                n = images_u8.shape[0]
+                pad = (-n) % self._n_data
+                if pad:
+                    images_u8 = np.concatenate(
+                        [images_u8, np.zeros((pad, *images_u8.shape[1:]), np.uint8)]
+                    )
+                packed = self._sharded_step(False)(
+                    self.params, jnp.asarray(images_u8), jnp.float32(self.cfg.mask_threshold)
+                )
+                return packed[:n] if pad else packed
             return segment_step_packed(
                 self.sam2_cfg,
                 self.params,
@@ -195,15 +233,22 @@ class SAM2Predictor:
             for (h, w), idxs in groups.items():
                 n = len(idxs)
                 padded = _pad_to_pow2_batch(n, max_batch=max(self.cfg.batch_size, n))
+                if self._n_data > 1:
+                    padded += (-padded) % self._n_data
                 batch = np.zeros((padded, h, w, 3), dtype=np.uint8)
                 for j, i in enumerate(idxs):
                     batch[j] = arrs[i]
-                packed = segment_step_packed_from_thumbs(
-                    self.sam2_cfg,
-                    self.params,
-                    jnp.asarray(batch),
-                    jnp.float32(self.cfg.mask_threshold),
-                )
+                if self._mesh is not None:
+                    packed = self._sharded_step(True)(
+                        self.params, jnp.asarray(batch), jnp.float32(self.cfg.mask_threshold)
+                    )
+                else:
+                    packed = segment_step_packed_from_thumbs(
+                        self.sam2_cfg,
+                        self.params,
+                        jnp.asarray(batch),
+                        jnp.float32(self.cfg.mask_threshold),
+                    )
                 handles.append((packed, idxs))
 
         def resolve() -> list[np.ndarray]:
@@ -267,9 +312,16 @@ class SAM2Predictor:
 class SAM2SegmentationService(SegmentationService):
     """Segmentation service that wraps the SAM2 predictor and standardizes masks."""
 
-    def __init__(self, cfg: SegmentationConfig, sam2_cfg: SAM2Config | None = None) -> None:
+    def __init__(
+        self,
+        cfg: SegmentationConfig,
+        sam2_cfg: SAM2Config | None = None,
+        *,
+        mesh=None,
+        data_axis: str = "data",
+    ) -> None:
         self.cfg = cfg.validated()
-        self.predictor = SAM2Predictor(self.cfg, sam2_cfg)
+        self.predictor = SAM2Predictor(self.cfg, sam2_cfg, mesh=mesh, data_axis=data_axis)
 
     def _prepare_thumbnail(self, wsi: IWSI):
         with perf.stage("thumbnail"):

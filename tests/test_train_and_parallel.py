@@ -184,3 +184,64 @@ def test_custom_plugin_module(tmp_path: Path, rng):
     ext = registry.create("plugged")
     feats = ext.extract_batch([rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)])
     assert feats.shape == (1, 4)
+
+
+def test_sharded_segment_step_matches_single_device():
+    """Mesh-DP serving path: make_sharded_segment_step output is bit-identical
+    to the single-device packed step for the same params/batch."""
+    from atlaspatch_tpu.models.sam2.config import SAM2Config
+    from atlaspatch_tpu.models.sam2.model import (
+        init_params,
+        make_sharded_segment_step,
+        segment_step_packed_from_thumbs,
+    )
+
+    cfg = SAM2Config.test_tiny()
+    params = init_params(cfg)
+    rng = np.random.default_rng(11)
+    thumbs = rng.integers(0, 256, (4, 64, 80, 3), dtype=np.uint8)
+    thr = jnp.float32(0.0)
+
+    want = np.asarray(segment_step_packed_from_thumbs(cfg, params, jnp.asarray(thumbs), thr))
+
+    devices = np.asarray(jax.devices()[:4]).reshape(4, 1)
+    mesh = Mesh(devices, axis_names=("data", "model"))
+    step = make_sharded_segment_step(cfg, mesh, from_thumbs=True)
+    rep = NamedSharding(mesh, P())
+    got = np.asarray(step(jax.device_put(params, rep), jnp.asarray(thumbs), thr))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_segmentation_service_on_mesh(tmp_path):
+    """SAM2Predictor with a mesh: grouped async path pads to the data-axis
+    size and returns masks identical to the single-device predictor."""
+    import os
+
+    from atlaspatch_tpu.core.config import SegmentationConfig
+    from atlaspatch_tpu.models.sam2.config import SAM2Config
+    from atlaspatch_tpu.services.segmentation import SAM2Predictor
+
+    cfg = SegmentationConfig(device="cpu", batch_size=4)
+    sam2_cfg = SAM2Config.test_tiny()
+    rng = np.random.default_rng(7)
+    thumbs = [rng.integers(0, 256, (48, 64, 3), dtype=np.uint8) for _ in range(3)]
+
+    single = SAM2Predictor(cfg, sam2_cfg)
+    want = single.predict_masks_grouped_async(thumbs)()
+
+    devices = np.asarray(jax.devices()[:4]).reshape(4, 1)
+    mesh = Mesh(devices, axis_names=("data", "model"))
+    sharded = SAM2Predictor(cfg, sam2_cfg, mesh=mesh)
+    got = sharded.predict_masks_grouped_async(thumbs)()
+
+    assert len(got) == len(want) == 3
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+    # packed (pre-resized) path with a batch not divisible by the data axis
+    imgs = rng.integers(
+        0, 256, (3, sam2_cfg.image_size, sam2_cfg.image_size, 3), dtype=np.uint8
+    )
+    want2 = single.fetch_masks(single.predict_masks_async(imgs))
+    got2 = sharded.fetch_masks(sharded.predict_masks_async(imgs))
+    np.testing.assert_array_equal(got2, want2)
