@@ -90,6 +90,9 @@ _COMMON_OPTIONS: list = [
                  default="float32", show_default=True,
                  help="Segmentation compute precision (bfloat16 = faster, "
                       "hairline mask-boundary differences)."),
+    click.option("--seg-data-parallel", is_flag=True,
+                 help="Shard segmentation batches across ALL local chips "
+                      "(data-parallel mesh; needs --seg-batch-size >= chip count)."),
     click.option("--verbose", "-v", is_flag=True, help="Enable debug logging."),
 ]
 
@@ -196,7 +199,23 @@ def _run_pipeline_inner(
     maybe_init_distributed()
     app_cfg = _build_app_config(kw, feature_cfg)
 
-    segmentation_service = SAM2SegmentationService(app_cfg.segmentation)
+    seg_mesh = None
+    if kw.get("seg_data_parallel"):
+        import jax
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        platform = app_cfg.segmentation.device.split(":")[0]
+        try:
+            chips = jax.devices(platform)
+        except RuntimeError:
+            chips = jax.devices()
+        if len(chips) > 1:
+            seg_mesh = Mesh(_np.asarray(chips), axis_names=("data",))
+            logger.info("Segmentation data-parallel over %d %s chips", len(chips), platform)
+        else:
+            logger.warning("--seg-data-parallel requested but only one device is visible.")
+    segmentation_service = SAM2SegmentationService(app_cfg.segmentation, mesh=seg_mesh)
     extractor_service = PatchExtractionService(app_cfg.extraction, app_cfg.output)
     visualizer_service = None
     if kw["visualize_grids"] or kw["visualize_mask"] or kw["visualize_contours"]:

@@ -88,3 +88,35 @@ def test_cli_detect_tissue(slide_dir: Path, tmp_path: Path, tiny_sam2):
     for i in range(2):
         assert (out / "visualization" / f"s{i}_mask.png").exists()
         assert (out / "visualization" / f"s{i}_mask_bw.png").exists()
+
+
+def test_cli_seg_data_parallel(slide_dir: Path, tmp_path: Path, tiny_sam2):
+    """--seg-data-parallel shards segmentation over the 8 virtual CPU devices
+    and produces the same H5 outputs."""
+    from click.testing import CliRunner
+
+    from atlaspatch_tpu.cli import cli
+
+    out = tmp_path / "out_dp"
+    runner = CliRunner()
+    result = runner.invoke(
+        cli,
+        [
+            "segment-and-get-coords",
+            str(slide_dir),
+            "--output", str(out),
+            "--patch-size", "64",
+            "--target-mag", "20",
+            "--device", "cpu",
+            "--seg-batch-size", "2",
+            "--seg-data-parallel",
+            "--mpp-csv", str(tmp_path / "mpp.csv"),
+            "--verbose",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    assert "Completed 2 slide(s), failures: 0" in result.output
+    for i in range(2):
+        with h5py.File(out / "patches" / f"s{i}.h5") as f:
+            assert f.attrs["num_patches"] > 0
