@@ -114,6 +114,12 @@ _FEATURE_OPTIONS: list = [
                  multiple=True,
                  help="Python module(s) registering custom feature extractors via "
                       "register_feature_extractors(registry, device, dtype, num_workers)."),
+    click.option("--feature-parallel",
+                 type=click.Choice(["none", "data", "tensor"], case_sensitive=False),
+                 default="none", show_default=True,
+                 help="Shard feature embedding across ALL local chips: 'data' "
+                      "replicates the encoder and splits batches; 'tensor' also "
+                      "shards ViT attention heads / MLP hidden (for ViT-g+ towers)."),
 ]
 
 
@@ -422,7 +428,33 @@ def process(**kw):
     extractors_raw = kw.pop("feature_extractors")
 
     dtype = resolve_feature_dtype(feat_device, precision)
-    registry = build_default_registry(device=feat_device, num_workers=num_workers, dtype=dtype)
+    feat_parallel = kw.pop("feature_parallel", "none").lower()
+    feat_mesh = None
+    if feat_parallel != "none":
+        import jax
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        platform = feat_device.split(":")[0]
+        if platform in ("cuda", "gpu"):
+            platform = "tpu"
+        try:
+            chips = jax.devices(platform)
+        except RuntimeError:
+            chips = jax.devices()
+        if len(chips) > 1:
+            shape = (1, len(chips)) if feat_parallel == "tensor" else (len(chips), 1)
+            feat_mesh = Mesh(_np.asarray(chips).reshape(shape), axis_names=("data", "model"))
+            logger.info("Feature embedding %s-parallel over %d chips", feat_parallel, len(chips))
+        else:
+            logger.warning("--feature-parallel requested but only one device is visible.")
+    registry = build_default_registry(
+        device=feat_device,
+        num_workers=num_workers,
+        dtype=dtype,
+        mesh=feat_mesh,
+        tensor_parallel=feat_parallel == "tensor",
+    )
     for plugin in plugins:
         register_feature_extractors_from_module(
             plugin, registry=registry, device=None, dtype=dtype, num_workers=num_workers

@@ -863,9 +863,17 @@ def build_extractor(
 
     param_shardings = None
     if mesh is not None and tensor_parallel:
-        from atlaspatch_tpu.parallel.sharding import vit_tp_shardings
+        if isinstance(model, ViT):
+            from atlaspatch_tpu.parallel.sharding import vit_tp_shardings
 
-        param_shardings = vit_tp_shardings(params, mesh)
+            param_shardings = vit_tp_shardings(params, mesh)
+        else:
+            logger.warning(
+                "tensor_parallel requested for %s (%s family): no TP plan for this "
+                "tower, replicating params (data-parallel only).",
+                entry.name,
+                entry.family,
+            )
 
     return JaxFeatureExtractor(
         name=entry.name,
@@ -886,6 +894,8 @@ def build_default_registry(
     device: str | object = "tpu",
     num_workers: int = 0,
     dtype: str = "float32",
+    mesh=None,
+    tensor_parallel: bool = False,
 ) -> PatchFeatureExtractorRegistry:
     """Registry with all 66 reference names (API parity: reference
     models/patch/__init__.py:47-80). Builders are lazy; nothing loads until
@@ -916,7 +926,11 @@ def build_default_registry(
         registry.register(
             entry.name,
             lambda en=entry: build_extractor(
-                en, device=_resolve_device(), compute_dtype=compute_dtype
+                en,
+                device=None if mesh is not None else _resolve_device(),
+                mesh=mesh,
+                tensor_parallel=tensor_parallel,
+                compute_dtype=compute_dtype,
             ),
         )
     return registry

@@ -81,3 +81,32 @@ def test_small_towers_forward(name, monkeypatch):
     assert feats.shape == (2, entry.embedding_dim)
     assert np.isfinite(feats).all()
     ext.cleanup()
+
+
+@pytest.mark.parametrize("parallel", ["data", "tensor"])
+def test_registry_mesh_parallel(parallel, monkeypatch):
+    """build_default_registry(mesh=...) shards extraction over the virtual
+    mesh; features match the single-device build bit-for-bit on CPU."""
+    monkeypatch.setenv("ATLASPATCH_ALLOW_RANDOM_WEIGHTS", "1")
+    from jax.sharding import Mesh
+
+    name = "lunit_vit_small_patch16_dino" if parallel == "tensor" else "resnet18"
+    entry = ENTRIES[name]
+    rng = np.random.default_rng(3)
+    patches = [rng.integers(0, 256, (64, 64, 3), dtype=np.uint8) for _ in range(5)]
+
+    single = build_default_registry(device="cpu").create(name)
+    want = single.extract_batch(patches, batch_size=4)
+    single.cleanup()
+
+    n = 4
+    shape = (1, n) if parallel == "tensor" else (n, 1)
+    mesh = Mesh(np.asarray(jax.devices()[:n]).reshape(shape), axis_names=("data", "model"))
+    sharded = build_default_registry(
+        device="cpu", mesh=mesh, tensor_parallel=parallel == "tensor"
+    ).create(name)
+    got = sharded.extract_batch(patches, batch_size=4)
+    sharded.cleanup()
+
+    assert got.shape == (5, entry.embedding_dim)
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5)
