@@ -108,7 +108,7 @@ extern "C" {
 //   points         — interleaved x,y for all contours concatenated (int64)
 int atlas_find_contours(const uint8_t* mask, int h, int w, int max_contours,
                         int64_t* n_points, int64_t* parents, uint8_t* is_hole,
-                        int64_t* points, int64_t points_capacity) {
+                        int64_t* points, int64_t points_capacity) try {
   if (h <= 0 || w <= 0) return 0;
   Tracer tr;
   tr.W = w;
@@ -183,6 +183,8 @@ int atlas_find_contours(const uint8_t* mask, int h, int w, int max_contours,
     }
   }
   return n;
+} catch (...) {
+  return -2;  // allocation or internal failure; never terminate the process
 }
 
 }  // extern "C"

@@ -553,6 +553,12 @@ static void build_levels(AtlasTiff* t) {
   for (size_t i = 0; i < t->ifds.size(); ++i) {
     const IFD& d = t->ifds[i];
     if (d.width == 0 || d.height == 0 || d.planar != 1) continue;
+    // Corrupt-header guard: reject levels beyond any plausible slide size
+    // (largest real WSIs are ~20 gigapixels) so callers never size buffers
+    // from garbage dimensions.
+    if (d.width > (1ull << 30) || d.height > (1ull << 30) ||
+        d.width * d.height > (1ull << 36))
+      continue;
     std::string desc = to_lower(d.description);
     bool associated =
         desc.find("label") != std::string::npos || desc.find("macro") != std::string::npos;
@@ -718,17 +724,25 @@ static bool read_region_impl(const AtlasTiff* t, int level, int64_t x, int64_t y
 extern "C" {
 
 void* atlas_open(const char* path, char* err, int errlen) {
-  auto t = std::make_unique<AtlasTiff>();
   auto fail = [&](const std::string& msg) -> void* {
     if (err && errlen > 0) snprintf(err, errlen, "%s", msg.c_str());
     return nullptr;
   };
-  if (!t->file.open(path)) return fail("cannot open file");
-  if (!parse_ifds(t.get())) return fail(t->error.empty() ? "parse failed" : t->error);
-  build_levels(t.get());
-  if (t->levels.empty()) return fail("no decodable pyramid levels");
-  build_properties(t.get());
-  return t.release();
+  // Corrupt headers can declare absurd dimensions/counts; allocation failures
+  // must surface as errors, never std::terminate.
+  try {
+    auto t = std::make_unique<AtlasTiff>();
+    if (!t->file.open(path)) return fail("cannot open file");
+    if (!parse_ifds(t.get())) return fail(t->error.empty() ? "parse failed" : t->error);
+    build_levels(t.get());
+    if (t->levels.empty()) return fail("no decodable pyramid levels");
+    build_properties(t.get());
+    return t.release();
+  } catch (const std::exception& ex) {
+    return fail(std::string("open failed: ") + ex.what());
+  } catch (...) {
+    return fail("open failed: unknown C++ exception");
+  }
 }
 
 void atlas_close(void* handle) { delete static_cast<AtlasTiff*>(handle); }
@@ -758,11 +772,15 @@ int atlas_read_region(void* handle, int level, int64_t x, int64_t y, int64_t w,
                       int64_t h, uint8_t* out, char* err, int errlen) {
   auto* t = static_cast<AtlasTiff*>(handle);
   std::string e;
-  if (!read_region_impl(t, level, x, y, w, h, out, &e)) {
-    if (err && errlen > 0) snprintf(err, errlen, "%s", e.c_str());
-    return -1;
+  try {
+    if (read_region_impl(t, level, x, y, w, h, out, &e)) return 0;
+  } catch (const std::exception& ex) {
+    e = std::string("read failed: ") + ex.what();
+  } catch (...) {
+    e = "read failed: unknown C++ exception";
   }
-  return 0;
+  if (err && errlen > 0) snprintf(err, errlen, "%s", e.c_str());
+  return -1;
 }
 
 }  // extern "C"

@@ -247,3 +247,50 @@ def test_j2k_full_pipeline_extraction(tmp_path: Path):
     assert wsi.mpp == pytest.approx(0.5)
     np.testing.assert_array_equal(region, cv[64:192, 64:192])
     wsi.cleanup()
+
+
+def test_decoder_corruption_robustness(tmp_path: Path, canvas):
+    """Truncated/bit-flipped files must raise cleanly — never hang, abort, or
+    crash the process (regression: corrupt headers once escaped as uncaught
+    std::bad_alloc -> std::terminate)."""
+    import signal
+
+    good = tmp_path / "good.tiff"
+    write_pyramid(good, canvas, levels=2, tile=64, compression=8)
+    data = good.read_bytes()
+    rng = np.random.default_rng(5)
+
+    class _Timeout(Exception):
+        pass
+
+    def _handler(signum, frame):
+        raise _Timeout()
+
+    old = signal.signal(signal.SIGALRM, _handler)
+    try:
+        cases = [data[: int(len(data) * f)] for f in (0.02, 0.3, 0.8)]
+        cases.append(data[:4] + bytes(rng.integers(0, 256, 2048, dtype=np.uint8)))
+        for _ in range(20):
+            buf = bytearray(data)
+            for _ in range(int(rng.integers(1, 150))):
+                buf[rng.integers(8, len(buf))] ^= 1 << rng.integers(0, 8)
+            cases.append(bytes(buf))
+
+        for i, blob in enumerate(cases):
+            p = tmp_path / f"fuzz{i}"
+            p.write_bytes(blob)
+            signal.alarm(20)
+            try:
+                t = AtlasTiffFile(str(p))
+                for lv in range(t.level_count):
+                    w, h = t.level_dimensions[lv]
+                    t.read_region_level(lv, 0, 0, min(w, 256), min(h, 256))
+                t.close()
+            except _Timeout:
+                raise AssertionError(f"decoder hang on fuzz case {i}")
+            except Exception:
+                pass  # clean rejection is the contract
+            finally:
+                signal.alarm(0)
+    finally:
+        signal.signal(signal.SIGALRM, old)
