@@ -110,3 +110,43 @@ def test_registry_mesh_parallel(parallel, monkeypatch):
 
     assert got.shape == (5, entry.embedding_dim)
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5)
+
+
+def test_npz_weights_roundtrip(tmp_path, monkeypatch):
+    """convert_weights flatten/unflatten + the .npz loading path: an archive in
+    ATLASPATCH_WEIGHTS_DIR is loaded (not random-initialized) and produces the
+    same features as applying the saved params directly."""
+    from atlaspatch_tpu.models.encoders.zoo import _model_for, build_extractor
+    from atlaspatch_tpu.tools.convert_weights import _flatten, unflatten
+    import jax.numpy as jnp
+
+    entry = ENTRIES["resnet18"]
+    model = _model_for(entry)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(42), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )["params"]
+
+    flat = _flatten(jax.tree.map(np.asarray, params))
+    np.savez(tmp_path / "resnet18.npz", **flat)
+    restored = unflatten(dict(np.load(tmp_path / "resnet18.npz")))
+    chex_equal = jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)), params, restored
+    )
+    assert all(jax.tree.leaves(chex_equal))
+
+    monkeypatch.setenv("ATLASPATCH_WEIGHTS_DIR", str(tmp_path))
+    monkeypatch.delenv("ATLASPATCH_ALLOW_RANDOM_WEIGHTS", raising=False)
+    ext = build_extractor(entry, device=jax.devices("cpu")[0], max_batch=2)
+    rng = np.random.default_rng(1)
+    patches = [rng.integers(0, 256, (64, 64, 3), dtype=np.uint8) for _ in range(2)]
+    feats = ext.extract_batch(patches, batch_size=2)
+    assert feats.shape == (2, entry.embedding_dim)
+
+    # oracle: preprocess on host exactly as the engine does, apply saved params
+    x = np.stack([entry.preprocess.apply_host(p) for p in patches])
+    xn = (x.astype(np.float32) / 255.0 - np.asarray(entry.preprocess.mean)) / np.asarray(
+        entry.preprocess.std
+    )
+    want = np.asarray(model.apply({"params": params}, jnp.asarray(xn, jnp.float32)))
+    np.testing.assert_allclose(feats, want, rtol=1e-5, atol=1e-5)
+    ext.cleanup()
