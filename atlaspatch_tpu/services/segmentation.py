@@ -90,6 +90,11 @@ class SAM2Predictor:
         env = os.environ.get(_ENV_CHECKPOINT)
         if env:
             return Path(env)
+        wdir = os.environ.get("ATLASPATCH_WEIGHTS_DIR")
+        if wdir:
+            cand = Path(wdir) / "sam2_hiera_tiny.npz"  # tools/convert_weights.py output
+            if cand.exists():
+                return cand
         # Look in HF cache for the reference repo checkpoint without network.
         hf_home = Path(os.environ.get("HF_HOME", Path.home() / ".cache" / "huggingface"))
         for pattern in (
@@ -109,10 +114,17 @@ class SAM2Predictor:
 
         ckpt = self._resolve_checkpoint_path()
         if ckpt is not None and ckpt.exists():
-            from atlaspatch_tpu.models.sam2.convert import load_checkpoint
-
             logger.info("Loading SAM2 checkpoint from %s", ckpt)
-            params = load_checkpoint(str(ckpt), self.sam2_cfg)
+            if ckpt.suffix == ".npz":  # tools/convert_weights.py archive
+                import numpy as _np
+
+                from atlaspatch_tpu.tools.convert_weights import unflatten
+
+                params = unflatten(dict(_np.load(ckpt)))
+            else:
+                from atlaspatch_tpu.models.sam2.convert import load_checkpoint
+
+                params = load_checkpoint(str(ckpt), self.sam2_cfg)
             params = jax.tree.map(lambda a: jnp.asarray(a, dtype=jnp.float32), params)
         else:
             logger.warning(
