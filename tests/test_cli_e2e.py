@@ -1,11 +1,9 @@
 """CLI end-to-end: segment-and-get-coords and detect-tissue on PNG slides with
 the miniature SAM2 (random weights) on CPU."""
 
-import os
 from pathlib import Path
 
 import h5py
-import numpy as np
 import pytest
 from PIL import Image
 

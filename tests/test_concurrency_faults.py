@@ -11,7 +11,7 @@ import pytest
 from PIL import Image
 
 from atlaspatch_tpu.core.config import AppConfig, ExtractionConfig, OutputConfig, ProcessingConfig, SegmentationConfig
-from atlaspatch_tpu.core.models import Mask, Slide
+from atlaspatch_tpu.core.models import Mask
 from atlaspatch_tpu.io.synthetic_wsi import make_tissue_canvas
 from atlaspatch_tpu.orchestration.runner import ProcessingRunner
 from atlaspatch_tpu.services.extraction import PatchExtractionService

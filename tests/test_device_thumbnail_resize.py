@@ -2,10 +2,8 @@
 BILINEAR upscale within uint8 rounding, and the grouped device path produces
 masks in agreement with the host-resize path."""
 
-import os
 
 import numpy as np
-import pytest
 from PIL import Image
 
 import jax.numpy as jnp

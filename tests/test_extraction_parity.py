@@ -15,7 +15,6 @@ import pytest
 from atlaspatch_tpu.core.config import ExtractionConfig, OutputConfig
 from atlaspatch_tpu.core.models import Slide
 from atlaspatch_tpu.io.synthetic_wsi import SyntheticWSI, make_tissue_canvas
-from atlaspatch_tpu.ops.contours import mask_to_contours, scale_contours
 from atlaspatch_tpu.services.extraction import PatchExtractionService
 
 cv2 = pytest.importorskip("cv2")

@@ -80,8 +80,6 @@ def test_mask_to_contours_native_matches_cv2_path(rng, monkeypatch):
     tissue_n, holes_n = mask_to_contours(mask, tissue_area_thresh=0.001)
 
     # Force the cv2 fallback and compare outputs
-    import atlaspatch_tpu.ops.contours as oc
-
     def no_native(m):
         return None
 

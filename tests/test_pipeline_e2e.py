@@ -17,7 +17,7 @@ from atlaspatch_tpu.core.config import (
     ProcessingConfig,
     SegmentationConfig,
 )
-from atlaspatch_tpu.core.models import ExtractionResult, Mask, Slide
+from atlaspatch_tpu.core.models import Mask, Slide
 from atlaspatch_tpu.core.paths import patch_lock_path
 from atlaspatch_tpu.io.synthetic_wsi import make_tissue_canvas
 from atlaspatch_tpu.models.encoders.engine import PreprocessSpec

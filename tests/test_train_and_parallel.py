@@ -1,10 +1,8 @@
 """Training step, mesh sharding, multihost sharding, engine, and plugin tests."""
 
-import os
 from pathlib import Path
 
 import numpy as np
-import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -215,7 +213,6 @@ def test_sharded_segment_step_matches_single_device():
 def test_segmentation_service_on_mesh(tmp_path):
     """SAM2Predictor with a mesh: grouped async path pads to the data-axis
     size and returns masks identical to the single-device predictor."""
-    import os
 
     from atlaspatch_tpu.core.config import SegmentationConfig
     from atlaspatch_tpu.models.sam2.config import SAM2Config
