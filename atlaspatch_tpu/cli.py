@@ -432,8 +432,8 @@ def process(**kw):
     feat_mesh = None
     if feat_parallel != "none":
         import jax
-        import numpy as _np
-        from jax.sharding import Mesh
+
+        from atlaspatch_tpu.parallel.mesh import embedding_mesh
 
         platform = feat_device.split(":")[0]
         if platform in ("cuda", "gpu"):
@@ -443,8 +443,10 @@ def process(**kw):
         except RuntimeError:
             chips = jax.devices()
         if len(chips) > 1:
-            shape = (1, len(chips)) if feat_parallel == "tensor" else (len(chips), 1)
-            feat_mesh = Mesh(_np.asarray(chips).reshape(shape), axis_names=("data", "model"))
+            feat_mesh = embedding_mesh(
+                model_parallel=len(chips) if feat_parallel == "tensor" else 1,
+                devices=chips,
+            )
             logger.info("Feature embedding %s-parallel over %d chips", feat_parallel, len(chips))
         else:
             logger.warning("--feature-parallel requested but only one device is visible.")

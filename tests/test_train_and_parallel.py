@@ -242,3 +242,26 @@ def test_segmentation_service_on_mesh(tmp_path):
     want2 = single.fetch_masks(single.predict_masks_async(imgs))
     got2 = sharded.fetch_masks(sharded.predict_masks_async(imgs))
     np.testing.assert_array_equal(got2, want2)
+
+
+def test_embedding_mesh_helpers():
+    from atlaspatch_tpu.parallel.mesh import embedding_mesh, replicate, shard_batch
+
+    mesh = embedding_mesh(model_parallel=2, devices=jax.devices()[:8])
+    assert mesh.shape == {"data": 4, "model": 2}
+
+    batch = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    sharded = shard_batch(mesh, batch)
+    assert sharded.sharding.spec == P("data")
+    np.testing.assert_array_equal(np.asarray(sharded), batch)
+
+    tree = {"w": np.ones((4, 4), np.float32)}
+    rep = replicate(mesh, tree)
+    assert rep["w"].sharding.spec == P()
+
+    try:
+        embedding_mesh(model_parallel=3, devices=jax.devices()[:8])
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("expected ValueError for non-divisible model_parallel")
