@@ -265,3 +265,30 @@ def test_embedding_mesh_helpers():
         pass
     else:
         raise AssertionError("expected ValueError for non-divisible model_parallel")
+
+
+def test_sharded_segmentation_bfloat16():
+    """Mesh-DP serving with bfloat16 params (the bench/production precision):
+    partitioning changes XLA's bf16 fusion order, so pixels sitting exactly on
+    the mask threshold may flip — masks must still agree >=99.5% per slide
+    (fp32 is bit-identical; see test_segmentation_service_on_mesh)."""
+    from atlaspatch_tpu.core.config import SegmentationConfig
+    from atlaspatch_tpu.models.sam2.config import SAM2Config
+    from atlaspatch_tpu.services.segmentation import SAM2Predictor
+
+    cfg = SegmentationConfig(device="cpu", batch_size=4, precision="bfloat16")
+    sam2_cfg = SAM2Config.test_tiny()
+    rng = np.random.default_rng(13)
+    thumbs = [rng.integers(0, 256, (40, 56, 3), dtype=np.uint8) for _ in range(3)]
+
+    single = SAM2Predictor(cfg, sam2_cfg)
+    want = single.predict_masks_grouped_async(thumbs)()
+
+    devices = np.asarray(jax.devices()[:4]).reshape(4, 1)
+    mesh = Mesh(devices, axis_names=("data", "model"))
+    sharded = SAM2Predictor(cfg, sam2_cfg, mesh=mesh)
+    got = sharded.predict_masks_grouped_async(thumbs)()
+
+    for g, w in zip(got, want):
+        assert g.shape == w.shape
+        assert (g == w).mean() >= 0.995
