@@ -144,7 +144,7 @@ def main() -> None:
         # Multiple measured passes, best-of: the host link's throughput
         # fluctuates >2x between runs, so a single pass under-reports the
         # machine. Each pass rebuilds the runner on a fresh output root.
-        passes = max(1, int(os.environ.get("ATLASPATCH_BENCH_PASSES", "2")))
+        passes = max(1, int(os.environ.get("ATLASPATCH_BENCH_PASSES", "3")))
         elapsed = float("inf")
         for p in range(passes):
             cfg_p = cfg
