@@ -1,8 +1,13 @@
-"""Plain-image backend: a PNG/JPEG acts as a 1-level pyramid.
+"""Plain-image backend: one PNG/JPEG/BMP behaves as a single-level pyramid.
 
-Parity with reference ImageWSI (reference: atlas_patch/core/wsi/image_wsi.py:
-9-147): user-supplied MPP is mandatory and validated; magnification is inferred
-from MPP.
+The whole image is decoded once into an RGB numpy array and every region read
+is a zero-copy-ish slice of it (out-of-bounds regions pad black, matching
+PIL's crop-beyond-boundary behavior). This favors the embedding phase, which
+re-reads hundreds of patches per slide. MPP cannot be read from a plain
+image, so a user-supplied value is mandatory and validated.
+
+Behavior parity: atlas_patch/core/wsi/image_wsi.py:9-147 (mandatory MPP,
+level-0-only reads, LANCZOS thumbnails, mag inferred from MPP).
 """
 
 from __future__ import annotations
@@ -16,7 +21,7 @@ from atlaspatch_tpu.io.iwsi import IWSI
 
 
 class ImageWSI(IWSI):
-    """Standard image backend."""
+    """Single-level slide backed by a fully-decoded RGB array."""
 
     def __init__(self, **kwargs: Any) -> None:
         mpp = kwargs.get("mpp")
@@ -25,30 +30,45 @@ class ImageWSI(IWSI):
         if mpp <= 0:
             raise ValueError(f"mpp must be positive, got {mpp}")
         super().__init__(**kwargs)
-        self._pil_img: Optional[Image.Image] = None
+        self._rgb: Optional[np.ndarray] = None
+        self._format: str = "unknown"
         self._mpp_value = self.validate_mpp(mpp, source="user-provided mpp")
 
     def _setup(self) -> None:
         try:
-            if self._pil_img is None:
-                self._pil_img = Image.open(self.path).convert("RGB")
-            self.w, self.h = self._pil_img.size
-            self.nlvl = 1
-            self.ds = [1.0]
-            self.dims = [(self.w, self.h)]
-            self.meta = {
-                "format": self._pil_img.format or "unknown",
-                "mode": self._pil_img.mode,
-            }
-            self.mpp = self._mpp_value
-            try:
-                self.mag = self._infer_mag(self.mpp)
-            except ValueError:
-                self.mag = None
+            self._decode()
         except FileNotFoundError as e:
             raise FileNotFoundError(f"Image not found: {self.path}") from e
         except Exception as e:
             raise RuntimeError(f"Setup failed: {e}") from e
+        assert self._rgb is not None
+        self.h, self.w = self._rgb.shape[:2]
+        self.nlvl = 1
+        self.ds = [1.0]
+        self.dims = [(self.w, self.h)]
+        self.meta = {"format": self._format, "mode": "RGB"}
+        self.mpp = self._mpp_value
+        try:
+            self.mag = self._infer_mag(self.mpp)
+        except ValueError:
+            self.mag = None
+
+    def _decode(self) -> None:
+        if self._rgb is not None:
+            return
+        with Image.open(self.path) as img:
+            self._format = img.format or "unknown"
+            self._rgb = np.asarray(img.convert("RGB"))
+
+    def _require_pixels(self, lv: int) -> np.ndarray:
+        self._ensure_loaded()
+        if lv != 0:
+            raise ValueError("Standard images only support level 0")
+        if self._rgb is None:
+            # cleanup() ran; re-decode on demand.
+            self._decode()
+        assert self._rgb is not None
+        return self._rgb
 
     def extract(
         self,
@@ -58,19 +78,21 @@ class ImageWSI(IWSI):
         *,
         mode: Literal["array", "image"] = "array",
     ) -> Union[np.ndarray, Image.Image]:
-        self._ensure_loaded()
-        if lv != 0:
-            raise ValueError("Standard images only support level 0")
-        if self._pil_img is None:
-            raise RuntimeError("Image not loaded")
+        if mode not in ("array", "image"):
+            raise ValueError(f"Invalid mode: {mode}")
+        pixels = self._require_pixels(lv)
         x, y = xy
         w, h = wh
-        region = self._pil_img.crop((x, y, x + w, y + h)).convert("RGB")
-        if mode == "image":
-            return region
-        if mode == "array":
-            return np.array(region)
-        raise ValueError(f"Invalid mode: {mode}")
+
+        region = np.zeros((h, w, 3), dtype=np.uint8)
+        src_x0, src_y0 = max(0, x), max(0, y)
+        src_x1 = min(pixels.shape[1], x + w)
+        src_y1 = min(pixels.shape[0], y + h)
+        if src_x1 > src_x0 and src_y1 > src_y0:
+            region[src_y0 - y : src_y1 - y, src_x0 - x : src_x1 - x] = pixels[
+                src_y0:src_y1, src_x0:src_x1
+            ]
+        return Image.fromarray(region) if mode == "image" else region
 
     def get_size(self, lv: int = 0) -> Tuple[int, int]:
         self._ensure_loaded()
@@ -81,21 +103,12 @@ class ImageWSI(IWSI):
         return (self.w, self.h)
 
     def get_thumb(self, max_hw: Tuple[int, int]) -> Image.Image:
-        self._ensure_loaded()
-        if self._pil_img is None:
-            raise RuntimeError("Image not loaded")
-        thumb = self._pil_img.copy()
+        thumb = Image.fromarray(self._require_pixels(0))
         thumb.thumbnail(max_hw, Image.Resampling.LANCZOS)
         return thumb
 
     def cleanup(self) -> None:
-        if self._pil_img is not None:
-            try:
-                self._pil_img.close()
-            except Exception:
-                pass
-            finally:
-                self._pil_img = None
+        self._rgb = None
         self._loaded = False
 
     def __del__(self) -> None:

@@ -1,11 +1,18 @@
-"""Intra-node parallel execution of per-slide extraction.
+"""Slide-level concurrency for the extraction stage.
 
-Parity with the reference's thread-pool pipeline (reference:
-atlas_patch/orchestration/parallel.py:20-167): an executor runs per-slide
-extraction (host-bound: tile decode + vectorized geometry + H5 writes)
-concurrently with the device-bound segmentation batches, with an
-InflightTracker providing done-callbacks and backpressure against the
-max-open-slides cap.
+Segmentation batches run on the device while per-slide extraction (tile
+decode + vectorized geometry + H5 writes) runs on host threads. Two pieces:
+
+* :class:`PatchExtractionExecutor` — the worker pool. Each task owns its WSI
+  handle and work lock; both are released in the worker whatever happens.
+* :class:`InflightTracker` — completion accounting. Results and failures are
+  appended to caller-owned lists from the future callback, and a condition
+  variable implements backpressure against the ``max_open_slides`` cap (the
+  runner blocks in :meth:`wait_until_at_most` until enough slides drain).
+
+Role parity with the reference's thread-pool pipeline
+(atlas_patch/orchestration/parallel.py), rebuilt around condition-variable
+accounting rather than future-set polling.
 """
 
 from __future__ import annotations
@@ -13,7 +20,7 @@ from __future__ import annotations
 import logging
 import os
 import threading
-from concurrent.futures import FIRST_COMPLETED, Future, ThreadPoolExecutor, wait
+from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Callable
@@ -29,7 +36,7 @@ logger = logging.getLogger("atlaspatch_tpu.parallel")
 
 @dataclass
 class ExtractionTask:
-    """A single slide's extraction unit (WSI + mask + held lock)."""
+    """One slide's unit of extraction work: open WSI, its mask, the held lock."""
 
     slide: Slide
     wsi: IWSI
@@ -39,7 +46,7 @@ class ExtractionTask:
 
 
 class InflightTracker:
-    """Thread-safe accounting of in-flight extraction futures."""
+    """Counts in-flight futures and routes completions to results/failures."""
 
     def __init__(
         self,
@@ -51,48 +58,58 @@ class InflightTracker:
         self._results = results
         self._failures = failures
         self._progress = progress
-        self._inflight: dict[Future, Slide] = {}
-        self._lock = threading.Lock()
+        self._pending: dict[Future, Slide] = {}
+        self._cond = threading.Condition()
 
     def add(self, fut: Future, slide: Slide) -> None:
-        with self._lock:
-            self._inflight[fut] = slide
-        fut.add_done_callback(self._on_done)
-
-    def _on_done(self, fut: Future) -> None:
-        with self._lock:
-            slide = self._inflight.pop(fut, None)
-        if slide is None:
-            return
-        try:
-            res = fut.result()
-            self._results.append(res)
-            logger.info(
-                "Processed %s -> %s (patches=%s)", slide.path.name, res.h5_path, res.num_patches
-            )
-        except Exception as e:  # noqa: BLE001
-            self._failures.append((slide, e))
-            logger.error("Failed to process %s: %s", slide.path.name, e)
-        finally:
-            if self._progress:
-                self._progress.update(1)
+        with self._cond:
+            self._pending[fut] = slide
+        fut.add_done_callback(self._settle)
 
     def count(self) -> int:
-        with self._lock:
-            return len(self._inflight)
+        with self._cond:
+            return len(self._pending)
 
     def wait_until_at_most(self, limit: int) -> None:
+        """Block the caller until at most ``limit`` tasks remain in flight."""
         limit = max(0, int(limit))
-        while True:
-            with self._lock:
-                futs = list(self._inflight.keys())
-            if len(futs) <= limit:
-                return
-            wait(futs, return_when=FIRST_COMPLETED)
+        with self._cond:
+            self._cond.wait_for(lambda: len(self._pending) <= limit)
+
+    def _settle(self, fut: Future) -> None:
+        # Record the outcome and drop the pending entry atomically: a waiter
+        # woken by the count reaching its limit must already see the result.
+        with self._cond:
+            slide = self._pending.pop(fut, None)
+            if slide is None:
+                return  # duplicate callback / unknown future
+            err = fut.exception()
+            if err is not None:
+                self._failures.append((slide, err))
+            else:
+                self._results.append(fut.result())
+            self._cond.notify_all()
+        if err is not None:
+            logger.error("Failed to process %s: %s", slide.path.name, err)
+        else:
+            res = fut.result()
+            logger.info(
+                "Processed %s -> %s (patches=%s)",
+                slide.path.name,
+                res.h5_path,
+                res.num_patches,
+            )
+        if self._progress:
+            self._progress.update(1)
 
 
 class PatchExtractionExecutor:
-    """Thread pool running extraction (+ optional visualization) per slide."""
+    """Thread pool that extracts (and optionally visualizes) one slide per task.
+
+    The worker always cleans up: the WSI handle is closed and the work lock
+    released even when extraction raises, so a crashed slide never wedges a
+    lock for other processes.
+    """
 
     def __init__(
         self,
@@ -106,28 +123,28 @@ class PatchExtractionExecutor:
         self.visualizer = visualizer
         self.release_lock = release_lock
         self.max_workers = max(1, int(max_workers or os.cpu_count() or 4))
-        self._executor = ThreadPoolExecutor(
+        self._pool = ThreadPoolExecutor(
             max_workers=self.max_workers, thread_name_prefix="patch-extract"
         )
 
     def submit(self, task: ExtractionTask) -> Future:
-        return self._executor.submit(self._run_task, task)
+        return self._pool.submit(self._process_slide, task)
 
-    def _run_task(self, task: ExtractionTask) -> ExtractionResult:
+    def _process_slide(self, task: ExtractionTask) -> ExtractionResult:
         try:
             result = self.extractor.extract(task.wsi, task.mask, slide=task.slide)
-            if self.visualizer:
+            if self.visualizer is not None:
                 self.visualizer.visualize(result, wsi=task.wsi, mask=task.mask)
             return result
         finally:
             try:
                 task.wsi.cleanup()
-            except Exception:
-                pass
+            except Exception:  # noqa: BLE001 — never mask the real outcome
+                logger.debug("WSI cleanup failed for %s", task.slide.path.name)
             self.release_lock(task.lock_fd, task.lock_path)
 
     def shutdown(self) -> None:
-        self._executor.shutdown(wait=True, cancel_futures=False)
+        self._pool.shutdown(wait=True, cancel_futures=False)
 
     def __enter__(self) -> "PatchExtractionExecutor":
         return self

@@ -1,7 +1,15 @@
-"""Mask overlay rendering (reference: atlas_patch/utils/visualization/mask.py:11-45).
+"""Tissue-mask overlay rendering.
 
-Outputs per slide: `<stem>_mask_bw.png` (binary preview) and `<stem>_mask.png`
-(green alpha-80 overlay on the thumbnail).
+Per slide, two PNGs land in the visualization directory:
+
+* ``<stem>_mask_bw.png`` — the binary mask itself, thumbnail-sized.
+* ``<stem>_mask.png``    — the thumbnail tinted green where tissue was found
+  (alpha 80/255, matching the reference overlay look,
+  atlas_patch/utils/visualization/mask.py:11-45).
+
+Compositing is done directly in numpy (uint8 blend) rather than via PIL layer
+stacking; the mask is nearest-resampled to the thumbnail grid so overlay and
+preview always share the thumbnail's geometry.
 """
 
 from __future__ import annotations
@@ -13,6 +21,21 @@ from PIL import Image
 
 from atlaspatch_tpu.io.iwsi import IWSI
 
+_TISSUE_TINT = np.array([0, 255, 0], dtype=np.float32)  # green
+_TINT_ALPHA = 80.0 / 255.0
+
+
+def _mask_at_thumb_grid(mask: np.ndarray, size_wh: tuple[int, int]) -> np.ndarray:
+    """Binarize ``mask`` (>0.5) and nearest-resample it to ``size_wh``; uint8 0/255."""
+    binary = np.where(np.asarray(mask, dtype=np.float32) > 0.5, 255, 0).astype(np.uint8)
+    h, w = binary.shape[:2]
+    if (w, h) == size_wh:
+        return binary
+    resampled = Image.fromarray(binary, mode="L").resize(
+        size_wh, resample=Image.Resampling.NEAREST
+    )
+    return np.asarray(resampled)
+
 
 def visualize_mask_on_thumbnail(
     *,
@@ -21,26 +44,17 @@ def visualize_mask_on_thumbnail(
     output_dir: Path,
     thumbnail_size: int,
 ) -> Path:
+    """Render the BW preview and the green tissue overlay; return the overlay path."""
     thumb = wsi.get_thumb((thumbnail_size, thumbnail_size)).convert("RGB")
-
-    mask_float = (mask.astype(np.float32) > 0.5).astype(np.float32)
-    mh, mw = mask_float.shape[:2]
-    if (mw, mh) != (thumb.width, thumb.height):
-        m_img = Image.fromarray((mask_float * 255).astype(np.uint8), mode="L")
-        m_img = m_img.resize((thumb.width, thumb.height), resample=Image.Resampling.NEAREST)
-        mask_float = np.asarray(m_img, dtype=np.float32) / 255.0
+    tissue = _mask_at_thumb_grid(mask, (thumb.width, thumb.height))
 
     output_dir.mkdir(parents=True, exist_ok=True)
     stem = Path(wsi.path).stem
-    bw_path = output_dir / f"{stem}_mask_bw.png"
-    Image.fromarray((mask_float * 255).astype(np.uint8), mode="L").save(bw_path)
+    Image.fromarray(tissue, mode="L").save(output_dir / f"{stem}_mask_bw.png")
 
-    alpha = 80
-    mask_rgba = Image.fromarray((mask_float * alpha).astype(np.uint8), mode="L")
-    green_layer = Image.new("RGBA", thumb.size, (0, 255, 0, 0))
-    green_layer.putalpha(mask_rgba)
-    out_img = Image.alpha_composite(thumb.convert("RGBA"), green_layer)
-
-    out_path = output_dir / f"{stem}_mask.png"
-    out_img.convert("RGB").save(out_path, quality=95)
-    return out_path
+    rgb = np.asarray(thumb, dtype=np.float32)
+    weight = (tissue[..., None].astype(np.float32) / 255.0) * _TINT_ALPHA
+    blended = rgb * (1.0 - weight) + _TISSUE_TINT * weight
+    overlay_path = output_dir / f"{stem}_mask.png"
+    Image.fromarray(blended.round().astype(np.uint8)).save(overlay_path, quality=95)
+    return overlay_path
