@@ -486,9 +486,13 @@ def info():
 
     click.echo(
         "Supported WSI formats (native TIFF decoder): .svs, .tif, .tiff, .ndpi, "
-        ".vms, .vmu, .scn, .mrxs, .bif, .dcm"
+        ".scn, .bif"
     )
     click.echo("Image formats: .png, .jpg, .jpeg, .bmp, .webp, .gif")
+    click.echo(
+        "Not supported (non-TIFF containers; reference uses OpenSlide): "
+        ".mrxs, .vms, .vmu, .dcm"
+    )
     click.echo(
         "Outputs: HDF5 per slide under patches/<stem>.h5; optional PNGs under "
         "images/<stem>; visualizations under visualization/."

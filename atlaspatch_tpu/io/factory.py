@@ -15,6 +15,10 @@ from atlaspatch_tpu.io.image_wsi import ImageWSI
 from atlaspatch_tpu.io.iwsi import IWSI
 
 
+class UnsupportedFormatError(ValueError):
+    """The file's container format is recognized but not decodable natively."""
+
+
 def _tiff_backend():
     from atlaspatch_tpu.io.tiff_wsi import TiffWSI
 
@@ -29,25 +33,35 @@ class WSIFactory:
         "image": ImageWSI,
     }
 
+    # TIFF-container formats (classic TIFF / BigTIFF internals) decode natively:
+    # Aperio .svs, Hamamatsu .ndpi, Leica .scn, Ventana .bif/.biff, plain .tif.
     _formats = {
         ".svs": "tiff",
         ".tif": "tiff",
         ".tiff": "tiff",
         ".ndpi": "tiff",
-        ".vms": "tiff",
-        ".vmu": "tiff",
         ".scn": "tiff",
-        ".mrxs": "tiff",
         ".bif": "tiff",
         ".biff": "tiff",
-        ".dcm": "tiff",
-        ".dicom": "tiff",
         ".png": "image",
         ".jpg": "image",
         ".jpeg": "image",
         ".bmp": "image",
         ".webp": "image",
         ".gif": "image",
+    }
+
+    # Honest non-coverage: these are NOT TIFF containers (MIRAX is a directory
+    # of .dat tile files, Hamamatsu VMS/VMU are map files, DICOM is its own
+    # encoding); the reference reads them via OpenSlide, which this build does
+    # not link. Opening one raises UnsupportedFormatError instead of a
+    # misleading TIFF parse failure.
+    _known_unsupported = {
+        ".mrxs": "MIRAX (directory of .dat tiles)",
+        ".vms": "Hamamatsu VMS (map file + JPEG tiles)",
+        ".vmu": "Hamamatsu VMU (map file + raw tiles)",
+        ".dcm": "DICOM WSI",
+        ".dicom": "DICOM WSI",
     }
 
     @classmethod
@@ -83,6 +97,14 @@ class WSIFactory:
         if backend is None:
             backend = cls.detect(path)
             if backend is None:
+                ext = Path(path).suffix.lower()
+                if ext in cls._known_unsupported:
+                    raise UnsupportedFormatError(
+                        f"{ext} — {cls._known_unsupported[ext]} — is not supported "
+                        "by the native decoder (no OpenSlide in this build). "
+                        "Convert the slide to a TIFF-family format (.svs/.tiff) "
+                        "or register a custom backend via WSIFactory.register()."
+                    )
                 raise ValueError(f"No backend found for: {path}")
         elif backend not in cls._registry:
             raise ValueError(f"Unknown backend: {backend}")

@@ -126,13 +126,22 @@ class SAM2Predictor:
 
                 params = load_checkpoint(str(ckpt), self.sam2_cfg)
             params = jax.tree.map(lambda a: jnp.asarray(a, dtype=jnp.float32), params)
-        else:
+        elif os.environ.get("ATLASPATCH_ALLOW_RANDOM_WEIGHTS") == "1":
             logger.warning(
-                "No SAM2 checkpoint found (set %s or --checkpoint); using random init. "
-                "Masks will not be meaningful.",
+                "No SAM2 checkpoint found (set %s or --checkpoint); using random init "
+                "because ATLASPATCH_ALLOW_RANDOM_WEIGHTS=1. Masks will not be meaningful.",
                 _ENV_CHECKPOINT,
             )
             params = init_params(self.sam2_cfg)
+        else:
+            # Same load-or-raise contract as the reference
+            # (atlas_patch/services/segmentation.py:46-68) and the encoder zoo.
+            raise RuntimeError(
+                f"No SAM2 checkpoint found (set {_ENV_CHECKPOINT} or --checkpoint, "
+                "or place the finetuned model.pth in the HF cache). Set "
+                "ATLASPATCH_ALLOW_RANDOM_WEIGHTS=1 to run with random weights "
+                "for benchmarking only."
+            )
         if getattr(self.cfg, "precision", "float32") == "bfloat16":
             params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
         if self._mesh is not None:

@@ -14,19 +14,17 @@ from typing import Dict, Optional
 
 logger = logging.getLogger("atlaspatch_tpu.utils")
 
+# TIFF-family WSI containers decodable by the native layer, plus plain images.
+# Non-TIFF containers (.mrxs/.vms/.vmu/.dcm) are intentionally absent: the
+# factory raises UnsupportedFormatError for them (see io/factory.py).
 SUPPORTED_EXTS = {
     ".svs",
     ".tif",
     ".tiff",
     ".ndpi",
-    ".vms",
-    ".vmu",
     ".scn",
-    ".mrxs",
     ".bif",
     ".biff",
-    ".dcm",
-    ".dicom",
     ".png",
     ".jpg",
     ".jpeg",

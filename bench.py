@@ -30,6 +30,10 @@ import numpy as np
 import os
 import sys
 
+# A benchmark measures compute, not mask quality: random SAM2 weights are
+# explicitly fine here (identical FLOPs/bytes to the finetuned checkpoint).
+os.environ.setdefault("ATLASPATCH_ALLOW_RANDOM_WEIGHTS", "1")
+
 N_SLIDES = int(os.environ.get("ATLASPATCH_BENCH_SLIDES", "64"))
 SEG_BATCH = int(os.environ.get("ATLASPATCH_BENCH_SEG_BATCH", "16"))
 # bfloat16 is the TPU-native precision for the MXU; the CLI default stays

@@ -7,6 +7,10 @@ bench.py, not in the test suite.
 
 import os
 
+# Tests exercise pipelines without real checkpoints; production fails loudly
+# instead (tests covering the raise delete this var via monkeypatch).
+os.environ.setdefault("ATLASPATCH_ALLOW_RANDOM_WEIGHTS", "1")
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
