@@ -152,7 +152,8 @@ class AtlasTiffFile:
         return self.level_dimensions[0]
 
     def read_region_level(self, level: int, x: int, y: int, w: int, h: int) -> np.ndarray:
-        """Read an RGB region; x/y in LEVEL coordinates. Out-of-bounds = white."""
+        """Read an RGB region; x/y in LEVEL coordinates. Out-of-bounds pads
+        black (OpenSlide read_region parity)."""
         out = np.empty((h, w, 3), dtype=np.uint8)
         err = ctypes.create_string_buffer(512)
         rc = self._lib.atlas_read_region(

@@ -388,7 +388,7 @@ struct AtlasTiff {
           return false;
         }
         std::memcpy(out, raw.data(), cap);
-        return true;
+        break;  // fall through to predictor: legal (if unusual) combination
       case 5:
         if (!lzw_decode(raw.data(), n, out, cap)) {
           *err = "LZW decode failed";
@@ -396,6 +396,13 @@ struct AtlasTiff {
         }
         break;
       case 7:
+        // jpeg rows land at stride w*output_components; any spp outside
+        // {1,3} (e.g. RGBA extra samples) would mismatch the chunk stride.
+        if (d.spp != 1 && d.spp != 3) {
+          *err = "JPEG chunks with samples_per_pixel " + std::to_string(d.spp) +
+                 " are not supported";
+          return false;
+        }
         return jpeg_decode_rgb(d.jpeg_tables, raw.data(), n, out, cw, ch, d.spp)
                    ? true
                    : (*err = "JPEG decode failed", false);
@@ -484,6 +491,9 @@ static bool parse_ifds(AtlasTiff* t) {
       uint64_t cnt = t->bigtiff ? t->bo.u64(p + 4) : t->bo.u32(p + 4);
       size_t ts = type_size(type);
       if (ts == 0) continue;
+      // Cap entry payloads at 1 GiB BEFORE allocating (also guards cnt*ts
+      // overflowing uint64 to a small value on a corrupt IFD).
+      if (cnt > (1ull << 30) / ts) continue;
       uint64_t nbytes = cnt * ts;
       size_t inline_cap = t->bigtiff ? 8 : 4;
       const uint8_t* vp = p + (t->bigtiff ? 12 : 8);
@@ -495,8 +505,7 @@ static bool parse_ifds(AtlasTiff* t) {
         std::memcpy(e.data.data(), vp, nbytes);
       } else {
         uint64_t off = t->bigtiff ? t->bo.u64(vp) : t->bo.u32(vp);
-        if (nbytes > (1ull << 30) || !t->file.read_at(off, e.data.data(), nbytes))
-          continue;
+        if (!t->file.read_at(off, e.data.data(), nbytes)) continue;
       }
       d.entries[tag] = std::move(e);
     }

@@ -23,6 +23,7 @@ count-then-write shape so passports embed the final total.
 from __future__ import annotations
 
 import concurrent.futures as _fut
+import logging
 import os
 from collections import deque
 from datetime import datetime, timezone
@@ -33,6 +34,8 @@ import h5py
 import numpy as np
 
 from atlaspatch_tpu.utils.h5 import H5AppendWriter
+
+logger = logging.getLogger("atlaspatch_tpu.storage")
 
 PASSPORT_FORMAT = "{stem}__x{X}_y{Y}_rw{RW}_rh{RH}_lv{LV}_mag{MAG}_tmag{TMAG}_total{TOTAL}"
 PASSPORT_VERSION = 2
@@ -116,6 +119,16 @@ class H5PatchWriter:
         writer.update_file_attrs(file_attrs)
         return writer
 
+    @staticmethod
+    def _drain_png_future(fut: _fut.Future) -> None:
+        """Per-patch PNG export is best-effort once coords are committed: a
+        transient image-save failure logs but never aborts the slide
+        (reference fault tolerance, atlas_patch/services/storage.py:96-104)."""
+        try:
+            fut.result()
+        except Exception as e:  # noqa: BLE001
+            logger.warning("Patch PNG export failed: %s", e)
+
     def _write_collected(
         self,
         output_path: Path,
@@ -190,10 +203,10 @@ class H5PatchWriter:
                         ex.submit(save_patch_png, patch.copy(), image_dir / out_name)
                     )
                     if len(futures) >= max_pending:
-                        futures.popleft().result()
+                        self._drain_png_future(futures.popleft())
             total = self._write_collected(output_path, all_coords, batch)
             while futures:
-                futures.popleft().result()
+                self._drain_png_future(futures.popleft())
 
         coords_arr = (
             np.asarray([(c[0], c[1]) for c in all_coords], dtype=np.int32)

@@ -294,3 +294,18 @@ def test_decoder_corruption_robustness(tmp_path: Path, canvas):
                 signal.alarm(0)
     finally:
         signal.signal(signal.SIGALRM, old)
+
+
+@pytest.mark.parametrize("compression", [1, 8])
+def test_predictor2_strips_decode(tmp_path: Path, canvas, compression):
+    """Predictor=2 must be honored for uncompressed strips too (ADVICE r1:
+    the uncompressed path used to return before predictor application)."""
+    from tests.tiff_builder import TiffWriter
+
+    path = tmp_path / "pred.tiff"
+    b = TiffWriter()
+    b.add_level(canvas, compression=compression, predictor=2)
+    b.save(path)
+    t = AtlasTiffFile(str(path))
+    out = t.read_region_level(0, 0, 0, canvas.shape[1], canvas.shape[0])
+    np.testing.assert_array_equal(out, canvas)

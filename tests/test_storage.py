@@ -195,3 +195,25 @@ def test_append_features_count_mismatch(tmp_path: Path):
             feature_batch=4,
             expected_total=3,
         )
+
+
+def test_png_export_failure_does_not_abort_slide(tmp_path: Path, monkeypatch):
+    """A failing per-patch PNG save logs and continues: coords are already
+    committed, so the slide must still complete (ADVICE r1; reference
+    _drain_futures swallows image-save errors)."""
+    import atlaspatch_tpu.services.storage as storage_mod
+
+    def boom(patch_arr, out_path):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(storage_mod, "save_patch_png", boom)
+    w = _writer()
+    out = tmp_path / "s.h5"
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    patch = np.zeros((8, 8, 3), dtype=np.uint8)
+    entries = [(0, 0, 512, 512, 0, patch), (512, 0, 512, 512, 0, patch)]
+    total, _ = w.write_coords_and_images(out, entries, img_dir, batch=4)
+    assert total == 2
+    with h5py.File(out) as f:
+        assert f["coords"].shape[0] == 2

@@ -79,12 +79,21 @@ class TiffWriter:
         *,
         tile: int | None = None,
         compression: int = 1,
+        predictor: int = 1,
         description: str | None = None,
         resolution: tuple[float, float, int] | None = None,  # (xres, yres, unit)
     ) -> None:
         h, w = image.shape[:2]
         spp = 1 if image.ndim == 2 else image.shape[2]
         img = image.reshape(h, w, spp)
+        if predictor == 2:
+            if tile:
+                raise ValueError("builder supports predictor=2 for strips only")
+            # Horizontal differencing per row before (optional) compression;
+            # strips keep full image rows so whole-row differencing is exact.
+            img = img.astype(np.int16)
+            img[:, 1:] = img[:, 1:] - img[:, :-1]
+            img = (img & 0xFF).astype(np.uint8)
 
         chunks: list[bytes] = []
         if tile:
@@ -164,6 +173,8 @@ class TiffWriter:
             tag(283, TYPE_RATIONAL, [yres])
             tag(296, TYPE_SHORT, unit)
         tag(284, TYPE_SHORT, 1)
+        if predictor != 1:
+            tag(317, TYPE_SHORT, predictor)
 
         entries.sort(key=lambda e: e[0])
         # write out-of-line data first
