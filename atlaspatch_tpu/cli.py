@@ -93,6 +93,10 @@ _COMMON_OPTIONS: list = [
     click.option("--seg-data-parallel", is_flag=True,
                  help="Shard segmentation batches across ALL local chips "
                       "(data-parallel mesh; needs --seg-batch-size >= chip count)."),
+    click.option("--fast", is_flag=True,
+                 help="TPU throughput preset: --seg-precision bfloat16 "
+                      "--seg-batch-size 16 (the benchmark configuration). "
+                      "Explicitly-passed seg flags still win."),
     click.option("--verbose", "-v", is_flag=True, help="Enable debug logging."),
 ]
 
@@ -138,6 +142,21 @@ def feature_options(func):
 
 
 def _build_app_config(kw: dict, feature_cfg: FeatureExtractionConfig | None) -> AppConfig:
+    if kw.get("fast"):
+        # Preset fills only values the user didn't pass on the command line,
+        # so `--fast --seg-precision float32` keeps the explicit float32.
+        ctx = click.get_current_context(silent=True)
+
+        def _explicit(name: str) -> bool:
+            if ctx is None:
+                return False
+            src = ctx.get_parameter_source(name)
+            return src is not None and src.name == "COMMANDLINE"
+
+        if not _explicit("seg_precision"):
+            kw["seg_precision"] = "bfloat16"
+        if not _explicit("seg_batch_size"):
+            kw["seg_batch_size"] = 16
     return AppConfig(
         processing=ProcessingConfig(
             input_path=Path(kw["wsi_path"]),

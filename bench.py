@@ -1,26 +1,31 @@
-"""End-to-end throughput benchmark: tissue segmentation + coordinate extraction.
+"""End-to-end throughput benchmark — three metrics, one JSON line.
 
-Measures the reference's headline metric — slides/hour for
-segment-and-get-coords (BASELINE.md: 100 WSIs in ~19 s ⇒ ~18,947 slides/hour
-on the reference GPU machine) — on real TPU hardware with the full production
-pipeline: host thumbnail prep (thread pool) → fused SAM2 device step (batch)
-→ vectorized contour/grid geometry → passported H5 writes, via
-ProcessingRunner with lock/skip semantics.
+1. ``seg_coords_synthetic`` — slides/hour for segment-and-get-coords on
+   in-memory synthetic pyramids (headline; comparable across rounds). The
+   reference's headline is 100 WSIs in ~19 s (BASELINE.md) ⇒ ~18,947 slides/h.
+2. ``seg_coords_real_tiff`` — the identical pipeline over real pyramidal
+   JPEG-tiled SVS files on disk, decoded by the native C++ TIFF layer through
+   the production factory/loader. This covers the slide-decode path the
+   synthetic metric excludes (the reference's ~19 s includes OpenSlide reads).
+3. ``embed_vitl_pps`` — patches embedded/sec through the ViT-L engine path
+   (host prep threads → H2D dispatch → jitted forward), the second BASELINE
+   north-star metric. No published reference value ⇒ vs_baseline null.
 
-Slides are in-memory synthetic pyramids (disk I/O for slide *reads* is
-excluded by construction since there is no slide corpus in the image; H5
-*writes* are included). SAM2 runs with the finetuned checkpoint when cached,
-else deterministic random weights — identical compute either way. Because
-random-weight masks are degenerate, the predicted mask's device computation is
-timed but the geometry stage consumes a thresholded-thumbnail tissue mask so
-contour/grid/H5 work is representative.
+Config: seg bfloat16, seg batch 16 — the CLI's ``--fast`` preset (defaults
+stay float32/batch-1 for reference-exact numerics). Each stage reports
+best AND median over ATLASPATCH_BENCH_PASSES passes: the TPU tunnel on this
+host fluctuates >2x run-to-run, so best approximates the machine and median
+the session.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: the headline metric in the driver's
+{"metric","value","unit","vs_baseline"} shape, plus "median_value", "config"
+and a "metrics" object carrying all three measurements.
 """
 
 from __future__ import annotations
 
 import json
+import statistics
 import tempfile
 import time
 from pathlib import Path
@@ -30,54 +35,36 @@ import numpy as np
 import os
 import sys
 
-# A benchmark measures compute, not mask quality: random SAM2 weights are
-# explicitly fine here (identical FLOPs/bytes to the finetuned checkpoint).
+# A benchmark measures compute, not mask quality: random SAM2/encoder weights
+# are explicitly fine here (identical FLOPs/bytes to the real checkpoints).
 os.environ.setdefault("ATLASPATCH_ALLOW_RANDOM_WEIGHTS", "1")
 
 N_SLIDES = int(os.environ.get("ATLASPATCH_BENCH_SLIDES", "64"))
+N_TIFF_SLIDES = int(os.environ.get("ATLASPATCH_BENCH_TIFF_SLIDES", "24"))
+N_EMBED_PATCHES = int(os.environ.get("ATLASPATCH_BENCH_EMBED_PATCHES", "512"))
+EMBED_ENCODER = os.environ.get("ATLASPATCH_BENCH_EMBED_ENCODER", "vit_l_16")
 SEG_BATCH = int(os.environ.get("ATLASPATCH_BENCH_SEG_BATCH", "16"))
 # bfloat16 is the TPU-native precision for the MXU; the CLI default stays
 # float32 for users who want the reference's exact numeric chain.
 SEG_PRECISION = os.environ.get("ATLASPATCH_BENCH_SEG_PRECISION", "bfloat16")
+PASSES = max(1, int(os.environ.get("ATLASPATCH_BENCH_PASSES", "3")))
+SKIP = set(os.environ.get("ATLASPATCH_BENCH_SKIP", "").split(","))
 SLIDE_W, SLIDE_H = 4096, 3072
 BASELINE_SLIDES_PER_HOUR = 100 / 19 * 3600  # reference: 100 WSIs / ~19 s
 
 
-def main() -> None:
-    from atlaspatch_tpu.core.config import (
-        AppConfig,
-        ExtractionConfig,
-        OutputConfig,
-        ProcessingConfig,
-        SegmentationConfig,
-    )
-    from atlaspatch_tpu.core.models import Mask, Slide
-    from atlaspatch_tpu.io.synthetic_wsi import SyntheticWSI, make_tissue_canvas
-    from atlaspatch_tpu.orchestration.runner import ProcessingRunner
-    from atlaspatch_tpu.services.extraction import PatchExtractionService
+def _log(msg: str) -> None:
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def _seg_service(cfg_seg):
+    """Segmentation wrapper: times the true SAM2 device step but hands the
+    geometry stage a thresholded-thumbnail tissue mask, because random-weight
+    logits are structureless and would starve the contour/grid/H5 stages."""
+    from atlaspatch_tpu.core.models import Mask
     from atlaspatch_tpu.services.segmentation import SAM2SegmentationService
 
-    # --- synthetic slide corpus (shared canvases; unique stems) ------------------
-    canvases = [make_tissue_canvas(SLIDE_W, SLIDE_H, seed=s, n_blobs=3) for s in range(4)]
-    slides = {}
-    for i in range(N_SLIDES):
-        wsi = SyntheticWSI(
-            path=f"/virtual/slide{i:03d}.svs", mpp=0.5, level0=canvases[i % 4], levels=3
-        )
-        slides[f"slide{i:03d}"] = wsi
-
-    class BenchLoader:
-        def open(self, slide: Slide):
-            wsi = slides[slide.stem]
-            wsi._loaded = False  # fresh open semantics
-            return wsi
-
     class BenchSegmentation(SAM2SegmentationService):
-        """Times the true SAM2 device step; hands geometry a representative
-        tissue mask (random-weight logits have no structure). Thumbnails carry
-        through prepare_thumbnails so the runner's prefetch pipeline is
-        exercised as in production."""
-
         _tissue_by_id: dict = {}
 
         @staticmethod
@@ -113,85 +100,256 @@ def main() -> None:
         def segment_thumbnail(self, wsi):
             return self.segment_batch([wsi])[0]
 
-    class NullResolver:
-        def resolve(self, slide):
-            return None
+    return BenchSegmentation(cfg_seg)
 
-    with tempfile.TemporaryDirectory() as tmp:
-        out_root = Path(tmp) / "out"
-        in_dir = Path(tmp) / "slides"
-        in_dir.mkdir()
-        for stem in slides:
-            (in_dir / f"{stem}.svs").touch()  # discovery placeholders
 
-        cfg = AppConfig(
-            processing=ProcessingConfig(input_path=in_dir),
-            segmentation=SegmentationConfig(
-                device="tpu", batch_size=SEG_BATCH,
-                precision=SEG_PRECISION,
-            ),
-            extraction=ExtractionConfig(patch_size=256, target_magnification=20,
-                                        tissue_threshold=0.0),
-            output=OutputConfig(output_root=out_root, skip_existing=False),
-            device="tpu",
+class _NullResolver:
+    def resolve(self, slide):
+        return None
+
+
+def _run_passes(make_runner, n_slides: int, label: str) -> tuple[float, float]:
+    """(best, median) slides/hour over PASSES runner executions."""
+    rates = []
+    for p in range(PASSES):
+        runner = make_runner(p)
+        t0 = time.perf_counter()
+        results, failures = runner.run()
+        dt = time.perf_counter() - t0
+        assert not failures, failures[:3]
+        assert len(results) == n_slides
+        assert sum(r.num_patches for r in results) > 0
+        rate = n_slides / dt * 3600
+        rates.append(rate)
+        _log(f"{label} pass {p + 1}/{PASSES}: {rate:.0f} slides/hour")
+    return max(rates), statistics.median(rates)
+
+
+def _make_app_cfg(in_dir: Path, out_root: Path):
+    from atlaspatch_tpu.core.config import (
+        AppConfig,
+        ExtractionConfig,
+        OutputConfig,
+        ProcessingConfig,
+        SegmentationConfig,
+    )
+
+    return AppConfig(
+        processing=ProcessingConfig(input_path=in_dir),
+        segmentation=SegmentationConfig(
+            device="tpu", batch_size=SEG_BATCH, precision=SEG_PRECISION
+        ),
+        extraction=ExtractionConfig(
+            patch_size=256, target_magnification=20, tissue_threshold=0.0
+        ),
+        output=OutputConfig(output_root=out_root, skip_existing=False),
+        device="tpu",
+    )
+
+
+def _clone_cfg_with_output(cfg, out_root: Path):
+    from atlaspatch_tpu.core.config import AppConfig, OutputConfig
+
+    return AppConfig(
+        processing=cfg.processing,
+        segmentation=cfg.segmentation,
+        extraction=cfg.extraction,
+        output=OutputConfig(output_root=out_root, skip_existing=False),
+        device="tpu",
+    )
+
+
+def bench_seg_coords_synthetic(seg, tmp: Path) -> tuple[float, float]:
+    """Stage 1: in-memory synthetic pyramids (decode excluded by design)."""
+    from atlaspatch_tpu.io.synthetic_wsi import SyntheticWSI, make_tissue_canvas
+    from atlaspatch_tpu.orchestration.runner import ProcessingRunner
+    from atlaspatch_tpu.services.extraction import PatchExtractionService
+
+    canvases = [make_tissue_canvas(SLIDE_W, SLIDE_H, seed=s, n_blobs=3) for s in range(4)]
+    slides = {
+        f"slide{i:03d}": SyntheticWSI(
+            path=f"/virtual/slide{i:03d}.svs", mpp=0.5, level0=canvases[i % 4], levels=3
         )
-        seg = BenchSegmentation(cfg.segmentation)
-        extractor = PatchExtractionService(cfg.extraction, cfg.output)
+        for i in range(N_SLIDES)
+    }
 
-        # Warmup: compile the SAM2 step for the exact thumbnail shapes/batch
-        # the measurement uses (grouped native-size path).
-        warm_wsis = [slides[f"slide{i:03d}"] for i in range(min(SEG_BATCH, N_SLIDES))]
-        warm_thumbs = seg.prepare_thumbnails(warm_wsis)
-        seg.segment_thumbnails(warm_thumbs)
-        seg.segment_thumbnails(warm_thumbs)
+    class BenchLoader:
+        def open(self, slide):
+            wsi = slides[slide.stem]
+            wsi._loaded = False  # fresh open semantics
+            return wsi
 
-        # Multiple measured passes, best-of: the host link's throughput
-        # fluctuates >2x between runs, so a single pass under-reports the
-        # machine. Each pass rebuilds the runner on a fresh output root.
-        passes = max(1, int(os.environ.get("ATLASPATCH_BENCH_PASSES", "3")))
-        elapsed = float("inf")
-        for p in range(passes):
-            cfg_p = cfg
-            if p:
-                cfg_p = AppConfig(
-                    processing=cfg.processing,
-                    segmentation=cfg.segmentation,
-                    extraction=cfg.extraction,
-                    output=OutputConfig(
-                        output_root=out_root / f"pass{p}", skip_existing=False
-                    ),
-                    device="tpu",
-                )
-                extractor = PatchExtractionService(cfg_p.extraction, cfg_p.output)
-            runner = ProcessingRunner(
-                config=cfg_p,
-                segmentation=seg,
-                extractor=extractor,
-                visualizer=None,
-                mpp_resolver=NullResolver(),
-                wsi_loader=BenchLoader(),
+    in_dir = tmp / "syn_slides"
+    in_dir.mkdir()
+    for stem in slides:
+        (in_dir / f"{stem}.svs").touch()  # discovery placeholders
+    cfg = _make_app_cfg(in_dir, tmp / "syn_out")
+
+    # Warmup compiles the SAM2 step for the exact thumb shapes/batch used.
+    warm = [slides[f"slide{i:03d}"] for i in range(min(SEG_BATCH, N_SLIDES))]
+    seg.segment_thumbnails(seg.prepare_thumbnails(warm))
+    seg.segment_thumbnails(seg.prepare_thumbnails(warm))
+
+    def make_runner(p):
+        cfg_p = _clone_cfg_with_output(cfg, tmp / f"syn_out/pass{p}")
+        return ProcessingRunner(
+            config=cfg_p,
+            segmentation=seg,
+            extractor=PatchExtractionService(cfg_p.extraction, cfg_p.output),
+            visualizer=None,
+            mpp_resolver=_NullResolver(),
+            wsi_loader=BenchLoader(),
+        )
+
+    return _run_passes(make_runner, N_SLIDES, "synthetic")
+
+
+def bench_seg_coords_real_tiff(seg, tmp: Path) -> tuple[float, float]:
+    """Stage 2: the same pipeline over real JPEG-tiled pyramids on disk,
+    decoded by the native TIFF layer through the production loader."""
+    sys.path.insert(0, str(Path(__file__).parent / "tests"))
+    from tiff_builder import write_pyramid  # noqa: PLC0415
+
+    from atlaspatch_tpu.orchestration.runner import ProcessingRunner
+    from atlaspatch_tpu.io.synthetic_wsi import make_tissue_canvas
+    from atlaspatch_tpu.services.extraction import PatchExtractionService
+    from atlaspatch_tpu.services.wsi_loader import DefaultWSILoader
+
+    in_dir = tmp / "tiff_slides"
+    in_dir.mkdir()
+    _log(f"writing {N_TIFF_SLIDES} JPEG-tiled pyramidal SVS files ...")
+    canvases = [make_tissue_canvas(SLIDE_W, SLIDE_H, seed=100 + s, n_blobs=3) for s in range(4)]
+    for i in range(N_TIFF_SLIDES):
+        write_pyramid(
+            in_dir / f"tslide{i:03d}.svs",
+            canvases[i % 4],
+            levels=3,
+            tile=256,
+            compression=7,  # JPEG chunks: the Aperio hot path
+            description=f"Aperio Image Library v12\r\n{SLIDE_W}x{SLIDE_H} | AppMag = 20 | MPP = 0.5",
+        )
+
+    cfg = _make_app_cfg(in_dir, tmp / "tiff_out")
+
+    # Warmup: real-pyramid thumbnails have their own native shapes, so the
+    # grouped SAM2 step compiles fresh variants; pay that outside the timing.
+    from atlaspatch_tpu.core.models import Slide
+
+    loader = DefaultWSILoader()
+    paths = sorted(in_dir.glob("*.svs"))
+    warm_sizes = {min(SEG_BATCH, N_TIFF_SLIDES)}
+    if N_TIFF_SLIDES % SEG_BATCH:
+        warm_sizes.add(N_TIFF_SLIDES % SEG_BATCH)  # the run's remainder batch
+    for size in sorted(warm_sizes):
+        warm_wsis = [loader.open(Slide(path=p)) for p in paths[:size]]
+        seg.segment_thumbnails(seg.prepare_thumbnails(warm_wsis))
+        for w in warm_wsis:
+            w.cleanup()
+
+    def make_runner(p):
+        cfg_p = _clone_cfg_with_output(cfg, tmp / f"tiff_out/pass{p}")
+        return ProcessingRunner(
+            config=cfg_p,
+            segmentation=seg,
+            extractor=PatchExtractionService(cfg_p.extraction, cfg_p.output),
+            visualizer=None,
+            mpp_resolver=_NullResolver(),
+            wsi_loader=DefaultWSILoader(),
+        )
+
+    return _run_passes(make_runner, N_TIFF_SLIDES, "real-tiff")
+
+
+def bench_embed_vitl(tmp: Path) -> tuple[float, float]:
+    """Stage 3: ViT-L patches/sec through the full engine path (host prep
+    threads → uint8 H2D → fused preprocess+forward on device)."""
+    from atlaspatch_tpu.models.encoders.zoo import build_default_registry
+
+    registry = build_default_registry(device="tpu", dtype="bfloat16")
+    extractor = registry.create(EMBED_ENCODER)
+    rng = np.random.default_rng(0)
+    patches = list(rng.integers(0, 255, (N_EMBED_PATCHES, 256, 256, 3), dtype=np.uint8))
+
+    # Warmup: compile every bucket the measured call will hit.
+    warm = extractor.extract_batch(patches[: min(64, len(patches))], batch_size=32)
+    assert np.isfinite(warm).all()
+
+    rates = []
+    for p in range(PASSES):
+        t0 = time.perf_counter()
+        feats = extractor.extract_batch(patches, batch_size=32)
+        feats = np.asarray(feats)  # force full host materialization
+        dt = time.perf_counter() - t0
+        assert feats.shape[0] == N_EMBED_PATCHES and np.isfinite(feats).all()
+        rate = N_EMBED_PATCHES / dt
+        rates.append(rate)
+        _log(f"embed {EMBED_ENCODER} pass {p + 1}/{PASSES}: {rate:.1f} patches/s")
+    extractor.cleanup()
+    return max(rates), statistics.median(rates)
+
+
+def main() -> None:
+    metrics: dict[str, dict] = {}
+    with tempfile.TemporaryDirectory() as tmpdir:
+        tmp = Path(tmpdir)
+        seg = None
+        if "synthetic" not in SKIP or "real_tiff" not in SKIP:
+            from atlaspatch_tpu.core.config import SegmentationConfig
+
+            seg = _seg_service(
+                SegmentationConfig(device="tpu", batch_size=SEG_BATCH, precision=SEG_PRECISION)
             )
-            t0 = time.perf_counter()
-            results, failures = runner.run()
-            pass_elapsed = time.perf_counter() - t0
-            assert not failures, failures[:3]
-            total_patches = sum(r.num_patches for r in results)
-            assert len(results) == N_SLIDES and total_patches > 0
-            print(f"# pass {p + 1}/{passes}: {N_SLIDES / pass_elapsed * 3600:.0f} slides/hour", file=sys.stderr)
-            elapsed = min(elapsed, pass_elapsed)
+
+        if "synthetic" not in SKIP:
+            best, med = bench_seg_coords_synthetic(seg, tmp)
+            metrics["seg_coords_synthetic"] = {
+                "value": round(best, 1),
+                "median": round(med, 1),
+                "unit": "slides/hour",
+                "vs_baseline": round(best / BASELINE_SLIDES_PER_HOUR, 3),
+                "median_vs_baseline": round(med / BASELINE_SLIDES_PER_HOUR, 3),
+            }
+        if "real_tiff" not in SKIP:
+            best, med = bench_seg_coords_real_tiff(seg, tmp)
+            metrics["seg_coords_real_tiff"] = {
+                "value": round(best, 1),
+                "median": round(med, 1),
+                "unit": "slides/hour",
+                "vs_baseline": round(best / BASELINE_SLIDES_PER_HOUR, 3),
+                "median_vs_baseline": round(med / BASELINE_SLIDES_PER_HOUR, 3),
+            }
+        if "embed" not in SKIP:
+            best, med = bench_embed_vitl(tmp)
+            metrics["embed_vitl_pps"] = {
+                "value": round(best, 1),
+                "median": round(med, 1),
+                "unit": "patches/s",
+                "vs_baseline": None,  # no published reference number
+            }
 
     from atlaspatch_tpu.utils import perf
 
     perf.log_report()  # per-stage breakdown when ATLASPATCH_PROFILE=1
 
-    slides_per_hour = N_SLIDES / elapsed * 3600
+    headline = metrics.get("seg_coords_synthetic") or next(iter(metrics.values()))
     print(
         json.dumps(
             {
-                "metric": f"seg+coords slides/hour (single chip, end-to-end, seg {SEG_PRECISION})",
-                "value": round(slides_per_hour, 1),
-                "unit": "slides/hour",
-                "vs_baseline": round(slides_per_hour / BASELINE_SLIDES_PER_HOUR, 3),
+                "metric": (
+                    f"seg+coords slides/hour (single chip, end-to-end, seg {SEG_PRECISION}, "
+                    f"batch {SEG_BATCH} = --fast preset; best of {PASSES})"
+                ),
+                "value": headline["value"],
+                "unit": headline["unit"],
+                "vs_baseline": headline["vs_baseline"],
+                "median_value": headline["median"],
+                "config": {
+                    "seg_precision": SEG_PRECISION,
+                    "seg_batch": SEG_BATCH,
+                    "passes": PASSES,
+                    "cli_equivalent": "--fast",
+                },
+                "metrics": metrics,
             }
         )
     )

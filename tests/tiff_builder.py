@@ -111,7 +111,24 @@ class TiffWriter:
             for ys in range(0, h, rows_per_strip):
                 chunks.append(img[ys : ys + rows_per_strip].tobytes())
 
-        if compression == 8:
+        if compression == 7:
+            # Standalone JFIF per chunk (no shared JPEGTables), the layout
+            # Aperio-compatible writers commonly produce. Lossy.
+            import io as _io
+
+            from PIL import Image as _PILImage
+
+            row_w = tile if tile else w
+
+            def _jpeg_encode(c: bytes) -> bytes:
+                arr = np.frombuffer(c, dtype=np.uint8).reshape(-1, row_w, spp)
+                pil = _PILImage.fromarray(arr[..., 0] if spp == 1 else arr)
+                buf = _io.BytesIO()
+                pil.save(buf, "JPEG", quality=90)
+                return buf.getvalue()
+
+            chunks = [_jpeg_encode(c) for c in chunks]
+        elif compression == 8:
             chunks = [zlib.compress(c) for c in chunks]
         elif compression == 32773:
             chunks = [_packbits_encode(c) for c in chunks]
