@@ -80,6 +80,13 @@ def timm_vit_to_flax(sd: Mapping[str, Any], spec) -> dict:
             block["ls1"] = _np(sd[f"{p}.ls1.gamma"])
             block["ls2"] = _np(sd[f"{p}.ls2.gamma"])
         params[f"blocks_{i}"] = block
+    # Optional post-pool projection (CONCH v1.5 ViT-L/16 → 768): accept either
+    # a bare matrix ("proj", open_clip orientation) or a Linear ("proj.weight").
+    if getattr(spec, "proj_dim", None):
+        if "proj" in sd:
+            params["proj"] = {"kernel": _np(sd["proj"])}
+        elif "proj.weight" in sd:
+            params["proj"] = {"kernel": _np(sd["proj.weight"]).T}
     return params
 
 

@@ -725,7 +725,14 @@ def _convert(entry: EncoderEntry, sd: dict) -> dict:
     sd = _strip_prefixes(sd)
     family = entry.family
     if family in ("timm_vit",):
-        return C.timm_vit_to_flax(sd, entry.spec)
+        params = C.timm_vit_to_flax(sd, entry.spec)
+        if getattr(entry.spec, "proj_dim", None) and "proj" not in params:
+            raise KeyError(
+                f"{entry.name}: spec declares a {entry.spec.proj_dim}-d projection "
+                "but the checkpoint has neither 'proj' nor 'proj.weight' — "
+                "upstream naming changed; update convert.timm_vit_to_flax"
+            )
+        return params
     if family == "hf_vit":
         prefix = "vit." if any(k.startswith("vit.") for k in sd) else ""
         return C.hf_vit_to_flax(sd, entry.spec, prefix=prefix)
