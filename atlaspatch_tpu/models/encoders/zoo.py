@@ -229,8 +229,12 @@ def build_entries() -> list[EncoderEntry]:
         )
 
     dinov3_variants = {
-        # best-known configs (HF facebook/dinov3-* cards); converter errors
-        # loudly on shape mismatch so a wrong guess cannot load silently
+        # Configs from the public facebook/dinov3-* HF cards / DINOv3 paper.
+        # Validated two ways without network: each variant's total param count
+        # matches the published size (tests/test_zoo_param_counts.py: 21.6M/
+        # 29M/86M/303M/840M/6716M), and the converter↔model layout is checked
+        # at these dims by tests/test_converter_harness.py. The 'plus' and 7B
+        # variants use the gated SwiGLU FFN; all use axial RoPE + 4 registers.
         "dinov3_vits16": (_dinov3_spec(384, 12, 6, 1536, False), 384, ""),
         "dinov3_vits16_plus": (_dinov3_spec(384, 12, 6, 1536, True), 384, ""),
         "dinov3_vitb16": (_dinov3_spec(768, 12, 12, 3072, False), 768, ""),
