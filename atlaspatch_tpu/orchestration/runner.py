@@ -78,7 +78,8 @@ class ProcessingRunner:
             str(self.config.processing.input_path), recursive=self.config.processing.recursive
         )
         slides = [Slide(path=Path(f)) for f in files]
-        return host_shard(slides)
+        # Work stealing is only safe when finished slides are skipped.
+        return host_shard(slides, steal=self.config.output.skip_existing)
 
     def _attach_mpp(self, slides: list[Slide]) -> list[Slide]:
         return [

@@ -59,11 +59,27 @@ def host_identity() -> tuple[int, int]:
     return 0, 1
 
 
-def host_shard(items: Sequence[T]) -> list[T]:
-    """Round-robin shard of a work list for this host."""
+def host_shard(items: Sequence[T], *, steal: bool = False) -> list[T]:
+    """This host's work list: its round-robin shard, then (with ``steal``)
+    every other host's items appended after.
+
+    With stealing a fast host drains its own shard and then races the
+    stragglers' slides through the shared-FS lock + skip-existing protocol —
+    the reference's N-jobs-race-on-locks elasticity with less lock contention
+    on the common path. Callers must only enable it when skip-existing
+    semantics are on, otherwise finished slides would be reprocessed.
+    Disable explicitly with ATLASPATCH_HOST_STEAL=0.
+    """
     host_id, num_hosts = host_identity()
     if num_hosts <= 1:
         return list(items)
-    shard = [x for i, x in enumerate(items) if i % num_hosts == host_id]
-    logger.info("Host %d/%d takes %d of %d slides", host_id, num_hosts, len(shard), len(items))
-    return shard
+    mine = [x for i, x in enumerate(items) if i % num_hosts == host_id]
+    if steal and os.environ.get("ATLASPATCH_HOST_STEAL", "1") != "0":
+        others = [x for i, x in enumerate(items) if i % num_hosts != host_id]
+        logger.info(
+            "Host %d/%d takes %d of %d slides (+%d stealable)",
+            host_id, num_hosts, len(mine), len(items), len(others),
+        )
+        return mine + others
+    logger.info("Host %d/%d takes %d of %d slides", host_id, num_hosts, len(mine), len(items))
+    return mine
