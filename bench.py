@@ -284,8 +284,29 @@ def bench_embed_vitl(tmp: Path) -> tuple[float, float]:
         rate = N_EMBED_PATCHES / dt
         rates.append(rate)
         _log(f"embed {EMBED_ENCODER} pass {p + 1}/{PASSES}: {rate:.1f} patches/s")
+
+    # Device-resident compute rate: same jitted program over an on-device
+    # batch, excluding the host link. On this host the link fluctuates >3x
+    # between runs, so this is the stable round-over-round compute signal;
+    # on real TPU hosts (local DMA) end-to-end approaches this ceiling.
+    import jax
+
+    imgs = np.stack([extractor.spec.apply_host(p) for p in patches[:32]])
+    dev = jax.device_put(imgs, extractor.device)
+    out = extractor._forward_async(imgs)  # ensure compiled for this shape
+    np.asarray(out)
+    fn = extractor._jitted[dev.shape]
+    resident = []
+    for _ in range(2):
+        reps = 8
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(extractor.params, dev)
+        np.asarray(out)
+        resident.append(32 * reps / (time.perf_counter() - t0))
+    _log(f"embed {EMBED_ENCODER} device-resident: {max(resident):.1f} patches/s")
     extractor.cleanup()
-    return max(rates), statistics.median(rates)
+    return max(rates), statistics.median(rates), max(resident)
 
 
 def main() -> None:
@@ -319,10 +340,11 @@ def main() -> None:
                 "median_vs_baseline": round(med / BASELINE_SLIDES_PER_HOUR, 3),
             }
         if "embed" not in SKIP:
-            best, med = bench_embed_vitl(tmp)
+            best, med, resident = bench_embed_vitl(tmp)
             metrics["embed_vitl_pps"] = {
                 "value": round(best, 1),
                 "median": round(med, 1),
+                "device_resident": round(resident, 1),
                 "unit": "patches/s",
                 "vs_baseline": None,  # no published reference number
             }
@@ -331,12 +353,20 @@ def main() -> None:
 
     perf.log_report()  # per-stage breakdown when ATLASPATCH_PROFILE=1
 
-    headline = metrics.get("seg_coords_synthetic") or next(iter(metrics.values()))
+    headline_key = (
+        "seg_coords_synthetic" if "seg_coords_synthetic" in metrics else next(iter(metrics))
+    )
+    headline = metrics[headline_key]
+    names = {
+        "seg_coords_synthetic": "seg+coords slides/hour (single chip, end-to-end",
+        "seg_coords_real_tiff": "seg+coords slides/hour (real TIFF decode, end-to-end",
+        "embed_vitl_pps": f"{EMBED_ENCODER} patches/s (engine end-to-end",
+    }
     print(
         json.dumps(
             {
                 "metric": (
-                    f"seg+coords slides/hour (single chip, end-to-end, seg {SEG_PRECISION}, "
+                    f"{names[headline_key]}, seg {SEG_PRECISION}, "
                     f"batch {SEG_BATCH} = --fast preset; best of {PASSES})"
                 ),
                 "value": headline["value"],
