@@ -95,7 +95,7 @@ _COMMON_OPTIONS: list = [
                       "(data-parallel mesh; needs --seg-batch-size >= chip count)."),
     click.option("--fast", is_flag=True,
                  help="TPU throughput preset: --seg-precision bfloat16 "
-                      "--seg-batch-size 16 (the benchmark configuration). "
+                      "--seg-batch-size 32 (the benchmark configuration). "
                       "Explicitly-passed seg flags still win."),
     click.option("--verbose", "-v", is_flag=True, help="Enable debug logging."),
 ]
@@ -156,7 +156,7 @@ def _build_app_config(kw: dict, feature_cfg: FeatureExtractionConfig | None) -> 
         if not _explicit("seg_precision"):
             kw["seg_precision"] = "bfloat16"
         if not _explicit("seg_batch_size"):
-            kw["seg_batch_size"] = 16
+            kw["seg_batch_size"] = 32
     return AppConfig(
         processing=ProcessingConfig(
             input_path=Path(kw["wsi_path"]),

@@ -11,7 +11,7 @@
    (host prep threads → H2D dispatch → jitted forward), the second BASELINE
    north-star metric. No published reference value ⇒ vs_baseline null.
 
-Config: seg bfloat16, seg batch 16 — the CLI's ``--fast`` preset (defaults
+Config: seg bfloat16, seg batch 32 — the CLI's ``--fast`` preset (defaults
 stay float32/batch-1 for reference-exact numerics). Each stage reports
 best AND median over ATLASPATCH_BENCH_PASSES passes: the TPU tunnel on this
 host fluctuates >2x run-to-run, so best approximates the machine and median
@@ -43,7 +43,7 @@ N_SLIDES = int(os.environ.get("ATLASPATCH_BENCH_SLIDES", "64"))
 N_TIFF_SLIDES = int(os.environ.get("ATLASPATCH_BENCH_TIFF_SLIDES", "24"))
 N_EMBED_PATCHES = int(os.environ.get("ATLASPATCH_BENCH_EMBED_PATCHES", "512"))
 EMBED_ENCODER = os.environ.get("ATLASPATCH_BENCH_EMBED_ENCODER", "vit_l_16")
-SEG_BATCH = int(os.environ.get("ATLASPATCH_BENCH_SEG_BATCH", "16"))
+SEG_BATCH = int(os.environ.get("ATLASPATCH_BENCH_SEG_BATCH", "32"))
 # bfloat16 is the TPU-native precision for the MXU; the CLI default stays
 # float32 for users who want the reference's exact numeric chain.
 SEG_PRECISION = os.environ.get("ATLASPATCH_BENCH_SEG_PRECISION", "bfloat16")
