@@ -94,3 +94,22 @@ def test_engine_musk_ms_aug_integration(rng):
     x = (np.stack(patches).astype(np.float32) / 255.0 - 0.5) / 0.5
     want = np.asarray(musk_ms_aug_apply(model, params, jnp.asarray(x)))
     np.testing.assert_allclose(feats, want, rtol=1e-4, atol=1e-5)
+
+
+def test_h2d_depth_preserves_order(monkeypatch):
+    """Pipeline depth must never reorder outputs (remainder chunk included)."""
+    import numpy as np
+
+    from atlaspatch_tpu.models.encoders.zoo import build_default_registry
+
+    registry = build_default_registry(device="cpu", dtype="float32")
+    ex = registry.create("resnet18")
+    rng = np.random.default_rng(1)
+    patches = list(rng.integers(0, 255, (22, 64, 64, 3), dtype=np.uint8))
+    monkeypatch.setenv("ATLASPATCH_H2D_DEPTH", "1")
+    a = np.asarray(ex.extract_batch(patches, batch_size=8))
+    monkeypatch.setenv("ATLASPATCH_H2D_DEPTH", "3")
+    b = np.asarray(ex.extract_batch(patches, batch_size=8))
+    assert a.shape == (22, 512)
+    np.testing.assert_array_equal(a, b)
+    ex.cleanup()
