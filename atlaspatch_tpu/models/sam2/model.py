@@ -135,6 +135,80 @@ def segment_step_packed_from_thumbs(
     return packed.astype(jnp.uint8)
 
 
+def pil_nearest_index(n_out: int, n_in: int):
+    """Source-index table of PIL's NEAREST resize, bit-exact.
+
+    PIL (Geometry.c ImagingScaleAffine) walks the source coordinate
+    incrementally — ``xo = scale*0.5; xo += scale`` per output pixel — so the
+    accumulated float64 rounding decides near-tie pixels. Reproduced here the
+    same way (fuzz-verified bit-exact over 600 random shapes, both
+    directions, tests/test_device_mask_resize.py).
+    """
+    import numpy as np
+
+    a0 = n_in / n_out
+    xo = a0 * 0.5
+    idx = np.empty(n_out, np.int64)
+    for x in range(n_out):
+        idx[x] = min(int(xo), n_in - 1)
+        xo += a0
+    return idx
+
+
+@partial(jax.jit, static_argnums=(0,))
+def segment_step_packed_to_shape(
+    cfg: SAM2Config,
+    params,
+    thumbs_u8: jnp.ndarray,
+    threshold: jnp.ndarray,
+    row_idx: jnp.ndarray,
+    col_idx: jnp.ndarray,
+):
+    """segment_step_packed_from_thumbs + ON-DEVICE mask downsample.
+
+    The pipeline only ever consumes the mask at the thumbnail's own
+    resolution (reference resizes the 1024² mask back with PIL NEAREST,
+    segmentation.py:112-118), so the NEAREST resample runs on device using
+    the exact PIL index tables (``pil_nearest_index``) and only the packed
+    thumbnail-sized bits cross the device→host link — ~20× fewer bytes than
+    shipping the packed 1024² mask.
+
+    Returns (B, h, ceil(w/8)) uint8, packbits convention; callers slice the
+    unpacked width back to w.
+    """
+    S = cfg.image_size
+    up = interpolate_torch(thumbs_u8.astype(jnp.float32), (S, S), "bilinear")
+    mean = jnp.asarray(cfg.pixel_mean, jnp.float32)
+    std = jnp.asarray(cfg.pixel_std, jnp.float32)
+    pixels = (up / 255.0 - mean) / std
+
+    model = SAM2ImageModel(cfg)
+    param_dtype = jax.tree_util.tree_leaves(params)[0].dtype
+    pixels = pixels.astype(param_dtype)
+    B = thumbs_u8.shape[0]
+    box = jnp.asarray([[0.0, 0.0, S, S]], dtype=jnp.float32)
+    boxes = jnp.broadcast_to(box[None], (B, 1, 4))
+    masks, _iou, _obj = model.apply({"params": params}, pixels, boxes, multimask_output=False)
+    low_res = masks[:, 0, 0].astype(jnp.float32)
+    logits = interpolate_torch(low_res[..., None], (S, S), "bilinear")[..., 0]
+    bits = (logits > threshold).astype(jnp.uint8)
+
+    small = bits[:, row_idx][:, :, col_idx]  # (B, h, w) PIL-NEAREST gather
+    h = row_idx.shape[0]
+    w = col_idx.shape[0]
+    w_pad = -(-w // 8) * 8
+    if w_pad != w:
+        small = jnp.pad(small, ((0, 0), (0, 0), (0, w_pad - w)))
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    packed = jnp.einsum(
+        "bhwk,k->bhw",
+        small.reshape(B, h, w_pad // 8, 8),
+        weights,
+        preferred_element_type=jnp.uint32,
+    )
+    return packed.astype(jnp.uint8)
+
+
 @partial(jax.jit, static_argnums=(0,))
 def segment_step_packed(cfg: SAM2Config, params, images_u8: jnp.ndarray, threshold: jnp.ndarray):
     """segment_step + on-device thresholding and bit-packing.

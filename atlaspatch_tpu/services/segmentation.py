@@ -232,26 +232,44 @@ class SAM2Predictor:
                 jnp.float32(self.cfg.mask_threshold),
             )
 
-    def predict_masks_grouped_async(self, arrs: Sequence[np.ndarray]):
+    def predict_masks_grouped_async(
+        self,
+        arrs: Sequence[np.ndarray],
+        targets: Sequence[tuple[int, int]] | None = None,
+    ):
         """Dispatch native-size thumbnails grouped by shape; the bilinear
         upscale to the model input runs ON DEVICE (host→device bytes shrink by
         the thumbnail/model-size ratio — the dominant cost on slow host links).
 
-        Returns resolve() → list of (1024,1024) uint8 binary masks in input
-        order.
+        With ``targets`` (per-item (h, w)), the mask's PIL-NEAREST resample to
+        that shape ALSO runs on device and only thumbnail-sized packed bits
+        come back (~20× fewer device→host bytes than the 1024² mask); masks
+        return already at their target shapes. Without targets (or on a mesh,
+        or with ATLASPATCH_DEVICE_MASK_RESIZE=0), returns (1024,1024) masks.
         """
         import jax
         import jax.numpy as jnp
 
-        from atlaspatch_tpu.models.sam2.model import segment_step_packed_from_thumbs
+        from atlaspatch_tpu.models.sam2.model import (
+            pil_nearest_index,
+            segment_step_packed_from_thumbs,
+            segment_step_packed_to_shape,
+        )
 
-        groups: dict[tuple[int, int], list[int]] = {}
+        device_resize = (
+            targets is not None
+            and self._mesh is None
+            and os.environ.get("ATLASPATCH_DEVICE_MASK_RESIZE", "1") != "0"
+        )
+
+        groups: dict[tuple, list[int]] = {}
         for i, a in enumerate(arrs):
-            groups.setdefault((a.shape[0], a.shape[1]), []).append(i)
+            key = (a.shape[0], a.shape[1], targets[i] if device_resize else None)
+            groups.setdefault(key, []).append(i)
 
         handles = []
         with perf.stage("segment_dispatch"), jax.default_device(self._device):
-            for (h, w), idxs in groups.items():
+            for (h, w, target), idxs in groups.items():
                 n = len(idxs)
                 padded = _pad_to_pow2_batch(n, max_batch=max(self.cfg.batch_size, n))
                 if self._n_data > 1:
@@ -263,6 +281,16 @@ class SAM2Predictor:
                     packed = self._sharded_step(True)(
                         self.params, jnp.asarray(batch), jnp.float32(self.cfg.mask_threshold)
                     )
+                elif target is not None:
+                    S = self.input_size
+                    packed = segment_step_packed_to_shape(
+                        self.sam2_cfg,
+                        self.params,
+                        jnp.asarray(batch),
+                        jnp.float32(self.cfg.mask_threshold),
+                        jnp.asarray(pil_nearest_index(target[0], S), jnp.int32),
+                        jnp.asarray(pil_nearest_index(target[1], S), jnp.int32),
+                    )
                 else:
                     packed = segment_step_packed_from_thumbs(
                         self.sam2_cfg,
@@ -270,13 +298,15 @@ class SAM2Predictor:
                         jnp.asarray(batch),
                         jnp.float32(self.cfg.mask_threshold),
                     )
-                handles.append((packed, idxs))
+                handles.append((packed, idxs, target))
 
         def resolve() -> list[np.ndarray]:
             out: list[np.ndarray | None] = [None] * len(arrs)
             with perf.stage("segment_fetch"):
-                for packed, idxs in handles:
+                for packed, idxs, target in handles:
                     bits = np.unpackbits(np.asarray(packed), axis=-1)
+                    if target is not None:
+                        bits = bits[:, :, : target[1]]  # drop byte padding
                     for j, i in enumerate(idxs):
                         out[i] = bits[j]
             return out  # type: ignore[return-value]
@@ -391,13 +421,16 @@ class SAM2SegmentationService(SegmentationService):
             else self.predictor._resize_input(a)[0]
             for a in arrs
         ]
-        resolve_bits = self.predictor.predict_masks_grouped_async(arrs)
+        resolve_bits = self.predictor.predict_masks_grouped_async(
+            arrs, targets=orig_shapes
+        )
 
         def resolve() -> list[Mask]:
             out = []
             for bits, orig in zip(resolve_bits(), orig_shapes):
                 mask = bits.astype(np.float32)
                 if mask.shape[:2] != orig:
+                    # fallback paths (mesh / env-disabled) return 1024² masks
                     mask = self.predictor._resize_mask(mask, orig)
                 out.append(
                     Mask(
