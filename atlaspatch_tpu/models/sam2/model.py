@@ -229,18 +229,28 @@ def segment_step_packed(cfg: SAM2Config, params, images_u8: jnp.ndarray, thresho
 
 
 def make_sharded_segment_step(cfg: SAM2Config, mesh, *, data_axis: str = "data",
-                              from_thumbs: bool = True):
+                              from_thumbs: bool = True, to_shape: bool = False):
     """Multi-chip serving: jit the packed segmentation step over a mesh with
     parameters replicated and the image batch sharded across `data_axis`.
 
     The forward is embarrassingly parallel over the batch, so XLA partitions
     it with zero collectives — N chips segment N×(per-chip batch) thumbnails
     concurrently. The batch's leading dim must be divisible by the mesh's
-    data-axis size (callers pad; see SAM2Predictor)."""
+    data-axis size (callers pad; see SAM2Predictor).
+
+    ``to_shape``: wrap segment_step_packed_to_shape instead — extra
+    (row_idx, col_idx) args (replicated) resample the mask on device so each
+    chip returns thumbnail-sized packed bits.
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
     batched = NamedSharding(mesh, P(data_axis))
+    if to_shape:
+        inner = partial(segment_step_packed_to_shape.__wrapped__, cfg)
+        return jax.jit(
+            inner, in_shardings=(repl, batched, repl, repl, repl), out_shardings=batched
+        )
     fn = segment_step_packed_from_thumbs if from_thumbs else segment_step_packed
     inner = partial(fn.__wrapped__, cfg)  # un-jitted body, cfg closed over
     return jax.jit(inner, in_shardings=(repl, batched, repl), out_shardings=batched)

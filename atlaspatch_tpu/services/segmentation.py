@@ -19,6 +19,7 @@ from __future__ import annotations
 import logging
 import os
 from concurrent.futures import ThreadPoolExecutor
+from functools import partial
 from pathlib import Path
 from typing import Sequence
 
@@ -150,17 +151,18 @@ class SAM2Predictor:
             return jax.device_put(params, NamedSharding(self._mesh, P()))
         return jax.device_put(params, self._device)
 
-    def _sharded_step(self, from_thumbs: bool):
+    def _sharded_step(self, from_thumbs: bool, to_shape: bool = False):
         """Per-mesh jitted DP segmentation step (params replicated, batch
         sharded over the data axis); cached per variant."""
-        if from_thumbs not in self._sharded_steps:
+        key = (from_thumbs, to_shape)
+        if key not in self._sharded_steps:
             from atlaspatch_tpu.models.sam2.model import make_sharded_segment_step
 
-            self._sharded_steps[from_thumbs] = make_sharded_segment_step(
+            self._sharded_steps[key] = make_sharded_segment_step(
                 self.sam2_cfg, self._mesh, data_axis=self._data_axis,
-                from_thumbs=from_thumbs,
+                from_thumbs=from_thumbs, to_shape=to_shape,
             )
-        return self._sharded_steps[from_thumbs]
+        return self._sharded_steps[key]
 
     # --- input/output resizing (host, PIL semantics as in the reference) -----------
     def _normalize_input(self, image) -> np.ndarray:
@@ -258,7 +260,6 @@ class SAM2Predictor:
 
         device_resize = (
             targets is not None
-            and self._mesh is None
             and os.environ.get("ATLASPATCH_DEVICE_MASK_RESIZE", "1") != "0"
         )
 
@@ -277,19 +278,26 @@ class SAM2Predictor:
                 batch = np.zeros((padded, h, w, 3), dtype=np.uint8)
                 for j, i in enumerate(idxs):
                     batch[j] = arrs[i]
-                if self._mesh is not None:
-                    packed = self._sharded_step(True)(
-                        self.params, jnp.asarray(batch), jnp.float32(self.cfg.mask_threshold)
-                    )
-                elif target is not None:
+                if target is not None:
                     S = self.input_size
-                    packed = segment_step_packed_to_shape(
-                        self.sam2_cfg,
+                    idx_args = (
+                        jnp.asarray(pil_nearest_index(target[0], S), jnp.int32),
+                        jnp.asarray(pil_nearest_index(target[1], S), jnp.int32),
+                    )
+                    step = (
+                        self._sharded_step(True, to_shape=True)
+                        if self._mesh is not None
+                        else partial(segment_step_packed_to_shape, self.sam2_cfg)
+                    )
+                    packed = step(
                         self.params,
                         jnp.asarray(batch),
                         jnp.float32(self.cfg.mask_threshold),
-                        jnp.asarray(pil_nearest_index(target[0], S), jnp.int32),
-                        jnp.asarray(pil_nearest_index(target[1], S), jnp.int32),
+                        *idx_args,
+                    )
+                elif self._mesh is not None:
+                    packed = self._sharded_step(True)(
+                        self.params, jnp.asarray(batch), jnp.float32(self.cfg.mask_threshold)
                     )
                 else:
                     packed = segment_step_packed_from_thumbs(

@@ -84,3 +84,33 @@ def test_device_mask_resize_env_off(monkeypatch, tmp_path):
     masks = pred.predict_masks_grouped_async(arrs, targets=[(24, 31)])()
     # env off ⇒ full-model-size masks come back (service resizes on host)
     assert masks[0].shape == (cfg.image_size, cfg.image_size)
+
+
+def test_mesh_device_mask_resize_matches_single(monkeypatch, tmp_path):
+    """8-device DP serving with on-device mask resample == single-device."""
+    import jax
+    from jax.sharding import Mesh
+
+    from atlaspatch_tpu.core.config import SegmentationConfig
+    from atlaspatch_tpu.models.sam2.config import SAM2Config
+    from atlaspatch_tpu.services.segmentation import SAM2Predictor
+
+    monkeypatch.setenv("ATLASPATCH_ALLOW_RANDOM_WEIGHTS", "1")
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "empty-hf"))
+    cfg = SAM2Config.test_tiny()
+    devices = np.asarray(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devices, axis_names=("data",))
+
+    rng = np.random.default_rng(0)
+    arrs = [rng.integers(0, 255, (24, 31, 3), dtype=np.uint8) for _ in range(8)]
+    targets = [(24, 31)] * 8
+
+    single = SAM2Predictor(SegmentationConfig(device="cpu"), cfg)
+    want = single.predict_masks_grouped_async(arrs, targets=targets)()
+
+    sharded = SAM2Predictor(SegmentationConfig(device="cpu"), cfg, mesh=mesh)
+    got = sharded.predict_masks_grouped_async(arrs, targets=targets)()
+
+    for g, w in zip(got, want):
+        assert g.shape == (24, 31)
+        np.testing.assert_array_equal(g, w)
