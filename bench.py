@@ -40,7 +40,7 @@ import sys
 os.environ.setdefault("ATLASPATCH_ALLOW_RANDOM_WEIGHTS", "1")
 
 N_SLIDES = int(os.environ.get("ATLASPATCH_BENCH_SLIDES", "64"))
-N_TIFF_SLIDES = int(os.environ.get("ATLASPATCH_BENCH_TIFF_SLIDES", "32"))  # multiple of SEG_BATCH: no pad waste
+N_TIFF_SLIDES = int(os.environ.get("ATLASPATCH_BENCH_TIFF_SLIDES", "64"))  # 2+ batches: keeps the dispatch/extract pipeline overlapped
 N_EMBED_PATCHES = int(os.environ.get("ATLASPATCH_BENCH_EMBED_PATCHES", "512"))
 EMBED_ENCODER = os.environ.get("ATLASPATCH_BENCH_EMBED_ENCODER", "vit_l_16")
 SEG_BATCH = int(os.environ.get("ATLASPATCH_BENCH_SEG_BATCH", "32"))
