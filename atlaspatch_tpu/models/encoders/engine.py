@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -114,6 +115,7 @@ class JaxFeatureExtractor(FeatureExtractor):
     max_batch: int = 256
     prep_workers: int = 8
     _jitted: dict = field(default_factory=dict, repr=False)
+    _jit_lock: object = field(default_factory=threading.Lock, repr=False)
 
     def __post_init__(self) -> None:
         import jax
@@ -140,25 +142,31 @@ class JaxFeatureExtractor(FeatureExtractor):
         import jax.numpy as jnp
 
         shape = images_u8.shape
-        fn = self._jitted.get(shape)
-        if fn is None:
-            spec = self.spec
-            cdtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.compute_dtype]
+        # With dispatch depth > 1, two threads can race a fresh shape here;
+        # the lock guarantees ONE jit wrapper per shape (JAX then serializes
+        # the single compilation internally instead of compiling twice).
+        with self._jit_lock:
+            fn = self._jitted.get(shape)
+            if fn is None:
+                spec = self.spec
+                cdtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+                    self.compute_dtype
+                ]
 
-            def run(params, u8):
-                x = u8.astype(jnp.float32) * spec.rescale
-                x = (x - jnp.asarray(spec.mean, jnp.float32)) / jnp.asarray(
-                    spec.std, jnp.float32
-                )
-                x = x.astype(cdtype)
-                out = self.apply_fn(params, x)
-                return out.astype(jnp.float32)
+                def run(params, u8):
+                    x = u8.astype(jnp.float32) * spec.rescale
+                    x = (x - jnp.asarray(spec.mean, jnp.float32)) / jnp.asarray(
+                        spec.std, jnp.float32
+                    )
+                    x = x.astype(cdtype)
+                    out = self.apply_fn(params, x)
+                    return out.astype(jnp.float32)
 
-            if self._data_sharding is not None:
-                fn = jax.jit(run, out_shardings=self._data_sharding)
-            else:
-                fn = jax.jit(run)
-            self._jitted[shape] = fn
+                if self._data_sharding is not None:
+                    fn = jax.jit(run, out_shardings=self._data_sharding)
+                else:
+                    fn = jax.jit(run)
+                self._jitted[shape] = fn
         if self._data_sharding is not None:
             images = jax.device_put(images_u8, self._data_sharding)
             return fn(self.params, images)

@@ -100,18 +100,11 @@ def segment_step(cfg: SAM2Config, params, images_u8: jnp.ndarray) -> jnp.ndarray
     return logits
 
 
-@partial(jax.jit, static_argnums=(0,))
-def segment_step_packed_from_thumbs(
-    cfg: SAM2Config, params, thumbs_u8: jnp.ndarray, threshold: jnp.ndarray
-):
-    """segment_step_packed with ON-DEVICE thumbnail upscaling.
-
-    thumbs_u8: (B, h, w, 3) uint8 at the thumbnail's native size — shipping
-    these instead of host-resized 1024² images shrinks the host→device
-    transfer by up to ~20×. The bilinear upscale to the model input runs on
-    device in float32 (same half-pixel mapping as the host PIL path, minus
-    PIL's uint8 intermediate rounding).
-    """
+def _thumbs_to_mask_bits(cfg: SAM2Config, params, thumbs_u8, threshold):
+    """Shared forward body: native-size uint8 thumbnails → (B, S, S) uint8
+    binary mask. Upscale to the model input runs on device in float32 (same
+    half-pixel mapping as the host PIL path, minus PIL's uint8 intermediate
+    rounding); threshold applied to the upscaled logits."""
     S = cfg.image_size
     up = interpolate_torch(thumbs_u8.astype(jnp.float32), (S, S), "bilinear")
     mean = jnp.asarray(cfg.pixel_mean, jnp.float32)
@@ -127,12 +120,35 @@ def segment_step_packed_from_thumbs(
     masks, _iou, _obj = model.apply({"params": params}, pixels, boxes, multimask_output=False)
     low_res = masks[:, 0, 0].astype(jnp.float32)
     logits = interpolate_torch(low_res[..., None], (S, S), "bilinear")[..., 0]
-    bits = (logits > threshold).astype(jnp.uint8)
+    return (logits > threshold).astype(jnp.uint8)
+
+
+def _packbits_last_axis(bits):
+    """(…, W) uint8 {0,1} → (…, W//8) uint8, numpy packbits MSB-first. W must
+    already be a multiple of 8."""
+    *lead, W = bits.shape
     weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
     packed = jnp.einsum(
-        "bswk,k->bsw", bits.reshape(B, S, S // 8, 8), weights, preferred_element_type=jnp.uint32
+        "...wk,k->...w",
+        bits.reshape(*lead, W // 8, 8),
+        weights,
+        preferred_element_type=jnp.uint32,
     )
     return packed.astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def segment_step_packed_from_thumbs(
+    cfg: SAM2Config, params, thumbs_u8: jnp.ndarray, threshold: jnp.ndarray
+):
+    """segment_step_packed with ON-DEVICE thumbnail upscaling.
+
+    thumbs_u8: (B, h, w, 3) uint8 at the thumbnail's native size — shipping
+    these instead of host-resized 1024² images shrinks the host→device
+    transfer by up to ~20×.
+    """
+    bits = _thumbs_to_mask_bits(cfg, params, thumbs_u8, threshold)
+    return _packbits_last_axis(bits)
 
 
 def pil_nearest_index(n_out: int, n_in: int):
@@ -176,37 +192,13 @@ def segment_step_packed_to_shape(
     Returns (B, h, ceil(w/8)) uint8, packbits convention; callers slice the
     unpacked width back to w.
     """
-    S = cfg.image_size
-    up = interpolate_torch(thumbs_u8.astype(jnp.float32), (S, S), "bilinear")
-    mean = jnp.asarray(cfg.pixel_mean, jnp.float32)
-    std = jnp.asarray(cfg.pixel_std, jnp.float32)
-    pixels = (up / 255.0 - mean) / std
-
-    model = SAM2ImageModel(cfg)
-    param_dtype = jax.tree_util.tree_leaves(params)[0].dtype
-    pixels = pixels.astype(param_dtype)
-    B = thumbs_u8.shape[0]
-    box = jnp.asarray([[0.0, 0.0, S, S]], dtype=jnp.float32)
-    boxes = jnp.broadcast_to(box[None], (B, 1, 4))
-    masks, _iou, _obj = model.apply({"params": params}, pixels, boxes, multimask_output=False)
-    low_res = masks[:, 0, 0].astype(jnp.float32)
-    logits = interpolate_torch(low_res[..., None], (S, S), "bilinear")[..., 0]
-    bits = (logits > threshold).astype(jnp.uint8)
-
+    bits = _thumbs_to_mask_bits(cfg, params, thumbs_u8, threshold)
     small = bits[:, row_idx][:, :, col_idx]  # (B, h, w) PIL-NEAREST gather
-    h = row_idx.shape[0]
     w = col_idx.shape[0]
     w_pad = -(-w // 8) * 8
     if w_pad != w:
         small = jnp.pad(small, ((0, 0), (0, 0), (0, w_pad - w)))
-    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
-    packed = jnp.einsum(
-        "bhwk,k->bhw",
-        small.reshape(B, h, w_pad // 8, 8),
-        weights,
-        preferred_element_type=jnp.uint32,
-    )
-    return packed.astype(jnp.uint8)
+    return _packbits_last_axis(small)
 
 
 @partial(jax.jit, static_argnums=(0,))

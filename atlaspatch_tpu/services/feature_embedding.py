@@ -184,6 +184,11 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
                 return self._update_metadata_feature_sets(result)
             lock_held = True
 
+            # The lock makes us the only writer, but another process may have
+            # completed this feature since we last probed (work stealing makes
+            # that routine): drop the cached presence set so the check below
+            # reads the H5 itself.
+            self._feature_cache.pop(Path(result.h5_path).resolve(), None)
             if self._feature_present(result, extractor.name):
                 logger.info(
                     "Skipping feature embedding for %s (feature '%s' already exists).",

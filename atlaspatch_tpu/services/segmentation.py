@@ -244,10 +244,11 @@ class SAM2Predictor:
         the thumbnail/model-size ratio — the dominant cost on slow host links).
 
         With ``targets`` (per-item (h, w)), the mask's PIL-NEAREST resample to
-        that shape ALSO runs on device and only thumbnail-sized packed bits
-        come back (~20× fewer device→host bytes than the 1024² mask); masks
-        return already at their target shapes. Without targets (or on a mesh,
-        or with ATLASPATCH_DEVICE_MASK_RESIZE=0), returns (1024,1024) masks.
+        that shape ALSO runs on device — on single chips AND data-parallel
+        meshes — so only thumbnail-sized packed bits come back (~20× fewer
+        device→host bytes than the 1024² mask); masks return already at their
+        target shapes. Without targets or with ATLASPATCH_DEVICE_MASK_RESIZE=0,
+        returns model-input-sized masks.
         """
         import jax
         import jax.numpy as jnp
@@ -438,7 +439,7 @@ class SAM2SegmentationService(SegmentationService):
             for bits, orig in zip(resolve_bits(), orig_shapes):
                 mask = bits.astype(np.float32)
                 if mask.shape[:2] != orig:
-                    # fallback paths (mesh / env-disabled) return 1024² masks
+                    # env-disabled fallback returns model-input-sized masks
                     mask = self.predictor._resize_mask(mask, orig)
                 out.append(
                     Mask(

@@ -260,7 +260,7 @@ def bench_seg_coords_real_tiff(seg, tmp: Path) -> tuple[float, float]:
     return _run_passes(make_runner, N_TIFF_SLIDES, "real-tiff")
 
 
-def bench_embed_vitl(tmp: Path) -> tuple[float, float]:
+def bench_embed_vitl(tmp: Path) -> tuple[float, float, float]:
     """Stage 3: ViT-L patches/sec through the full engine path (host prep
     threads → uint8 H2D → fused preprocess+forward on device)."""
     from atlaspatch_tpu.models.encoders.zoo import build_default_registry
@@ -353,6 +353,12 @@ def main() -> None:
 
     perf.log_report()  # per-stage breakdown when ATLASPATCH_PROFILE=1
 
+    if not metrics:
+        print(
+            json.dumps({"metric": "nothing measured (all stages skipped)", "value": 0,
+                        "unit": "", "vs_baseline": None})
+        )
+        return
     headline_key = (
         "seg_coords_synthetic" if "seg_coords_synthetic" in metrics else next(iter(metrics))
     )
