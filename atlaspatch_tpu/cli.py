@@ -507,11 +507,11 @@ def info():
         "Supported WSI formats (native TIFF decoder): .svs, .tif, .tiff, .ndpi, "
         ".scn, .bif"
     )
-    click.echo("Image formats: .png, .jpg, .jpeg, .bmp, .webp, .gif")
     click.echo(
-        "Not supported (non-TIFF containers; reference uses OpenSlide): "
-        ".mrxs, .vms, .vmu, .dcm"
+        "Non-TIFF containers (first-party readers): .mrxs (MIRAX), "
+        ".vms/.vmu (Hamamatsu), .dcm (DICOM WSI)"
     )
+    click.echo("Image formats: .png, .jpg, .jpeg, .bmp, .webp, .gif")
     click.echo(
         "Outputs: HDF5 per slide under patches/<stem>.h5; optional PNGs under "
         "images/<stem>; visualizations under visualization/."

@@ -25,16 +25,48 @@ def _tiff_backend():
     return TiffWSI
 
 
+def _mirax_backend():
+    from atlaspatch_tpu.io.mirax_wsi import MiraxWSI
+
+    return MiraxWSI
+
+
+def _vms_backend():
+    from atlaspatch_tpu.io.hamamatsu_wsi import HamamatsuVMSWSI
+
+    return HamamatsuVMSWSI
+
+
+def _vmu_backend():
+    from atlaspatch_tpu.io.hamamatsu_wsi import HamamatsuVMUWSI
+
+    return HamamatsuVMUWSI
+
+
+def _dicom_backend():
+    from atlaspatch_tpu.io.dicom_wsi import DicomWSI
+
+    return DicomWSI
+
+
 class WSIFactory:
     """WSI loader with backend selection."""
 
     _registry: dict[str, object] = {
-        "tiff": _tiff_backend,  # lazy: resolves to TiffWSI on first use
+        # lazy factories resolve to their class on first use
+        "tiff": _tiff_backend,
+        "mirax": _mirax_backend,
+        "vms": _vms_backend,
+        "vmu": _vmu_backend,
+        "dicom": _dicom_backend,
         "image": ImageWSI,
     }
+    _lazy = {_tiff_backend, _mirax_backend, _vms_backend, _vmu_backend, _dicom_backend}
 
-    # TIFF-container formats (classic TIFF / BigTIFF internals) decode natively:
-    # Aperio .svs, Hamamatsu .ndpi, Leica .scn, Ventana .bif/.biff, plain .tif.
+    # TIFF-container formats (classic TIFF / BigTIFF internals) decode via the
+    # native C++ decoder: Aperio .svs, Hamamatsu .ndpi, Leica .scn, Ventana
+    # .bif/.biff, plain .tif. Non-TIFF containers have first-party readers:
+    # MIRAX (.mrxs), Hamamatsu map files (.vms/.vmu), DICOM WSI (.dcm).
     _formats = {
         ".svs": "tiff",
         ".tif": "tiff",
@@ -43,6 +75,11 @@ class WSIFactory:
         ".scn": "tiff",
         ".bif": "tiff",
         ".biff": "tiff",
+        ".mrxs": "mirax",
+        ".vms": "vms",
+        ".vmu": "vmu",
+        ".dcm": "dicom",
+        ".dicom": "dicom",
         ".png": "image",
         ".jpg": "image",
         ".jpeg": "image",
@@ -51,24 +88,16 @@ class WSIFactory:
         ".gif": "image",
     }
 
-    # Honest non-coverage: these are NOT TIFF containers (MIRAX is a directory
-    # of .dat tile files, Hamamatsu VMS/VMU are map files, DICOM is its own
-    # encoding); the reference reads them via OpenSlide, which this build does
-    # not link. Opening one raises UnsupportedFormatError instead of a
-    # misleading TIFF parse failure.
-    _known_unsupported = {
-        ".mrxs": "MIRAX (directory of .dat tiles)",
-        ".vms": "Hamamatsu VMS (map file + JPEG tiles)",
-        ".vmu": "Hamamatsu VMU (map file + raw tiles)",
-        ".dcm": "DICOM WSI",
-        ".dicom": "DICOM WSI",
-    }
+    # Containers we recognize but cannot decode natively get a clear error
+    # instead of a misleading parse failure (none at present; kept as the
+    # extension point for honest non-coverage).
+    _known_unsupported: dict[str, str] = {}
 
     @classmethod
     def _resolve(cls, name: str):
         impl = cls._registry[name]
-        if impl is _tiff_backend:
-            impl = _tiff_backend()
+        if impl in cls._lazy:
+            impl = impl()
             cls._registry[name] = impl
         return impl
 

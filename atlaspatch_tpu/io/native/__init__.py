@@ -103,6 +103,35 @@ def load_library() -> ctypes.CDLL:
         ctypes.c_char_p,
         ctypes.c_int,
     ]
+    lib.atlas_j2k_decode.restype = ctypes.c_int
+    lib.atlas_j2k_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_char_p,
+        ctypes.c_int,
+    ]
+    lib.atlas_jpeg_info.restype = ctypes.c_int
+    lib.atlas_jpeg_info.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.atlas_jpeg_decode.restype = ctypes.c_int
+    lib.atlas_jpeg_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int64,
+    ]
     lib.atlas_find_contours.restype = ctypes.c_int
     lib.atlas_find_contours.argtypes = [
         ctypes.POINTER(ctypes.c_uint8),
@@ -183,6 +212,73 @@ class AtlasTiffFile:
             self.close()
         except Exception:
             pass
+
+
+def jpeg_image_info(buf: bytes, scale_denom: int = 1) -> tuple[int, int]:
+    """(width, height) of a standalone JPEG stream at 1/scale_denom."""
+    lib = load_library()
+    data = np.frombuffer(buf, dtype=np.uint8)
+    w = ctypes.c_int64()
+    h = ctypes.c_int64()
+    rc = lib.atlas_jpeg_info(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        data.size,
+        int(scale_denom),
+        ctypes.byref(w),
+        ctypes.byref(h),
+    )
+    if rc != 0:
+        raise RuntimeError("atlas_jpeg_info: not a decodable JPEG stream")
+    return int(w.value), int(h.value)
+
+
+def jpeg_decode(buf: bytes, scale_denom: int = 1) -> np.ndarray:
+    """Decode a standalone JPEG stream to an RGB uint8 array at 1/scale_denom.
+
+    Backs tile decode for the non-TIFF slide containers (MIRAX / Hamamatsu /
+    DICOM); releases the GIL, so thread pools decode in parallel.
+    """
+    w, h = jpeg_image_info(buf, scale_denom)
+    lib = load_library()
+    data = np.frombuffer(buf, dtype=np.uint8)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    rc = lib.atlas_jpeg_decode(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        data.size,
+        int(scale_denom),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        w,
+        h,
+    )
+    if rc != 0:
+        raise RuntimeError(f"atlas_jpeg_decode failed ({rc})")
+    return out
+
+
+def j2k_decode_rgb(buf: bytes, w: int, h: int, spp: int = 3, force_ycbcr: bool = False) -> np.ndarray:
+    """Decode a JPEG2000 codestream of known dimensions to an RGB(ish) array.
+
+    Used by the DICOM backend for .4.90/.4.91 transfer syntaxes; dims come
+    from the DICOM dataset. Requires libopenjp2 (dlopen'd; clean error if
+    absent)."""
+    lib = load_library()
+    data = np.frombuffer(buf, dtype=np.uint8)
+    out = np.empty((h, w, spp), dtype=np.uint8)
+    err = ctypes.create_string_buffer(256)
+    rc = lib.atlas_j2k_decode(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        data.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        w,
+        h,
+        int(spp),
+        1 if force_ycbcr else 0,
+        err,
+        len(err),
+    )
+    if rc != 0:
+        raise RuntimeError(f"atlas_j2k_decode failed: {err.value.decode(errors='replace')}")
+    return out
 
 
 def native_find_contours(mask_u8: np.ndarray):

@@ -792,4 +792,83 @@ int atlas_read_region(void* handle, int level, int64_t x, int64_t y, int64_t w,
   return -1;
 }
 
+// Standalone JPEG2000 decode (DICOM transfer syntaxes 1.2.840.10008.1.2.4.90/.91).
+// out must hold w*h*spp bytes; dims/spp come from the container's metadata.
+int atlas_j2k_decode(const uint8_t* data, int64_t n, uint8_t* out, int64_t w,
+                     int64_t h, int spp, int force_ycbcr, char* err, int errlen) {
+  std::string e;
+  if (j2k_decode(data, (size_t)n, out, (uint64_t)w, (uint64_t)h, (uint32_t)spp,
+                 force_ycbcr != 0, &e))
+    return 0;
+  if (err && errlen > 0) snprintf(err, errlen, "%s", e.c_str());
+  return -1;
+}
+
+// --- standalone JPEG helpers ---------------------------------------------
+// Tile decode for the non-TIFF slide containers (MIRAX .mrxs, Hamamatsu .vms,
+// DICOM WSI) whose tiles are raw JFIF streams rather than TIFF chunks
+// (reference reads these via OpenSlide: atlas_patch/core/wsi/wsi_factory.py:20-39).
+// scale_denom ∈ {1,2,4,8} exposes libjpeg's DCT-domain downscaling, used by
+// the Hamamatsu backend to derive pyramid levels the way OpenSlide does.
+
+// Probe output dimensions at a given scale. Returns 0 on success.
+int atlas_jpeg_info(const uint8_t* data, int64_t n, int scale_denom, int64_t* w,
+                    int64_t* h) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), static_cast<unsigned long>(n));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = scale_denom > 0 ? (unsigned)scale_denom : 1;
+  jpeg_calc_output_dimensions(&cinfo);
+  *w = cinfo.output_width;
+  *h = cinfo.output_height;
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Decode a whole JPEG stream to RGB at 1/scale_denom. out must hold exactly
+// w*h*3 bytes where (w,h) came from atlas_jpeg_info at the same scale.
+// Returns 0 on success.
+int atlas_jpeg_decode(const uint8_t* data, int64_t n, int scale_denom,
+                      uint8_t* out, int64_t w, int64_t h) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), static_cast<unsigned long>(n));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;  // libjpeg converts grayscale/YCbCr for us
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = scale_denom > 0 ? (unsigned)scale_denom : 1;
+  jpeg_start_decompress(&cinfo);
+  if (cinfo.output_width != (JDIMENSION)w || cinfo.output_height != (JDIMENSION)h ||
+      cinfo.output_components != 3) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  JSAMPROW rowptr;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    rowptr = out + (uint64_t)cinfo.output_scanline * w * 3;
+    jpeg_read_scanlines(&cinfo, &rowptr, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
 }  // extern "C"

@@ -14,9 +14,9 @@ from typing import Dict, Optional
 
 logger = logging.getLogger("atlaspatch_tpu.utils")
 
-# TIFF-family WSI containers decodable by the native layer, plus plain images.
-# Non-TIFF containers (.mrxs/.vms/.vmu/.dcm) are intentionally absent: the
-# factory raises UnsupportedFormatError for them (see io/factory.py).
+# TIFF-family WSI containers decodable by the native layer, first-party
+# non-TIFF container readers (MIRAX, Hamamatsu VMS/VMU, DICOM WSI — see
+# io/mirax_wsi.py, io/hamamatsu_wsi.py, io/dicom_wsi.py), plus plain images.
 SUPPORTED_EXTS = {
     ".svs",
     ".tif",
@@ -25,6 +25,11 @@ SUPPORTED_EXTS = {
     ".scn",
     ".bif",
     ".biff",
+    ".mrxs",
+    ".vms",
+    ".vmu",
+    ".dcm",
+    ".dicom",
     ".png",
     ".jpg",
     ".jpeg",

@@ -1,0 +1,252 @@
+"""Round-trip tests for the non-TIFF slide containers (MIRAX / VMS / VMU /
+DICOM WSI): synthetic spec-conformant slides from tests/container_builders.py
+must come back with correct pyramid geometry, metadata, and pixels through
+the first-party readers (which decode via the native library)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from atlaspatch_tpu.io.factory import WSIFactory
+from tests.container_builders import (
+    write_dicom_level,
+    write_dicom_pyramid,
+    write_mirax,
+    write_vms,
+    write_vmu,
+)
+
+
+def smooth_rgb(w: int, h: int) -> np.ndarray:
+    """Low-frequency pattern so JPEG round-trip error stays tiny."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (128 + 100 * np.sin(xx / 37.0)).astype(np.uint8)
+    g = (128 + 100 * np.cos(yy / 29.0)).astype(np.uint8)
+    b = ((xx + yy) % 256).astype(np.uint8) // 2 + 64
+    return np.stack([r, g, b.astype(np.uint8)], axis=-1)
+
+
+def assert_close_rgb(a: np.ndarray, b: np.ndarray, tol: float = 8.0) -> None:
+    assert a.shape == b.shape
+    err = np.abs(a.astype(np.int16) - b.astype(np.int16)).mean()
+    assert err < tol, f"mean abs error {err}"
+
+
+# ------------------------------------------------------------------- MIRAX
+class TestMirax:
+    @pytest.fixture(scope="class")
+    def slide(self, tmp_path_factory):
+        img = smooth_rgb(256, 144)
+        path = write_mirax(tmp_path_factory.mktemp("mrxs") / "case.mrxs", img,
+                           tile_w=64, tile_h=48, n_levels=2, mpp=0.25, objective=20)
+        return path, img
+
+    def test_geometry_and_metadata(self, slide):
+        path, img = slide
+        with WSIFactory.load(str(path)) as wsi:
+            assert wsi.get_size(0) == (256, 144)
+            assert wsi.nlvl == 2
+            assert wsi.ds == [1.0, 2.0]
+            assert wsi.get_size(1) == (128, 72)
+            assert wsi.mpp == 0.25
+            assert wsi.mag == 20
+            assert wsi.meta["mirax.SLIDE_ID"].startswith("0123")
+
+    def test_pixels_level0(self, slide):
+        path, img = slide
+        with WSIFactory.load(str(path)) as wsi:
+            region = wsi.extract((32, 16), 0, (96, 80), mode="array")
+            assert_close_rgb(region, img[16:96, 32:128])
+
+    def test_pixels_cross_tile(self, slide):
+        """A read spanning 4 camera tiles composites seamlessly."""
+        path, img = slide
+        with WSIFactory.load(str(path)) as wsi:
+            region = wsi.extract((48, 32), 0, (64, 48), mode="array")
+            assert_close_rgb(region, img[32:80, 48:112])
+
+    def test_level1_downsample(self, slide):
+        path, img = slide
+        with WSIFactory.load(str(path)) as wsi:
+            region = wsi.extract((0, 0), 1, (128, 72), mode="array")
+            half = img.astype(np.float32)
+            half = (half[0::2, 0::2] + half[1::2, 0::2] + half[0::2, 1::2] + half[1::2, 1::2]) / 4
+            assert_close_rgb(region, half.astype(np.uint8), tol=10.0)
+
+    def test_out_of_bounds_fill(self, slide):
+        path, _ = slide
+        with WSIFactory.load(str(path)) as wsi:
+            region = wsi.extract((-32, -32), 0, (32, 32), mode="array")
+            assert (region == 255).all()
+
+    def test_thumbnail(self, slide):
+        path, _ = slide
+        with WSIFactory.load(str(path)) as wsi:
+            thumb = wsi.get_thumb((64, 64))
+            assert max(thumb.size) <= 64
+
+    def test_without_position_buffer(self, tmp_path):
+        img = smooth_rgb(128, 96)
+        path = write_mirax(tmp_path / "nopos.mrxs", img, tile_w=64, tile_h=48,
+                           n_levels=1, use_position_buffer=False)
+        with WSIFactory.load(str(path)) as wsi:
+            assert wsi.get_size(0) == (128, 96)
+            assert_close_rgb(wsi.extract((0, 0), 0, (128, 96), mode="array"), img)
+
+    def test_compressed_position_buffer(self, tmp_path):
+        img = smooth_rgb(128, 96)
+        path = write_mirax(tmp_path / "zpos.mrxs", img, tile_w=64, tile_h=48,
+                           n_levels=1, compress_positions=True)
+        with WSIFactory.load(str(path)) as wsi:
+            assert_close_rgb(wsi.extract((0, 0), 0, (128, 96), mode="array"), img)
+
+    def test_slide_id_mismatch_rejected(self, tmp_path):
+        img = smooth_rgb(64, 48)
+        path = write_mirax(tmp_path / "bad.mrxs", img, tile_w=64, tile_h=48, n_levels=1)
+        index = path.with_suffix("") / "Index.dat"
+        raw = bytearray(index.read_bytes())
+        raw[5] ^= 0xFF  # corrupt the slide id
+        index.write_bytes(bytes(raw))
+        with pytest.raises(RuntimeError, match="slide id mismatch"):
+            WSIFactory.load(str(path))._ensure_loaded()
+
+
+# ------------------------------------------------------------------ VMS/VMU
+class TestHamamatsu:
+    @pytest.fixture(scope="class")
+    def vms(self, tmp_path_factory):
+        img = smooth_rgb(256, 128)
+        path = write_vms(tmp_path_factory.mktemp("vms") / "case.vms", img,
+                         cols=2, rows=1, mpp=0.5, lens=20)
+        return path, img
+
+    def test_vms_levels(self, vms):
+        path, img = vms
+        with WSIFactory.load(str(path)) as wsi:
+            assert wsi.get_size(0) == (256, 128)
+            assert wsi.nlvl == 4
+            assert wsi.ds == [1.0, 2.0, 4.0, 8.0]
+            assert wsi.get_size(3) == (32, 16)
+            assert wsi.mpp == 0.5
+            assert wsi.mag == 20
+
+    def test_vms_pixels_cross_jpeg(self, vms):
+        path, img = vms
+        with WSIFactory.load(str(path)) as wsi:
+            region = wsi.extract((96, 32), 0, (64, 64), mode="array")
+            assert_close_rgb(region, img[32:96, 96:160])
+
+    def test_vms_scaled_level(self, vms):
+        path, img = vms
+        with WSIFactory.load(str(path)) as wsi:
+            region = wsi.extract((0, 0), 1, (128, 64), mode="array")
+            half = img.astype(np.float32)
+            half = (half[0::2, 0::2] + half[1::2, 0::2] + half[0::2, 1::2] + half[1::2, 1::2]) / 4
+            # libjpeg's DCT-space 1/2 is not a box filter; allow looser bound
+            assert_close_rgb(region, half.astype(np.uint8), tol=12.0)
+
+    def test_vmu_exact_roundtrip(self, tmp_path):
+        img = smooth_rgb(128, 64)
+        path = write_vmu(tmp_path / "case.vmu", img, column_width=32, mpp=0.3, lens=40)
+        with WSIFactory.load(str(path)) as wsi:
+            assert wsi.get_size(0) == (128, 64)
+            assert wsi.nlvl == 1
+            assert wsi.mpp == 0.3
+            assert wsi.mag == 40
+            got = wsi.extract((0, 0), 0, (128, 64), mode="array")
+            np.testing.assert_array_equal(got, img)  # NGR is lossless
+            sub = wsi.extract((40, 8), 0, (50, 30), mode="array")
+            np.testing.assert_array_equal(sub, img[8:38, 40:90])
+            thumb = wsi.get_thumb((32, 32))
+            assert max(thumb.size) <= 32
+
+
+# -------------------------------------------------------------------- DICOM
+class TestDicom:
+    @pytest.fixture(scope="class")
+    def pyramid(self, tmp_path_factory):
+        img = smooth_rgb(256, 128)
+        path = write_dicom_pyramid(tmp_path_factory.mktemp("dcm") / "series", img,
+                                   n_levels=2, tile=64, mpp=0.25)
+        return path, img
+
+    def test_pyramid_assembly(self, pyramid):
+        path, img = pyramid
+        with WSIFactory.load(str(path)) as wsi:
+            assert wsi.get_size(0) == (256, 128)
+            assert wsi.nlvl == 2  # label.dcm excluded
+            assert wsi.ds == [1.0, 2.0]
+            assert wsi.mpp == 0.25
+            assert wsi.mag == 20
+
+    def test_pixels_jpeg(self, pyramid):
+        path, img = pyramid
+        with WSIFactory.load(str(path)) as wsi:
+            region = wsi.extract((32, 32), 0, (128, 64), mode="array")
+            assert_close_rgb(region, img[32:96, 32:160])
+
+    def test_open_via_level1_file(self, pyramid):
+        """Opening any instance of the series finds the whole pyramid."""
+        path, _ = pyramid
+        lv1 = path.parent / "level1.dcm"
+        with WSIFactory.load(str(lv1)) as wsi:
+            assert wsi.get_size(0) == (256, 128)
+            assert wsi.nlvl == 2
+
+    def test_uncompressed_exact(self, tmp_path):
+        img = smooth_rgb(128, 64)
+        path = write_dicom_level(tmp_path / "raw.dcm", img, tile=64,
+                                 encapsulated=False, mpp=0.5)
+        with WSIFactory.load(str(path)) as wsi:
+            got = wsi.extract((0, 0), 0, (128, 64), mode="array")
+            np.testing.assert_array_equal(got, img)
+            assert wsi.mpp == 0.5
+
+    def test_tiled_sparse(self, tmp_path):
+        img = smooth_rgb(128, 128)
+        path = write_dicom_level(tmp_path / "sparse.dcm", img, tile=64,
+                                 encapsulated=False, sparse=True)
+        with WSIFactory.load(str(path)) as wsi:
+            got = wsi.extract((0, 0), 0, (128, 128), mode="array")
+            np.testing.assert_array_equal(got, img)
+
+    def test_label_instance_rejected_as_primary(self, tmp_path):
+        img = np.full((32, 32, 3), 99, dtype=np.uint8)
+        path = write_dicom_level(tmp_path / "lab.dcm", img, tile=32,
+                                 image_type="ORIGINAL\\PRIMARY\\LABEL",
+                                 encapsulated=False)
+        with pytest.raises(RuntimeError, match="LABEL"):
+            WSIFactory.load(str(path))._ensure_loaded()
+
+
+# ------------------------------------------------------- pipeline integration
+def test_containers_feed_patch_extraction(tmp_path):
+    """A MIRAX slide flows through the real extraction service: mask →
+    contours → grid → H5 coords, same as TIFF-backed slides."""
+    from pathlib import Path
+
+    from atlaspatch_tpu.core.config import ExtractionConfig, OutputConfig
+    from atlaspatch_tpu.core.models import Slide
+    from atlaspatch_tpu.services.extraction import PatchExtractionService
+
+    img = np.full((256, 256, 3), 230, dtype=np.uint8)
+    img[32:224, 32:224] = (180, 60, 120)  # "tissue" block
+    path = write_mirax(tmp_path / "tissue.mrxs", img, tile_w=64, tile_h=64,
+                       n_levels=1, mpp=0.5, objective=20)
+    wsi = WSIFactory.load(str(path))
+    wsi._ensure_loaded()
+    mask = np.zeros((64, 64), dtype=np.float32)
+    mask[8:56, 8:56] = 1.0
+    svc = PatchExtractionService(
+        ExtractionConfig(patch_size=64, target_magnification=20).validated(),
+        OutputConfig(output_root=tmp_path / "out").validated(),
+    )
+    result = svc.extract(wsi, mask, slide=Slide(path=Path(path), mpp=0.5))
+    assert result.num_patches > 0
+    import h5py
+
+    with h5py.File(result.h5_path, "r") as f:
+        coords = f["coords"][:]
+        assert coords.shape[1] == 5
+        assert coords.shape[0] == result.num_patches

@@ -4,7 +4,7 @@ from pathlib import Path
 
 import pytest
 
-from atlaspatch_tpu.io.factory import UnsupportedFormatError, WSIFactory
+from atlaspatch_tpu.io.factory import WSIFactory
 
 
 def test_sam2_service_raises_without_weights(monkeypatch, tmp_path):
@@ -33,34 +33,45 @@ def test_sam2_service_random_init_with_optin(monkeypatch, tmp_path):
     assert svc.predictor.params is not None
 
 
-@pytest.mark.parametrize("ext", [".mrxs", ".vms", ".vmu", ".dcm"])
-def test_non_tiff_containers_raise_clearly(tmp_path: Path, ext: str):
+@pytest.mark.parametrize(
+    ("ext", "marker"),
+    [(".mrxs", "mirax"), (".vms", "vms"), (".vmu", "vmu"), (".dcm", "DICOM")],
+)
+def test_corrupt_containers_fail_with_backend_error(tmp_path: Path, ext: str, marker: str):
+    """Each non-TIFF container has a real backend now; a garbage file must
+    produce that backend's clear error, not a misleading TIFF parse failure."""
     fake = tmp_path / f"slide{ext}"
     fake.write_bytes(b"\x00" * 64)
-    assert WSIFactory.detect(str(fake)) is None
-    with pytest.raises(UnsupportedFormatError, match="not supported"):
-        WSIFactory.load(str(fake))
+    assert WSIFactory.detect(str(fake)) is not None
+    with pytest.raises(Exception, match=marker):
+        WSIFactory.load(str(fake))._ensure_loaded()
 
 
-def test_discovery_skips_unsupported_containers(tmp_path: Path):
+def test_discovery_includes_container_formats(tmp_path: Path):
     from atlaspatch_tpu.utils.params import get_wsi_files
 
     (tmp_path / "a.svs").touch()
     (tmp_path / "b.mrxs").touch()
+    (tmp_path / "c.dcm").touch()
     files = get_wsi_files(str(tmp_path))
-    assert [Path(f).name for f in files] == ["a.svs"]
+    assert [Path(f).name for f in files] == ["a.svs", "b.mrxs", "c.dcm"]
 
 
-def test_info_lists_only_real_formats():
+def test_unknown_extension_still_raises(tmp_path: Path):
+    fake = tmp_path / "slide.czi"
+    fake.write_bytes(b"\x00" * 64)
+    assert WSIFactory.detect(str(fake)) is None
+    with pytest.raises(ValueError, match="No backend"):
+        WSIFactory.load(str(fake))
+
+
+def test_info_lists_container_formats():
     from click.testing import CliRunner
 
     from atlaspatch_tpu.cli import cli
 
     result = CliRunner().invoke(cli, ["info"])
     assert result.exit_code == 0
-    supported_line = next(
-        line for line in result.output.splitlines() if line.startswith("Supported WSI")
-    )
+    assert "Non-TIFF containers" in result.output
     for ext in (".mrxs", ".vms", ".vmu", ".dcm"):
-        assert ext not in supported_line
-    assert "Not supported" in result.output
+        assert ext in result.output
