@@ -119,7 +119,22 @@ class JaxFeatureExtractor(FeatureExtractor):
 
     def __post_init__(self) -> None:
         import jax
+        import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if self.compute_dtype == "bfloat16":
+            # Store float params as bf16 on device. Flax modules default to
+            # dtype=None (promote inputs with params), so bf16 activations
+            # against f32 params silently upcast every matmul to f32 — the
+            # cast here is what actually puts the MXU on the bf16 path (and
+            # halves param HBM). The SAM2 service does the same
+            # (services/segmentation.py:146-147).
+            self.params = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32
+                else a,
+                self.params,
+            )
 
         if self.mesh is not None:
             if self.param_shardings is None:

@@ -150,3 +150,34 @@ def test_npz_weights_roundtrip(tmp_path, monkeypatch):
     want = np.asarray(model.apply({"params": params}, jnp.asarray(xn, jnp.float32)))
     np.testing.assert_allclose(feats, want, rtol=1e-5, atol=1e-5)
     ext.cleanup()
+
+
+def test_bfloat16_params_reach_the_matmuls(monkeypatch):
+    """compute_dtype=bfloat16 must store params as bf16 on device: Flax
+    modules default to dtype promotion, so f32 params would silently upcast
+    every matmul back to f32 (measured 19-46% slower on the TPU MXU). The
+    float32 build must stay exactly float32."""
+    monkeypatch.setenv("ATLASPATCH_ALLOW_RANDOM_WEIGHTS", "1")
+    from atlaspatch_tpu.models.encoders.zoo import build_extractor
+
+    entry = ENTRIES["resnet18"]
+    cpu = jax.devices("cpu")[0]
+    rng = np.random.default_rng(0)
+    patches = [rng.integers(0, 256, (224, 224, 3), dtype=np.uint8) for _ in range(2)]
+
+    bf16 = build_extractor(entry, device=cpu, compute_dtype="bfloat16", max_batch=2)
+    dtypes = {str(a.dtype) for a in jax.tree.leaves(bf16.params)}
+    assert "bfloat16" in dtypes and "float32" not in dtypes
+    feats_bf16 = bf16.extract_batch(patches, batch_size=2)
+    assert feats_bf16.dtype == np.float32  # output contract stays f32
+
+    f32 = build_extractor(entry, device=cpu, compute_dtype="float32", max_batch=2)
+    assert {str(a.dtype) for a in jax.tree.leaves(f32.params)} == {"float32"}
+    feats_f32 = f32.extract_batch(patches, batch_size=2)
+
+    # bf16 numerics stay close to the f32 oracle (cosine per feature row)
+    num = (feats_f32 * feats_bf16).sum(axis=1)
+    den = np.linalg.norm(feats_f32, axis=1) * np.linalg.norm(feats_bf16, axis=1)
+    assert (num / den > 0.995).all()
+    bf16.cleanup()
+    f32.cleanup()
