@@ -261,7 +261,10 @@ class _DicomLevel:
         buf = path.read_bytes()
         self.buf = buf
         parser = _Parser(buf)
-        self.ds, self.pixel = parser.parse()
+        try:
+            self.ds, self.pixel = parser.parse()
+        except (struct.error, IndexError, ValueError, MemoryError) as e:
+            raise _DicomError(f"{path.name}: malformed DICOM dataset: {e}") from e
         self.ts = parser.ts
         ds = self.ds
         self.rows = ds.int_val(TAG_ROWS) or 0
@@ -321,12 +324,15 @@ class _DicomLevel:
             # item header; group fragments per frame.
             base = frags[0][0] - 8
             starts = [base + off for off in bot]
-            lo = next(k for k, f in enumerate(frags) if f[0] - 8 == starts[i])
-            hi = (
-                next(k for k, f in enumerate(frags) if f[0] - 8 == starts[i + 1])
-                if i + 1 < self.n_frames
-                else len(frags)
-            )
+            try:
+                lo = next(k for k, f in enumerate(frags) if f[0] - 8 == starts[i])
+                hi = (
+                    next(k for k, f in enumerate(frags) if f[0] - 8 == starts[i + 1])
+                    if i + 1 < self.n_frames
+                    else len(frags)
+                )
+            except StopIteration:
+                raise _DicomError("basic offset table does not match fragments") from None
             span = frags[lo:hi]
             if len(span) == 1:
                 return span[0]

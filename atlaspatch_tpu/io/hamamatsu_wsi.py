@@ -250,13 +250,16 @@ class _NgrFile:
         if self.w % self.column_width:
             raise RuntimeError("ngr: width not a multiple of the column width")
         n_blocks = self.w // self.column_width
-        self._mm = np.memmap(
-            path,
-            dtype="<u2",
-            mode="r",
-            offset=self.data_offset,
-            shape=(n_blocks, self.h, self.column_width, 3),
-        )
+        try:
+            self._mm = np.memmap(
+                path,
+                dtype="<u2",
+                mode="r",
+                offset=self.data_offset,
+                shape=(n_blocks, self.h, self.column_width, 3),
+            )
+        except (ValueError, OSError) as e:
+            raise RuntimeError(f"ngr: truncated or invalid pixel data in {path}: {e}") from e
 
     def read_region(self, x: int, y: int, w: int, h: int) -> np.ndarray:
         out = np.full((h, w, 3), 255, dtype=np.uint8)

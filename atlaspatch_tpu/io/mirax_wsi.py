@@ -54,6 +54,8 @@ POSITION_BUFFER_NAME = "VIMSLIDE_POSITION_BUFFER"
 
 
 def _u32(buf: bytes, off: int) -> int:
+    if not 0 <= off <= len(buf) - 4:
+        raise RuntimeError("mirax: pointer outside Index.dat")
     return struct.unpack_from("<i", buf, off)[0]
 
 
@@ -84,11 +86,22 @@ class _SlideDat:
 
 
 def _read_pages(index: bytes, first_page: int) -> list[tuple[int, int, int, int]]:
-    """Walk a data-page chain; returns (image_index, offset, length, fileno)."""
+    """Walk a data-page chain; returns (image_index, offset, length, fileno).
+
+    Corrupt indexes must fail cleanly: page pointers are bounds-checked and a
+    cyclic next-page chain is detected instead of looping forever."""
     entries: list[tuple[int, int, int, int]] = []
     page = first_page
+    seen: set[int] = set()
     while page:
+        if page in seen:
+            raise RuntimeError("mirax: cyclic data-page chain in Index.dat")
+        seen.add(page)
+        if not 0 <= page <= len(index) - 8:
+            raise RuntimeError("mirax: data-page pointer outside Index.dat")
         n, nxt = struct.unpack_from("<ii", index, page)
+        if n < 0 or page + 8 + 16 * n > len(index):
+            raise RuntimeError("mirax: data page overruns Index.dat")
         off = page + 8
         for _ in range(n):
             entries.append(struct.unpack_from("<iiii", index, off))

@@ -250,3 +250,51 @@ def test_containers_feed_patch_extraction(tmp_path):
         coords = f["coords"][:]
         assert coords.shape[1] == 5
         assert coords.shape[0] == result.num_patches
+
+
+# ------------------------------------------------------------------ fuzzing
+class TestContainerFuzz:
+    """Corrupt container files must raise clean exceptions — never hang,
+    never crash the process (same hardening bar as the native TIFF decoder,
+    tests/test_native_tiff.py fuzz section)."""
+
+    N_MUTATIONS = 40
+
+    def _fuzz_open(self, path, mutate_file):
+        rng = np.random.default_rng(1234)
+        original = mutate_file.read_bytes()
+        for _ in range(self.N_MUTATIONS):
+            raw = bytearray(original)
+            for _ in range(rng.integers(1, 8)):
+                pos = int(rng.integers(0, len(raw)))
+                raw[pos] = int(rng.integers(0, 256))
+            mutate_file.write_bytes(bytes(raw))
+            try:
+                wsi = WSIFactory.load(str(path))
+                wsi._ensure_loaded()
+                # A surviving parse must still serve bounded reads.
+                wsi.extract((0, 0), 0, (16, 16), mode="array")
+                wsi.cleanup()
+            except Exception:
+                pass  # any clean Python exception is acceptable
+        mutate_file.write_bytes(original)
+
+    def test_mirax_index_fuzz(self, tmp_path):
+        img = smooth_rgb(128, 96)
+        path = write_mirax(tmp_path / "f.mrxs", img, tile_w=64, tile_h=48, n_levels=2)
+        self._fuzz_open(path, path.with_suffix("") / "Index.dat")
+
+    def test_mirax_slidedat_fuzz(self, tmp_path):
+        img = smooth_rgb(128, 96)
+        path = write_mirax(tmp_path / "g.mrxs", img, tile_w=64, tile_h=48, n_levels=1)
+        self._fuzz_open(path, path.with_suffix("") / "Slidedat.ini")
+
+    def test_dicom_fuzz(self, tmp_path):
+        img = smooth_rgb(128, 64)
+        path = write_dicom_level(tmp_path / "f.dcm", img, tile=64)
+        self._fuzz_open(path, path)
+
+    def test_vmu_ngr_fuzz(self, tmp_path):
+        img = smooth_rgb(128, 64)
+        path = write_vmu(tmp_path / "f.vmu", img, column_width=32)
+        self._fuzz_open(path, path.parent / "f.ngr")
