@@ -298,11 +298,11 @@ def bench_embed_vitl(tmp: Path) -> tuple[float, float, float]:
     fn = extractor._jitted[dev.shape]
     resident = []
     for _ in range(2):
-        reps = 8
+        reps = 32  # enough queue depth to amortize the final fetch latency
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn(extractor.params, dev)
-        np.asarray(out)
+        np.asarray(out[0, :8])  # tiny sync fetch; full D2H is not the metric
         resident.append(32 * reps / (time.perf_counter() - t0))
     _log(f"embed {EMBED_ENCODER} device-resident: {max(resident):.1f} patches/s")
     extractor.cleanup()
