@@ -111,9 +111,11 @@ _FEATURE_OPTIONS: list = [
     click.option("--feature-num-workers", type=int, default=4, show_default=True,
                  help="Host reader thread count for feature extraction."),
     click.option("--feature-precision",
-                 type=click.Choice(["float32", "float16", "bfloat16"], case_sensitive=False),
+                 type=click.Choice(["float32", "float16", "bfloat16", "int8"], case_sensitive=False),
                  default="float16", show_default=True,
-                 help="Computation precision (float16 maps to bfloat16 on TPU)."),
+                 help="Computation precision (float16 maps to bfloat16 on TPU; "
+                      "int8 runs ViT-family encoders W8A8 on the MXU — fastest, "
+                      "small feature drift)."),
     click.option("--feature-plugin", "feature_plugins", type=click.Path(exists=True),
                  multiple=True,
                  help="Python module(s) registering custom feature extractors via "

@@ -148,7 +148,7 @@ class FeatureExtractionConfig:
         _ensure_positive(self.batch_size, "feature batch_size")
         _ensure_non_negative(self.num_workers, "feature num_workers")
         self.device = normalize_device(str(self.device))
-        allowed_prec = {"float32", "float16", "bfloat16"}
+        allowed_prec = {"float32", "float16", "bfloat16", "int8"}
         prec = str(self.precision).lower()
         if prec not in allowed_prec:
             raise ValueError(

@@ -122,19 +122,25 @@ class JaxFeatureExtractor(FeatureExtractor):
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        if self.compute_dtype == "bfloat16":
+        if self.compute_dtype in ("bfloat16", "int8"):
             # Store float params as bf16 on device. Flax modules default to
             # dtype=None (promote inputs with params), so bf16 activations
             # against f32 params silently upcast every matmul to f32 — the
             # cast here is what actually puts the MXU on the bf16 path (and
             # halves param HBM). The SAM2 service does the same
-            # (services/segmentation.py:146-147).
-            self.params = jax.tree.map(
-                lambda a: a.astype(jnp.bfloat16)
-                if hasattr(a, "dtype") and a.dtype == jnp.float32
-                else a,
-                self.params,
-            )
+            # (services/segmentation.py:146-147). In int8 mode the quantized
+            # kernels are already int8; their per-channel `qscale` factors
+            # stay exact in f32 (tiny, and Int8Dense dequantizes in f32).
+            from jax.tree_util import tree_map_with_path
+
+            def _cast(path, a):
+                if not hasattr(a, "dtype") or a.dtype != jnp.float32:
+                    return a
+                if path and getattr(path[-1], "key", None) == "qscale":
+                    return a
+                return a.astype(jnp.bfloat16)
+
+            self.params = tree_map_with_path(_cast, self.params)
 
         if self.mesh is not None:
             if self.param_shardings is None:
@@ -164,9 +170,11 @@ class JaxFeatureExtractor(FeatureExtractor):
             fn = self._jitted.get(shape)
             if fn is None:
                 spec = self.spec
-                cdtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
-                    self.compute_dtype
-                ]
+                cdtype = {
+                    "float32": jnp.float32,
+                    "bfloat16": jnp.bfloat16,
+                    "int8": jnp.bfloat16,  # activations flow bf16 between the int8 dots
+                }[self.compute_dtype]
 
                 def run(params, u8):
                     x = u8.astype(jnp.float32) * spec.rescale

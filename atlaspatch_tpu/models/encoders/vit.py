@@ -14,7 +14,7 @@ einsum on the MXU; bfloat16 compute optional with float32 softmax.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 import flax.linen as nn
 import jax
@@ -50,6 +50,11 @@ class ViTSpec:
     rope_theta: float = 100.0  # used when pos_mode == "rope"
     gated_mlp: bool = False  # DINOv3 GatedMLP: down(act(gate(x)) * up(x))
     ln_eps: float = 1e-6
+    # W8A8 serving mode: block Dense layers run int8 x int8 -> int32 on the
+    # MXU (2x bf16 throughput on v5e: measured 117 vs 61 T(FL)OP/s at ViT-L
+    # MLP shapes). Opt-in via --feature-precision int8; params use the
+    # quantized layout from quantize_vit_params().
+    quant_int8: bool = False
 
     @property
     def tokens(self) -> int:
@@ -93,6 +98,88 @@ def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([-x2, x1], axis=-1)
 
 
+def _int8_kernel_init(key, shape, dtype=jnp.int8):
+    return jax.random.randint(key, shape, -127, 128, jnp.int32).astype(jnp.int8)
+
+
+class Int8Dense(nn.Module):
+    """W8A8 dynamic-quantized linear layer (the int8 serving mode).
+
+    Weights: symmetric per-output-channel int8 (`kernel_q` + f32 `qscale`).
+    Activations: symmetric per-row dynamic abs-max int8, quantized in-graph
+    (a VPU elementwise pass). The int8 dot accumulates in int32 on the MXU;
+    dequantization folds both scales into one f32 multiply.
+    """
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_dim = x.shape[-1]
+        kernel_q = self.param("kernel_q", _int8_kernel_init, (in_dim, self.features))
+        qscale = self.param(
+            "qscale", nn.initializers.constant(1.0 / 127.0), (self.features,)
+        )
+        xf = x.astype(jnp.float32)
+        s_x = jnp.maximum(jnp.abs(xf).max(axis=-1, keepdims=True), 1e-8) / 127.0
+        xq = jnp.clip(jnp.round(xf / s_x), -127.0, 127.0).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq,
+            kernel_q,
+            (((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * (s_x * qscale.astype(jnp.float32))
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y.astype(x.dtype)
+
+
+def _dense(spec: ViTSpec, features: int, *, use_bias: bool = True, name: str):
+    """Block-level linear: Int8Dense in the quantized serving mode, nn.Dense
+    otherwise. Only transformer-block layers quantize; embeddings, pooling
+    heads, and projections stay in the float path."""
+    if spec.quant_int8:
+        return Int8Dense(features, use_bias=use_bias, name=name)
+    return nn.Dense(features, use_bias=use_bias, name=name)
+
+
+# Block-level layers eligible for int8 (path must sit under a blocks_* scope).
+QUANT_LAYER_NAMES = ("qkv", "proj", "fc1", "fc2", "fc_gate", "fc_up")
+
+
+def quantize_vit_params(params):
+    """Standard float ViT param tree → the Int8Dense layout.
+
+    Per-output-channel symmetric scales over each eligible block kernel:
+    kernel (K, N) f32 → kernel_q (K, N) int8 + qscale (N,) f32; biases pass
+    through. Everything outside blocks_* (patch embed, norms, heads,
+    projections) is untouched.
+    """
+    import numpy as np
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if (
+                "kernel" in node
+                and path
+                and path[-1] in QUANT_LAYER_NAMES
+                and any(str(p).startswith("blocks_") for p in path)
+            ):
+                w = np.asarray(node["kernel"], np.float32)
+                s = np.maximum(np.abs(w).max(axis=0), 1e-8) / 127.0
+                kq = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+                out = {"kernel_q": kq, "qscale": s.astype(np.float32)}
+                if "bias" in node:
+                    out["bias"] = np.asarray(node["bias"], np.float32)
+                return out
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        return node
+
+    return walk(params, ())
+
+
 class Attention(nn.Module):
     spec: ViTSpec
 
@@ -101,7 +188,7 @@ class Attention(nn.Module):
         s = self.spec
         B, T, _ = x.shape
         head_dim = s.dim // s.heads
-        qkv = nn.Dense(3 * s.dim, use_bias=s.qkv_bias, name="qkv")(x)
+        qkv = _dense(s, 3 * s.dim, use_bias=s.qkv_bias, name="qkv")(x)
         qkv = qkv.reshape(B, T, 3, s.heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         q = q.transpose(0, 2, 1, 3)
@@ -124,7 +211,7 @@ class Attention(nn.Module):
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, s.dim)
-        return nn.Dense(s.dim, name="proj")(out)
+        return _dense(s, s.dim, name="proj")(out)
 
 
 class Mlp(nn.Module):
@@ -134,16 +221,16 @@ class Mlp(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         s = self.spec
         if s.gated_mlp:
-            gate = nn.Dense(s.hidden_dim, name="fc_gate")(x)
-            up = nn.Dense(s.hidden_dim, name="fc_up")(x)
+            gate = _dense(s, s.hidden_dim, name="fc_gate")(x)
+            up = _dense(s, s.hidden_dim, name="fc_up")(x)
             h = _act(s.act)(gate) * up
         elif s.swiglu:
-            h = nn.Dense(2 * s.hidden_dim, name="fc1")(x)
+            h = _dense(s, 2 * s.hidden_dim, name="fc1")(x)
             x1, x2 = jnp.split(h, 2, axis=-1)
             h = _act(s.act)(x1) * x2
         else:
-            h = _act(s.act)(nn.Dense(s.hidden_dim, name="fc1")(x))
-        return nn.Dense(s.dim, name="fc2")(h)
+            h = _act(s.act)(_dense(s, s.hidden_dim, name="fc1")(x))
+        return _dense(s, s.dim, name="fc2")(h)
 
 
 class Block(nn.Module):
@@ -188,7 +275,8 @@ class MAPHead(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(B, 1, s.dim)
         out = nn.Dense(s.dim, name="out_proj")(out)
         h = nn.LayerNorm(epsilon=s.ln_eps, name="norm")(out)
-        h = out + Mlp(s, name="mlp")(h)
+        # Pooling head stays float even in int8 mode (outside blocks_*).
+        h = out + Mlp(replace(s, quant_int8=False), name="mlp")(h)
         return h[:, 0]
 
 

@@ -784,18 +784,25 @@ def _convert(entry: EncoderEntry, sd: dict) -> dict:
     raise NotImplementedError(f"no converter for family {family}")
 
 
-def _model_for(entry: EncoderEntry):
-    if entry.family in (
-        "timm_vit",
-        "hf_vit",
-        "dinov2",
-        "dinov3",
-        "clip_hf",
-        "clip_openclip",
-        "siglip",
-        "torchvision_vit",
-        "clip_timm_tower",
-    ):
+_VIT_FAMILIES = (
+    "timm_vit",
+    "hf_vit",
+    "dinov2",
+    "dinov3",
+    "clip_hf",
+    "clip_openclip",
+    "siglip",
+    "torchvision_vit",
+    "clip_timm_tower",
+)
+
+
+def _model_for(entry: EncoderEntry, *, quant_int8: bool = False):
+    if entry.family in _VIT_FAMILIES:
+        if quant_int8:
+            from dataclasses import replace
+
+            return ViT(replace(entry.spec, quant_int8=True))
         return ViT(entry.spec)
     if entry.family == "resnet":
         return ResNet(entry.spec)
@@ -837,7 +844,18 @@ def build_extractor(
     import jax
     import jax.numpy as jnp
 
-    model = _model_for(entry)
+    quant_int8 = compute_dtype == "int8"
+    if quant_int8 and entry.family not in _VIT_FAMILIES:
+        logger.warning(
+            "int8 precision requested for %s (%s family): no int8 plan for this "
+            "tower, falling back to bfloat16.",
+            entry.name,
+            entry.family,
+        )
+        quant_int8 = False
+        compute_dtype = "bfloat16"
+
+    model = _model_for(entry, quant_int8=quant_int8)
     weights_path = _find_cached_weights(entry)
     if weights_path is not None:
         logger.info("Loading %s weights from %s", entry.name, weights_path)
@@ -848,12 +866,23 @@ def build_extractor(
         else:
             params = _convert(entry, _load_state_dict(weights_path))
         params = jax.tree.map(lambda a: jnp.asarray(np.asarray(a), jnp.float32), params)
+        if quant_int8:
+            from atlaspatch_tpu.models.encoders.vit import quantize_vit_params
+
+            params = quantize_vit_params(jax.tree.map(np.asarray, params))
     elif os.environ.get("ATLASPATCH_ALLOW_RANDOM_WEIGHTS") == "1":
         logger.warning("No weights for %s; using deterministic random init.", entry.name)
         size = entry.preprocess.crop
         dummy = jnp.zeros((1, size, size, 3), jnp.float32)
-        init_fn = jax.jit(lambda key: model.init(key, dummy))
+        # Always init the FLOAT model and quantize from it, so int8 runs the
+        # same underlying weights as float runs (comparable features/bench).
+        float_model = _model_for(entry) if quant_int8 else model
+        init_fn = jax.jit(lambda key: float_model.init(key, dummy))
         params = init_fn(jax.random.PRNGKey(0))["params"]
+        if quant_int8:
+            from atlaspatch_tpu.models.encoders.vit import quantize_vit_params
+
+            params = quantize_vit_params(jax.tree.map(np.asarray, params))
     else:
         raise RuntimeError(
             f"No cached weights found for encoder '{entry.name}' (source: {entry.source}). "
@@ -912,7 +941,13 @@ def build_default_registry(
     models/patch/__init__.py:47-80). Builders are lazy; nothing loads until
     create()."""
     del num_workers  # host prep threads are managed by the engine
-    compute_dtype = "bfloat16" if str(dtype).lower() in ("bfloat16", "float16", "bf16") else "float32"
+    dtype_s = str(dtype).lower()
+    if dtype_s == "int8":
+        compute_dtype = "int8"
+    elif dtype_s in ("bfloat16", "float16", "bf16"):
+        compute_dtype = "bfloat16"
+    else:
+        compute_dtype = "float32"
 
     resolved_device = None
     if not isinstance(device, str):

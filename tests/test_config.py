@@ -48,8 +48,10 @@ def test_feature_config_validation(tmp_path: Path):
         FeatureExtractionConfig(extractors=[]).validated()
     cfg = FeatureExtractionConfig(extractors=["resnet50"], precision="BFLOAT16").validated()
     assert cfg.precision == "bfloat16"
+    cfg = FeatureExtractionConfig(extractors=["resnet50"], precision="INT8").validated()
+    assert cfg.precision == "int8"  # W8A8 serving mode
     with pytest.raises(ValueError):
-        FeatureExtractionConfig(extractors=["x"], precision="int8").validated()
+        FeatureExtractionConfig(extractors=["x"], precision="int4").validated()
     with pytest.raises(FileNotFoundError):
         FeatureExtractionConfig(
             extractors=["x"], plugins=[tmp_path / "missing.py"]
