@@ -306,7 +306,28 @@ def bench_embed_vitl(tmp: Path) -> tuple[float, float, float]:
         resident.append(32 * reps / (time.perf_counter() - t0))
     _log(f"embed {EMBED_ENCODER} device-resident: {max(resident):.1f} patches/s")
     extractor.cleanup()
-    return max(rates), statistics.median(rates), max(resident)
+
+    # Optional: the W8A8 serving mode's resident rate (same weights,
+    # quantized). Round-over-round signal for the int8 path.
+    resident_i8 = 0.0
+    if os.environ.get("ATLASPATCH_BENCH_INT8", "1") == "1":
+        from atlaspatch_tpu.models.encoders.zoo import ENTRIES, build_extractor
+
+        ex8 = build_extractor(ENTRIES[EMBED_ENCODER], compute_dtype="int8")
+        out = ex8._forward_async(imgs)
+        np.asarray(out)
+        fn8 = ex8._jitted[imgs.shape]
+        dev8 = jax.device_put(imgs, ex8.device)
+        for _ in range(2):
+            reps = 32
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn8(ex8.params, dev8)
+            np.asarray(out[0, :8])
+            resident_i8 = max(resident_i8, 32 * reps / (time.perf_counter() - t0))
+        _log(f"embed {EMBED_ENCODER} device-resident int8: {resident_i8:.1f} patches/s")
+        ex8.cleanup()
+    return max(rates), statistics.median(rates), max(resident), resident_i8
 
 
 def main() -> None:
@@ -340,11 +361,12 @@ def main() -> None:
                 "median_vs_baseline": round(med / BASELINE_SLIDES_PER_HOUR, 3),
             }
         if "embed" not in SKIP:
-            best, med, resident = bench_embed_vitl(tmp)
+            best, med, resident, resident_i8 = bench_embed_vitl(tmp)
             metrics["embed_vitl_pps"] = {
                 "value": round(best, 1),
                 "median": round(med, 1),
                 "device_resident": round(resident, 1),
+                "device_resident_int8": round(resident_i8, 1),
                 "unit": "patches/s",
                 "vs_baseline": None,  # no published reference number
             }
