@@ -116,6 +116,14 @@ enum Tag : uint16_t {
   kJPEGTables = 347,
 };
 
+// Vendor private tags (Hamamatsu NDPI; see openslide.org/formats/hamamatsu
+// and the ndpitools NDPI format notes — values re-derived, no code reused).
+enum VendorTag : uint16_t {
+  kNdpiMagic = 65420,       // present on every IFD of an NDPI file
+  kNdpiSourceLens = 65421,  // objective power; -1 = macro image, -2 = map
+  kNdpiZOffset = 65422,     // z-plane offset in nm; we expose the z=0 plane
+};
+
 struct Entry {
   uint16_t type = 0;
   uint64_t count = 0;
@@ -176,6 +184,49 @@ struct IFD {
       }
     }
     return out;
+  }
+
+  // Read a possibly-signed numeric tag (NDPI SourceLens is FLOAT and can be
+  // negative). Returns false when the tag is absent or of a non-numeric type.
+  bool signed_double(const ByteOrder& bo, uint16_t tag, double* out) const {
+    auto it = entries.find(tag);
+    if (it == entries.end() || it->second.count == 0) return false;
+    const Entry& e = it->second;
+    const uint8_t* p = e.data.data();
+    switch (e.type) {
+      case 1: *out = p[0]; return true;
+      case 3: *out = bo.u16(p); return true;
+      case 4: *out = bo.u32(p); return true;
+      case 8: *out = (int16_t)bo.u16(p); return true;
+      case 9: *out = (int32_t)bo.u32(p); return true;
+      case 5: {
+        uint32_t num = bo.u32(p), den = bo.u32(p + 4);
+        if (!den) return false;
+        *out = (double)num / den;
+        return true;
+      }
+      case 10: {
+        int32_t num = (int32_t)bo.u32(p), den = (int32_t)bo.u32(p + 4);
+        if (!den) return false;
+        *out = (double)num / den;
+        return true;
+      }
+      case 11: {
+        uint32_t bits = bo.u32(p);
+        float f;
+        std::memcpy(&f, &bits, 4);
+        *out = f;
+        return true;
+      }
+      case 12: {
+        uint64_t bits = bo.u64(p);
+        double d;
+        std::memcpy(&d, &bits, 8);
+        *out = d;
+        return true;
+      }
+      default: return false;
+    }
   }
 
   double rational(const ByteOrder& bo, uint16_t tag) const {
@@ -358,6 +409,10 @@ struct AtlasTiff {
   std::vector<Level> levels;
   std::string properties_json;
   std::string error;
+  bool ndpi = false;           // Hamamatsu NDPI container (tag 65420 on IFD0)
+  double ndpi_lens0 = 0.0;     // SourceLens of the base level (objective power)
+  bool scn = false;            // Leica SCN container (XML collection on IFD0)
+  double scn_objective = 0.0;  // <objective> of the selected main image
 
   const IFD& level_ifd(int level) const { return ifds[levels[level].ifd_index]; }
 
@@ -543,7 +598,30 @@ static bool parse_ifds(AtlasTiff* t) {
     (void)np;
     ifd_off = t->bigtiff ? t->bo.u64(nextbuf) : t->bo.u32(nextbuf);
   }
-  return !t->ifds.empty();
+  if (t->ifds.empty()) return false;
+
+  t->ndpi = t->ifds[0].has(kNdpiMagic);
+  // NDPI keeps a classic-TIFF (32-bit) header even when the file exceeds
+  // 4 GiB; stored chunk offsets are the low 32 bits of the true offset.
+  // Restore them by monotonic unwrapping: image data for consecutive chunks
+  // is written in ascending file order (same recovery the ndpitools suite
+  // documents). IFD structures themselves sit below 4 GiB in practice.
+  if (t->ndpi && !t->bigtiff && t->file.size > (1ull << 32)) {
+    // The cursor carries across IFDs: NDPI writers emit image data
+    // sequentially, so each image's chunks start past the previous image's.
+    uint64_t prev_end = 0;
+    for (IFD& d : t->ifds) {
+      for (size_t i = 0; i < d.chunk_offsets.size(); ++i) {
+        uint64_t off = d.chunk_offsets[i];
+        while (off + (1ull << 32) <= t->file.size && off < prev_end)
+          off += 1ull << 32;
+        d.chunk_offsets[i] = off;
+        uint64_t cnt = i < d.chunk_counts.size() ? d.chunk_counts[i] : 0;
+        prev_end = off + cnt;
+      }
+    }
+  }
+  return true;
 }
 
 static std::string to_lower(std::string s) {
@@ -551,26 +629,126 @@ static std::string to_lower(std::string s) {
   return s;
 }
 
-static void build_levels(AtlasTiff* t) {
+// Corrupt-header guard: reject levels beyond any plausible slide size
+// (largest real WSIs are ~20 gigapixels) so callers never size buffers
+// from garbage dimensions.
+static bool plausible_dims(const IFD& d) {
+  if (d.width == 0 || d.height == 0 || d.planar != 1) return false;
+  if (d.width > (1ull << 30) || d.height > (1ull << 30) ||
+      d.width * d.height > (1ull << 36))
+    return false;
+  return true;
+}
+
+// --- Leica SCN XML --------------------------------------------------------
+// SCN files store a <scn><collection> XML in IFD0's ImageDescription listing
+// every image on the slide: a macro overview of the whole glass plus one or
+// more scanned regions, each declaring its pyramid as <dimension ifd="N">
+// entries (format notes: openslide.org/formats/leica; parsing re-derived).
+// We select the image with the widest base plane as the slide pyramid; the
+// macro and any smaller regions are excluded as associated images.
+struct ScnImage {
+  uint64_t base_w = 0;
+  std::vector<size_t> ifd_indices;
+  double objective = 0.0;
+};
+
+static bool xml_attr_u64(const std::string& s, size_t from, size_t to,
+                         const char* name, uint64_t* out) {
+  std::string pat = std::string(name) + "=\"";
+  size_t p = s.find(pat, from);
+  if (p == std::string::npos || p >= to) return false;
+  *out = strtoull(s.c_str() + p + pat.size(), nullptr, 10);
+  return true;
+}
+
+static void parse_scn(const std::string& xml, std::vector<ScnImage>* out) {
+  size_t pos = 0;
+  while (true) {
+    size_t ib = xml.find("<image", pos);
+    if (ib == std::string::npos) break;
+    size_t ie = xml.find("</image>", ib);
+    if (ie == std::string::npos) ie = xml.size();
+    ScnImage img;
+    size_t pb = xml.find("<pixels", ib);
+    if (pb != std::string::npos && pb < ie) {
+      size_t pe = xml.find("</pixels>", pb);
+      if (pe == std::string::npos || pe > ie) pe = ie;
+      size_t dp = pb;
+      while (true) {
+        size_t db = xml.find("<dimension", dp);
+        if (db == std::string::npos || db >= pe) break;
+        size_t de = xml.find('>', db);
+        if (de == std::string::npos || de > pe) break;
+        uint64_t sx = 0, ifd = 0, z = 0;
+        bool ok = xml_attr_u64(xml, db, de, "sizeX", &sx) &&
+                  xml_attr_u64(xml, db, de, "ifd", &ifd);
+        xml_attr_u64(xml, db, de, "z", &z);  // z-stacks: keep the z=0 plane
+        if (ok && z == 0) {
+          img.ifd_indices.push_back((size_t)ifd);
+          if (sx > img.base_w) img.base_w = sx;
+        }
+        dp = de;
+      }
+    }
+    size_t ob = xml.find("<objective>", ib);
+    if (ob != std::string::npos && ob < ie)
+      img.objective = atof(xml.c_str() + ob + 11);
+    if (!img.ifd_indices.empty()) out->push_back(std::move(img));
+    pos = ie;
+  }
+}
+
+static void build_levels_scn(AtlasTiff* t) {
+  std::vector<ScnImage> images;
+  parse_scn(t->ifds[0].description, &images);
+  if (images.empty()) return;
+  const ScnImage* main_img = &images[0];
+  for (const ScnImage& im : images)
+    if (im.base_w > main_img->base_w) main_img = &im;
+  for (size_t idx : main_img->ifd_indices) {
+    if (idx >= t->ifds.size()) continue;
+    const IFD& d = t->ifds[idx];
+    if (!plausible_dims(d)) continue;
+    t->levels.push_back({idx, d.width, d.height, 1.0});
+  }
+  if (!t->levels.empty()) t->scn_objective = main_img->objective;
+}
+
+// Hamamatsu NDPI: every IFD carries tag 65420. SourceLens (65421) classifies
+// the image — > 0 is a pyramid level at that objective power, -1 the macro
+// photo, -2 the slide map. Z-stacked files repeat each power per z-offset
+// (65422); we expose the z = 0 plane.
+static void build_levels_ndpi(AtlasTiff* t) {
+  for (size_t i = 0; i < t->ifds.size(); ++i) {
+    const IFD& d = t->ifds[i];
+    if (!plausible_dims(d)) continue;
+    double lens = 0.0;
+    if (!d.signed_double(t->bo, kNdpiSourceLens, &lens)) continue;
+    if (lens <= 0) continue;
+    double z = 0.0;
+    if (d.signed_double(t->bo, kNdpiZOffset, &z) && z != 0) continue;
+    t->levels.push_back({i, d.width, d.height, 1.0});
+    if (lens > t->ndpi_lens0) t->ndpi_lens0 = lens;
+  }
+}
+
+static void build_levels_generic(AtlasTiff* t) {
   // Pyramid levels: IFD0 always. Other IFDs qualify when they are reductions
-  // of IFD0 (same aspect ratio), decodable, and not label/macro associated
-  // images. Aperio SVS stores the pyramid as tiled IFDs with a striped
-  // thumbnail at IFD1 — for Aperio files only tiled IFDs count as levels.
-  bool aperio = !t->ifds.empty() &&
-                t->ifds[0].description.rfind("Aperio", 0) == 0;
+  // of IFD0 (same aspect ratio), decodable, and not label/macro/thumbnail
+  // associated images. Aperio SVS stores the pyramid as tiled IFDs with a
+  // striped thumbnail at IFD1 — for Aperio files only tiled IFDs count.
+  bool aperio = t->ifds[0].description.rfind("Aperio", 0) == 0;
   double aspect0 = 0.0;
   for (size_t i = 0; i < t->ifds.size(); ++i) {
     const IFD& d = t->ifds[i];
-    if (d.width == 0 || d.height == 0 || d.planar != 1) continue;
-    // Corrupt-header guard: reject levels beyond any plausible slide size
-    // (largest real WSIs are ~20 gigapixels) so callers never size buffers
-    // from garbage dimensions.
-    if (d.width > (1ull << 30) || d.height > (1ull << 30) ||
-        d.width * d.height > (1ull << 36))
-      continue;
+    if (!plausible_dims(d)) continue;
     std::string desc = to_lower(d.description);
-    bool associated =
-        desc.find("label") != std::string::npos || desc.find("macro") != std::string::npos;
+    bool associated = desc.find("label") != std::string::npos ||
+                      desc.find("macro") != std::string::npos ||
+                      desc.find("thumbnail") != std::string::npos ||
+                      desc.find("probability") != std::string::npos ||
+                      desc.find("overview") != std::string::npos;
     if (i == 0) {
       aspect0 = (double)d.width / (double)d.height;
       t->levels.push_back({i, d.width, d.height, 1.0});
@@ -582,6 +760,16 @@ static void build_levels(AtlasTiff* t) {
     if (aspect0 > 0 && std::abs(aspect - aspect0) / aspect0 > 0.05) continue;
     t->levels.push_back({i, d.width, d.height, 1.0});
   }
+}
+
+static void build_levels(AtlasTiff* t) {
+  if (t->ndpi) build_levels_ndpi(t);
+  if (t->levels.empty() &&
+      t->ifds[0].description.find("<scn") != std::string::npos) {
+    build_levels_scn(t);
+    t->scn = !t->levels.empty();
+  }
+  if (t->levels.empty()) build_levels_generic(t);
   std::sort(t->levels.begin(), t->levels.end(),
             [](const Level& a, const Level& b) { return a.width > b.width; });
   if (!t->levels.empty()) {
@@ -653,6 +841,21 @@ static void build_properties(AtlasTiff* t) {
       }
       if (end == std::string::npos) break;
       start = end + 1;
+    }
+  }
+  if (t->ndpi) {
+    add("atlas.vendor", "hamamatsu-ndpi");
+    if (t->ndpi_lens0 > 0) {
+      char buf[32];
+      snprintf(buf, sizeof buf, "%g", t->ndpi_lens0);
+      add("hamamatsu.SourceLens", buf);
+    }
+  } else if (t->scn) {
+    add("atlas.vendor", "leica");
+    if (t->scn_objective > 0) {
+      char buf[32];
+      snprintf(buf, sizeof buf, "%g", t->scn_objective);
+      add("leica.objective", buf);
     }
   }
   {

@@ -27,7 +27,12 @@ class TiffWSI(IWSI):
 
     _MPP_KEYS = ("aperio.MPP", "atlas.mpp", "hamamatsu.XResolution")
     _MPP_TEXT_KEYS = ("tiff.ImageDescription",)
-    _MAG_KEYS = ("aperio.AppMag", "atlas.objective-power", "hamamatsu.SourceLens")
+    _MAG_KEYS = (
+        "aperio.AppMag",
+        "atlas.objective-power",
+        "hamamatsu.SourceLens",
+        "leica.objective",
+    )
 
     def __init__(self, **kwargs: Any) -> None:
         super().__init__(**kwargs)

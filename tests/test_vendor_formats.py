@@ -1,0 +1,229 @@
+"""Vendor-container pyramid selection: Hamamatsu NDPI and Leica SCN.
+
+The reference opens these through OpenSlide (reference:
+atlas_patch/core/wsi/wsi_factory.py:20-39). Our native decoder implements
+the vendor quirks first-party: NDPI classifies IFDs by the SourceLens tag
+(65421) and unwraps 32-bit strip offsets in >4 GiB files; SCN picks the
+pyramid out of the XML <collection> in IFD0's ImageDescription. Synthetic
+files are built to the published format notes (openslide.org/formats)."""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tests.tiff_builder import TYPE_FLOAT, TYPE_LONG, TiffWriter
+
+pytest.importorskip("atlaspatch_tpu.io.native")
+from atlaspatch_tpu.io.native import AtlasTiffFile  # noqa: E402
+from atlaspatch_tpu.io.tiff_wsi import TiffWSI  # noqa: E402
+
+NDPI_MAGIC = 65420
+NDPI_SOURCE_LENS = 65421
+NDPI_Z_OFFSET = 65422
+
+
+def _rand_rgb(rng, h, w):
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+# ----------------------------------------------------------------- NDPI
+
+
+def _ndpi_tags(lens: float, z: int | None = None):
+    tags = [(NDPI_MAGIC, TYPE_LONG, [1]), (NDPI_SOURCE_LENS, TYPE_FLOAT, [lens])]
+    if z is not None:
+        tags.append((NDPI_Z_OFFSET, TYPE_LONG, [z]))
+    return tags
+
+
+def test_ndpi_sourcelens_level_selection(tmp_path: Path):
+    rng = np.random.default_rng(7)
+    main = _rand_rgb(rng, 96, 128)
+    low = main[::2, ::2].copy()
+    zplane = _rand_rgb(rng, 96, 128)  # same shape as main, z != 0
+    macro = _rand_rgb(rng, 40, 100)
+    smap = _rand_rgb(rng, 30, 80)
+
+    w = TiffWriter()
+    w.add_level(main, extra_tags=_ndpi_tags(20.0), resolution=(20000.0, 20000.0, 3))
+    w.add_level(zplane, extra_tags=_ndpi_tags(20.0, z=1000))
+    w.add_level(low, extra_tags=_ndpi_tags(5.0))
+    w.add_level(macro, extra_tags=_ndpi_tags(-1.0))
+    w.add_level(smap, extra_tags=_ndpi_tags(-2.0))
+    path = tmp_path / "slide.ndpi"
+    w.save(path)
+
+    t = AtlasTiffFile(str(path))
+    # Only SourceLens > 0 IFDs at z=0 become levels; macro/map/z-plane do not.
+    assert t.level_count == 2
+    assert t.level_dimensions == [(128, 96), (64, 48)]
+    assert t.properties["atlas.vendor"] == "hamamatsu-ndpi"
+    assert t.properties["hamamatsu.SourceLens"] == "20"
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, 128, 96), main)
+    np.testing.assert_array_equal(t.read_region_level(1, 0, 0, 64, 48), low)
+    t.close()
+
+    wsi = TiffWSI(path=str(path))
+    wsi._ensure_loaded()
+    assert wsi.mag == 20
+    assert wsi.mpp == 0.5  # 20000 px/cm resolution tags → 0.5 µm/px
+
+
+def test_ndpi_without_sourcelens_falls_back_to_generic(tmp_path: Path):
+    rng = np.random.default_rng(8)
+    main = _rand_rgb(rng, 64, 96)
+    w = TiffWriter()
+    # Magic tag present but no SourceLens anywhere → generic reduction chain.
+    w.add_level(main, extra_tags=[(NDPI_MAGIC, TYPE_LONG, [1])])
+    w.add_level(main[::2, ::2].copy(), extra_tags=[(NDPI_MAGIC, TYPE_LONG, [1])])
+    path = tmp_path / "odd.ndpi"
+    w.save(path)
+    t = AtlasTiffFile(str(path))
+    assert t.level_count == 2
+    assert t.level_dimensions[0] == (96, 64)
+    t.close()
+
+
+def test_ndpi_strip_offsets_beyond_4gb(tmp_path: Path):
+    """NDPI keeps classic-TIFF 32-bit offsets even past 4 GiB; stored values
+    are the true offset's low 32 bits. The decoder unwraps them by monotonic
+    file order. Built sparse, so the file occupies a few KiB on disk."""
+    rng = np.random.default_rng(9)
+    img = _rand_rgb(rng, 48, 64)
+
+    w = TiffWriter()
+    w.add_level(img, extra_tags=_ndpi_tags(40.0))
+    path = tmp_path / "big.ndpi"
+    w.save(path)
+
+    raw = bytearray(path.read_bytes())
+    ifd_off = struct.unpack_from("<I", raw, 4)[0]
+    n = struct.unpack_from("<H", raw, ifd_off)[0]
+    entry_at = {}
+    for i in range(n):
+        tag = struct.unpack_from("<H", raw, ifd_off + 2 + 12 * i)[0]
+        entry_at[tag] = ifd_off + 2 + 12 * i
+    _, _, cnt, arr_off = struct.unpack_from("<HHII", raw, entry_at[273])
+    assert cnt >= 2, "need multiple strips for the unwrap path"
+    offsets = list(struct.unpack_from(f"<{cnt}I", raw, arr_off))
+    counts = list(
+        struct.unpack_from(
+            f"<{cnt}I", raw, struct.unpack_from("<HHII", raw, entry_at[279])[3]
+        )
+    )
+
+    # Relocate every strip after the first to true offsets above 4 GiB and
+    # store only the low 32 bits, as NDPI writers do.
+    base = 1 << 32
+    cursor = base + 8
+    with open(path, "r+b") as f:
+        for i in range(1, cnt):
+            data = raw[offsets[i] : offsets[i] + counts[i]]
+            f.seek(cursor)
+            f.write(data)
+            struct.pack_into("<I", raw, arr_off + 4 * i, cursor & 0xFFFFFFFF)
+            cursor += counts[i]
+        f.seek(0)
+        f.write(raw[: len(raw)])
+
+    assert path.stat().st_size > base
+    t = AtlasTiffFile(str(path))
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, 64, 48), img)
+    t.close()
+
+
+# ----------------------------------------------------------------- Leica SCN
+
+
+def _scn_xml(macro_wh, main_dims, objective):
+    (mw, mh) = macro_wh
+    dims = "\n".join(
+        f'<dimension sizeX="{w}" sizeY="{h}" r="{r}" ifd="{ifd}"/>'
+        for r, (w, h, ifd) in enumerate(main_dims)
+    )
+    return f"""<?xml version="1.0" encoding="utf-8"?>
+<scn xmlns="http://www.leica-microsystems.com/scn/2010/10/01">
+<collection sizeX="20000000" sizeY="15000000">
+<image name="macro" uuid="u1">
+<pixels sizeX="{mw}" sizeY="{mh}">
+<dimension sizeX="{mw}" sizeY="{mh}" r="0" ifd="0"/>
+</pixels>
+<view sizeX="20000000" sizeY="15000000" offsetX="0" offsetY="0"/>
+<scanSettings><objectiveSettings><objective>0.8</objective></objectiveSettings></scanSettings>
+</image>
+<image name="region" uuid="u2">
+<pixels sizeX="{main_dims[0][0]}" sizeY="{main_dims[0][1]}">
+{dims}
+</pixels>
+<view sizeX="4000000" sizeY="3000000" offsetX="2000000" offsetY="1000000"/>
+<scanSettings><objectiveSettings><objective>{objective}</objective></objectiveSettings></scanSettings>
+</image>
+</collection>
+</scn>"""
+
+
+def test_scn_selects_main_image_pyramid(tmp_path: Path):
+    rng = np.random.default_rng(11)
+    macro = _rand_rgb(rng, 100, 60)  # IFD0: whole-glass overview
+    main = _rand_rgb(rng, 96, 128)  # IFD1/2: the scanned region pyramid
+    low = main[::2, ::2].copy()
+
+    xml = _scn_xml((60, 100), [(128, 96, 1), (64, 48, 2)], 40)
+    w = TiffWriter()
+    w.add_level(macro, description=xml)
+    w.add_level(main, resolution=(40000.0, 40000.0, 3))
+    w.add_level(low)
+    path = tmp_path / "slide.scn"
+    w.save(path)
+
+    t = AtlasTiffFile(str(path))
+    # The macro (IFD0) is excluded; the widest image's IFDs are the pyramid.
+    assert t.level_count == 2
+    assert t.level_dimensions == [(128, 96), (64, 48)]
+    assert t.properties["atlas.vendor"] == "leica"
+    assert t.properties["leica.objective"] == "40"
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, 128, 96), main)
+    np.testing.assert_array_equal(t.read_region_level(1, 0, 0, 64, 48), low)
+    t.close()
+
+    wsi = TiffWSI(path=str(path))
+    wsi._ensure_loaded()
+    assert wsi.mag == 40  # from leica.objective, not the macro's 0.8
+    assert (wsi.w, wsi.h) == (128, 96)
+    assert wsi.mpp == 0.25  # resolution tags of the selected base level
+
+
+def test_scn_single_image_collection(tmp_path: Path):
+    rng = np.random.default_rng(12)
+    main = _rand_rgb(rng, 64, 96)
+    xml = _scn_xml((96, 64), [(96, 64, 0)], 20)
+    # Collection with one image: IFD0 IS the main image (no macro stored).
+    xml = xml.replace('<image name="region"', "<!-- no second image --><junk")
+    w = TiffWriter()
+    w.add_level(main, description=xml)
+    path = tmp_path / "one.scn"
+    w.save(path)
+    t = AtlasTiffFile(str(path))
+    assert t.level_count == 1
+    assert t.level_dimensions == [(96, 64)]
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, 96, 64), main)
+    t.close()
+
+
+def test_generic_tiff_excludes_thumbnail_description(tmp_path: Path):
+    rng = np.random.default_rng(13)
+    main = _rand_rgb(rng, 96, 128)
+    w = TiffWriter()
+    w.add_level(main, tile=64)
+    w.add_level(main[::2, ::2].copy(), tile=64, description="Thumbnail Image")
+    w.add_level(main[::4, ::4].copy(), tile=64)
+    path = tmp_path / "v.bif"
+    w.save(path)
+    t = AtlasTiffFile(str(path))
+    assert t.level_count == 2  # the "Thumbnail Image" IFD is associated
+    assert t.level_dimensions == [(128, 96), (32, 24)]
+    t.close()

@@ -17,6 +17,8 @@ TYPE_ASCII = 2
 TYPE_SHORT = 3
 TYPE_LONG = 4
 TYPE_RATIONAL = 5
+TYPE_SRATIONAL = 10
+TYPE_FLOAT = 11
 
 
 def _j2k_encode_lossless(arr: np.ndarray) -> bytes:
@@ -82,6 +84,7 @@ class TiffWriter:
         predictor: int = 1,
         description: str | None = None,
         resolution: tuple[float, float, int] | None = None,  # (xres, yres, unit)
+        extra_tags: list[tuple[int, int, list]] | None = None,  # (id, type, values)
     ) -> None:
         h, w = image.shape[:2]
         spp = 1 if image.ndim == 2 else image.shape[2]
@@ -162,6 +165,10 @@ class TiffWriter:
                 values = [None] * len(data)
             elif type_ == TYPE_RATIONAL:
                 data = b"".join(struct.pack("<II", int(v * 10000), 10000) for v in values)
+            elif type_ == TYPE_SRATIONAL:
+                data = b"".join(struct.pack("<ii", int(v * 10000), 10000) for v in values)
+            elif type_ == TYPE_FLOAT:
+                data = struct.pack(f"<{len(values)}f", *values)
             else:
                 raise ValueError(type_)
             entries.append((tag_id, type_, len(values), data))
@@ -192,6 +199,8 @@ class TiffWriter:
         tag(284, TYPE_SHORT, 1)
         if predictor != 1:
             tag(317, TYPE_SHORT, predictor)
+        for tag_id, type_, values in extra_tags or []:
+            tag(tag_id, type_, values)
 
         entries.sort(key=lambda e: e[0])
         # write out-of-line data first
