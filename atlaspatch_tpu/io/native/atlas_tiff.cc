@@ -394,6 +394,189 @@ static bool jpeg_decode_rgb(const std::vector<uint8_t>& tables, const uint8_t* d
   return true;
 }
 
+// --- NDPI giant-JPEG striped decode ----------------------------------------
+// Hamamatsu NDPI stores each pyramid level as ONE whole-image JPEG strip.
+// Beyond 65,535 px the true dimensions cannot be expressed in the SOF marker
+// (16-bit fields; writers emit 0 or wrapped values), and a whole-image decode
+// would need a W*H*3 buffer regardless. NDPI streams carry restart markers,
+// which reset the entropy coder and DC predictors — every restart segment is
+// independently decodable. We index segment boundaries once per IFD, then
+// decode only the segments covering a requested window by synthesizing a
+// mini-JPEG per segment (copied headers, SOF patched to the segment
+// rectangle, DRI dropped). Pixels are bit-identical to a full decode for
+// 4:4:4 streams; 4:2:0 chroma interpolation can differ by a few LSBs along
+// segment boundaries (fancy upsampling has no cross-segment neighbors).
+// Format background: openslide.org/formats/hamamatsu (re-derived, no code
+// reused). Replaces OpenSlide for the reference's .ndpi coverage
+// (reference: atlas_patch/core/wsi/wsi_factory.py:20-39).
+struct JpegStripeIndex {
+  bool usable = false;
+  std::string reason;
+  uint64_t hdr_w = 0, hdr_h = 0;  // dims as declared in the SOF marker
+  std::vector<uint8_t> header;    // SOI..SOS inclusive, DRI removed
+  size_t sof_dims_off = 0;        // offset of the big-endian h,w pair in header
+  uint64_t mcu_w = 8, mcu_h = 8;
+  uint64_t seg_px_w = 0, seg_px_h = 0;  // segment rectangle (clamped at edges)
+  uint64_t segs_per_row = 1;            // segments per MCU-row band
+  std::vector<std::pair<uint64_t, uint64_t>> segs;  // (file offset, length)
+};
+
+// Stream through entropy-coded data splitting at restart markers; stops at
+// the first true marker (EOI, DNL, ...). Byte-stuffed 0xFF00 and 0xFFFF fill
+// runs are skipped.
+static bool stripe_scan_entropy(const FileReader& file, uint64_t off, uint64_t end,
+                                std::vector<std::pair<uint64_t, uint64_t>>* segs) {
+  std::vector<uint8_t> buf(4u << 20);
+  uint64_t seg_start = off;
+  uint64_t pos = off;
+  bool pending_ff = false;
+  while (pos < end) {
+    size_t n = (size_t)std::min<uint64_t>(buf.size(), end - pos);
+    if (!file.read_at(pos, buf.data(), n)) return false;
+    for (size_t i = 0; i < n; ++i) {
+      uint8_t b = buf[i];
+      if (pending_ff) {
+        if (b == 0xFF) continue;  // fill byte; stay armed
+        pending_ff = false;
+        if (b == 0x00) continue;  // stuffed data byte
+        uint64_t marker_at = pos + i - 1;
+        if (marker_at < off) marker_at = off;  // FF at previous buffer tail
+        if (b >= 0xD0 && b <= 0xD7) {          // restart marker
+          segs->push_back({seg_start, marker_at - seg_start});
+          seg_start = marker_at + 2;
+          continue;
+        }
+        segs->push_back({seg_start, marker_at - seg_start});
+        return true;  // EOI/DNL/any true marker: entropy data ends here
+      }
+      if (b == 0xFF) pending_ff = true;
+    }
+    pos += n;
+  }
+  if (seg_start < end) segs->push_back({seg_start, end - seg_start});
+  return true;
+}
+
+static void build_stripe_index(const FileReader& file, const IFD& d,
+                               JpegStripeIndex* si) {
+  si->usable = false;
+  uint64_t off = d.chunk_offsets.empty() ? 0 : d.chunk_offsets[0];
+  uint64_t len = d.chunk_counts.empty() ? 0 : d.chunk_counts[0];
+  if (len < 4) {
+    si->reason = "empty strip";
+    return;
+  }
+  // Headers sit at the front; 1 MiB is far beyond any real table set.
+  std::vector<uint8_t> head((size_t)std::min<uint64_t>(len, 1u << 20));
+  if (!file.read_at(off, head.data(), head.size())) {
+    si->reason = "read failed";
+    return;
+  }
+  if (head[0] != 0xFF || head[1] != 0xD8) {
+    si->reason = "not a JPEG stream";
+    return;
+  }
+  std::vector<uint8_t>& hdr = si->header;
+  hdr.assign({0xFF, 0xD8});
+  uint32_t dri = 0;
+  uint64_t max_h = 1, max_v = 1;
+  size_t p = 2;
+  uint64_t entropy_start = 0;
+  while (p + 4 <= head.size()) {
+    if (head[p] != 0xFF) {
+      si->reason = "bad marker structure";
+      return;
+    }
+    uint8_t m = head[p + 1];
+    if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) {
+      p += 2;
+      continue;
+    }
+    uint16_t seglen = (uint16_t)((head[p + 2] << 8) | head[p + 3]);
+    if (seglen < 2 || p + 2 + seglen > head.size()) {
+      si->reason = "truncated JPEG header";
+      return;
+    }
+    const uint8_t* seg = head.data() + p;
+    size_t total = 2 + (size_t)seglen;
+    if (m == 0xC0 || m == 0xC1) {  // baseline SOF
+      si->sof_dims_off = hdr.size() + 5;  // after FF Cx len16 precision8
+      si->hdr_h = (uint64_t)((seg[5] << 8) | seg[6]);
+      si->hdr_w = (uint64_t)((seg[7] << 8) | seg[8]);
+      uint8_t ncomp = seg[9];
+      for (uint8_t c = 0; c < ncomp && 10 + 3 * (size_t)c + 1 < total; ++c) {
+        uint8_t hv = seg[10 + 3 * (size_t)c + 1];
+        max_h = std::max<uint64_t>(max_h, hv >> 4);
+        max_v = std::max<uint64_t>(max_v, hv & 0xF);
+      }
+      hdr.insert(hdr.end(), seg, seg + total);
+    } else if (m == 0xC2 || m == 0xC6 || m == 0xCA) {
+      si->reason = "non-baseline JPEG";
+      return;
+    } else if (m == 0xDD) {  // DRI: record, drop from the per-segment header
+      if (seglen >= 4) dri = (uint32_t)((seg[4] << 8) | seg[5]);
+    } else if (m == 0xDA) {  // SOS: header complete, entropy follows
+      hdr.insert(hdr.end(), seg, seg + total);
+      entropy_start = off + p + total;
+      break;
+    } else {
+      hdr.insert(hdr.end(), seg, seg + total);
+    }
+    p += total;
+  }
+  if (!entropy_start) {
+    si->reason = "no SOS marker in the first MiB";
+    return;
+  }
+  if (!si->sof_dims_off) {
+    si->reason = "no SOF marker";
+    return;
+  }
+  if (!dri) {
+    si->reason = "no restart interval";
+    return;
+  }
+  si->mcu_w = 8 * max_h;
+  si->mcu_h = 8 * max_v;
+  uint64_t mcus_per_row = (d.width + si->mcu_w - 1) / si->mcu_w;
+  if (mcus_per_row == 0) {
+    si->reason = "zero-width image";
+    return;
+  }
+  if (dri % mcus_per_row == 0) {  // each segment spans whole MCU rows
+    si->segs_per_row = 1;
+    si->seg_px_w = d.width;
+    si->seg_px_h = (dri / mcus_per_row) * si->mcu_h;
+  } else if (mcus_per_row % dri == 0) {  // several segments per MCU row
+    si->segs_per_row = mcus_per_row / dri;
+    si->seg_px_w = (uint64_t)dri * si->mcu_w;
+    si->seg_px_h = si->mcu_h;
+  } else {
+    si->reason = "restart interval not MCU-row aligned";
+    return;
+  }
+  if (si->seg_px_w > 65535 || si->seg_px_h > 65535) {
+    si->reason = "segment rectangle exceeds JPEG dimensions";
+    return;
+  }
+  if (si->seg_px_w * si->seg_px_h * 3 > (256ull << 20)) {
+    si->reason = "segment too large";
+    return;
+  }
+  if (!stripe_scan_entropy(file, entropy_start, off + len, &si->segs)) {
+    si->reason = "entropy scan failed";
+    return;
+  }
+  uint64_t bands = (d.height + si->seg_px_h - 1) / si->seg_px_h;
+  uint64_t expected = bands * si->segs_per_row;
+  if (si->segs.size() < expected) {
+    si->reason = "restart segment count mismatch";
+    return;
+  }
+  si->segs.resize(expected);
+  si->usable = true;
+}
+
 // --------------------------------------------------------------------- handle
 struct Level {
   size_t ifd_index;
@@ -413,8 +596,23 @@ struct AtlasTiff {
   double ndpi_lens0 = 0.0;     // SourceLens of the base level (objective power)
   bool scn = false;            // Leica SCN container (XML collection on IFD0)
   double scn_objective = 0.0;  // <objective> of the selected main image
+  mutable std::mutex stripe_mu;
+  mutable std::map<size_t, std::unique_ptr<JpegStripeIndex>> stripe_cache;
 
   const IFD& level_ifd(int level) const { return ifds[levels[level].ifd_index]; }
+
+  // Lazily built, cached per IFD; thread-safe (region reads come from the
+  // host prep thread pools concurrently).
+  const JpegStripeIndex* stripe_index(size_t ifd_index) const {
+    std::lock_guard<std::mutex> g(stripe_mu);
+    auto it = stripe_cache.find(ifd_index);
+    if (it == stripe_cache.end()) {
+      auto si = std::make_unique<JpegStripeIndex>();
+      build_stripe_index(file, ifds[ifd_index], si.get());
+      it = stripe_cache.emplace(ifd_index, std::move(si)).first;
+    }
+    return it->second.get();
+  }
 
   // Decode chunk `idx` of an IFD into an spp-interleaved buffer of
   // chunk_w × chunk_h (the IFD's tile box, or strip box for striped images).
@@ -867,6 +1065,61 @@ static void build_properties(AtlasTiff* t) {
   t->properties_json = j;
 }
 
+// Decode the restart segments covering rows [y0,y1) × cols [x0,x1) of a
+// single-strip JPEG image and write them into the RGB out window.
+static bool read_region_striped(const AtlasTiff* t, const IFD& d,
+                                const JpegStripeIndex& si, int64_t x, int64_t y,
+                                int64_t w, int64_t x0, int64_t y0, int64_t x1,
+                                int64_t y1, uint8_t* out, std::string* err) {
+  const int64_t W = (int64_t)d.width, H = (int64_t)d.height;
+  std::vector<uint8_t> mini, px;
+  int64_t band0 = y0 / (int64_t)si.seg_px_h;
+  int64_t band1 = (y1 - 1) / (int64_t)si.seg_px_h;
+  int64_t gx0 = x0 / (int64_t)si.seg_px_w;
+  int64_t gx1 = (x1 - 1) / (int64_t)si.seg_px_w;
+  for (int64_t band = band0; band <= band1; ++band) {
+    for (int64_t gx = gx0; gx <= gx1 && gx < (int64_t)si.segs_per_row; ++gx) {
+      uint64_t sidx = (uint64_t)band * si.segs_per_row + (uint64_t)gx;
+      if (sidx >= si.segs.size()) continue;
+      int64_t sx = gx * (int64_t)si.seg_px_w;
+      int64_t sy = band * (int64_t)si.seg_px_h;
+      int64_t sw = std::min<int64_t>((int64_t)si.seg_px_w, W - sx);
+      int64_t sh = std::min<int64_t>((int64_t)si.seg_px_h, H - sy);
+      if (sw <= 0 || sh <= 0) continue;
+      uint64_t soff = si.segs[sidx].first, slen = si.segs[sidx].second;
+      // Mini-JPEG: copied headers, SOF patched to this segment's rectangle,
+      // the segment's entropy bytes, EOI.
+      mini.assign(si.header.begin(), si.header.end());
+      mini[si.sof_dims_off + 0] = (uint8_t)(sh >> 8);
+      mini[si.sof_dims_off + 1] = (uint8_t)(sh & 0xFF);
+      mini[si.sof_dims_off + 2] = (uint8_t)(sw >> 8);
+      mini[si.sof_dims_off + 3] = (uint8_t)(sw & 0xFF);
+      size_t data_at = mini.size();
+      mini.resize(data_at + (size_t)slen + 2);
+      if (!t->file.read_at(soff, mini.data() + data_at, (size_t)slen)) {
+        *err = "striped read failed";
+        return false;
+      }
+      mini[mini.size() - 2] = 0xFF;
+      mini[mini.size() - 1] = 0xD9;
+      px.resize((size_t)(sw * sh * 3));
+      if (!jpeg_decode_rgb({}, mini.data(), mini.size(), px.data(), (uint64_t)sw,
+                           (uint64_t)sh, 3)) {
+        *err = "striped JPEG decode failed";
+        return false;
+      }
+      int64_t cx0 = std::max(x0, sx), cx1 = std::min(x1, sx + sw);
+      int64_t cy0 = std::max(y0, sy), cy1 = std::min(y1, sy + sh);
+      for (int64_t yy = cy0; yy < cy1; ++yy) {
+        const uint8_t* src = px.data() + (size_t)((yy - sy) * sw + (cx0 - sx)) * 3;
+        uint8_t* dstp = out + (size_t)((yy - y) * w + (cx0 - x)) * 3;
+        std::memcpy(dstp, src, (size_t)(cx1 - cx0) * 3);
+      }
+    }
+  }
+  return true;
+}
+
 // Fill an RGB window from one level. x/y are LEVEL coordinates.
 static bool read_region_impl(const AtlasTiff* t, int level, int64_t x, int64_t y,
                              int64_t w, int64_t h, uint8_t* out, std::string* err) {
@@ -892,6 +1145,23 @@ static bool read_region_impl(const AtlasTiff* t, int level, int64_t x, int64_t y
   int64_t x0 = std::max<int64_t>(0, x), y0 = std::max<int64_t>(0, y);
   int64_t x1 = std::min<int64_t>(W, x + w), y1 = std::min<int64_t>(H, y + h);
   if (x0 >= x1 || y0 >= y1) return true;
+
+  // Single-strip whole-image JPEGs (NDPI levels): decode stripe-wise via
+  // restart markers when the declared SOF dims disagree with the TIFF tags
+  // (images beyond JPEG's 65,535-px fields) or a full decode would be huge.
+  if (!d.tiled && d.compression == 7 && d.chunk_offsets.size() == 1 &&
+      d.jpeg_tables.empty() && (d.spp == 1 || d.spp == 3)) {
+    bool huge = (uint64_t)W * (uint64_t)H * 3ull > (256ull << 20);
+    const JpegStripeIndex* si = t->stripe_index(t->levels[level].ifd_index);
+    bool mismatch = si->hdr_w != d.width || si->hdr_h != d.height;
+    if (huge || mismatch) {
+      if (!si->usable) {
+        *err = "single-strip JPEG needs striped decode but " + si->reason;
+        return false;
+      }
+      return read_region_striped(t, d, *si, x, y, w, x0, y0, x1, y1, out, err);
+    }
+  }
 
   std::vector<uint8_t> chunk((size_t)(cw * chh * d.spp));
   for (int64_t ty = y0 / chh; ty * chh < y1; ++ty) {

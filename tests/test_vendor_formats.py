@@ -227,3 +227,135 @@ def test_generic_tiff_excludes_thumbnail_description(tmp_path: Path):
     assert t.level_count == 2  # the "Thumbnail Image" IFD is associated
     assert t.level_dimensions == [(128, 96), (32, 24)]
     t.close()
+
+
+# ------------------------------------------- NDPI single-JPEG striped decode
+
+
+def _jpeg_with_restarts(img, *, rows=None, blocks=None, subsampling=0, quality=95):
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    kw = {"quality": quality, "subsampling": subsampling}
+    if blocks is not None:
+        kw["restart_marker_blocks"] = blocks
+    else:
+        kw["restart_marker_rows"] = rows
+    Image.fromarray(img).save(buf, "JPEG", **kw)
+    return buf.getvalue()
+
+
+def _decode_jpeg(stream):
+    import io
+
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(stream)).convert("RGB"))
+
+
+def _zero_sof_dims(jpeg: bytes) -> bytes:
+    """Zero the SOF height/width — what NDPI writers emit beyond 65,535 px."""
+    data = bytearray(jpeg)
+    i = data.find(b"\xff\xc0")
+    assert i >= 0
+    data[i + 5 : i + 9] = b"\x00\x00\x00\x00"
+    return bytes(data)
+
+
+def _write_single_strip_ndpi(path, stream, w, h, lens=40.0):
+    tw = TiffWriter()
+    tw.add_level_raw_strips(
+        [stream], width=w, height=h, rows_per_strip=h, extra_tags=_ndpi_tags(lens)
+    )
+    tw.save(path)
+
+
+def test_ndpi_striped_decode_row_segments(tmp_path: Path):
+    """Full-MCU-row restart segments (DRI == MCUs/row), 4:4:4: the striped
+    path must reproduce a full libjpeg decode bit-exactly."""
+    rng = np.random.default_rng(21)
+    h, w = 120, 160
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    stream = _jpeg_with_restarts(img, rows=1, subsampling=0)
+    ref = _decode_jpeg(stream)
+    path = tmp_path / "giant.ndpi"
+    _write_single_strip_ndpi(path, _zero_sof_dims(stream), w, h)
+
+    t = AtlasTiffFile(str(path))
+    assert t.level_dimensions == [(w, h)]
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, w, h), ref)
+    # windows not aligned to MCU/segment boundaries
+    np.testing.assert_array_equal(
+        t.read_region_level(0, 37, 21, 64, 48), ref[21:69, 37:101]
+    )
+    np.testing.assert_array_equal(
+        t.read_region_level(0, 0, 113, 160, 7), ref[113:120, :]
+    )
+    t.close()
+
+
+def test_ndpi_striped_decode_subrow_segments(tmp_path: Path):
+    """Sub-row restart segments (several per MCU row) — the layout giant-WIDTH
+    images need, since a full MCU row would overflow JPEG's 16-bit width."""
+    rng = np.random.default_rng(22)
+    h, w = 64, 160
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    stream = _jpeg_with_restarts(img, blocks=2, subsampling=0)
+    ref = _decode_jpeg(stream)
+    path = tmp_path / "wide.ndpi"
+    _write_single_strip_ndpi(path, _zero_sof_dims(stream), w, h)
+
+    t = AtlasTiffFile(str(path))
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, w, h), ref)
+    np.testing.assert_array_equal(
+        t.read_region_level(0, 9, 5, 70, 33), ref[5:38, 9:79]
+    )
+    t.close()
+
+
+def test_ndpi_striped_decode_420_chroma(tmp_path: Path):
+    """4:2:0 subsampling: identical except a few LSBs of chroma interpolation
+    along segment boundaries (no cross-segment neighbors for fancy
+    upsampling)."""
+    h, w = 96, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            (xx * 255 / w).astype(np.uint8),
+            (yy * 255 / h).astype(np.uint8),
+            ((xx + yy) * 127 / (h + w)).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+    stream = _jpeg_with_restarts(img, rows=1, subsampling=2)
+    ref = _decode_jpeg(stream)
+    path = tmp_path / "chroma.ndpi"
+    _write_single_strip_ndpi(path, _zero_sof_dims(stream), w, h)
+
+    t = AtlasTiffFile(str(path))
+    out = t.read_region_level(0, 0, 0, w, h)
+    diff = np.abs(out.astype(np.int16) - ref.astype(np.int16))
+    assert diff.max() <= 8 and diff.mean() < 0.5
+    t.close()
+
+
+def test_ndpi_striped_requires_restart_markers(tmp_path: Path):
+    """A mismatched-SOF single-strip JPEG without restart markers must fail
+    with a clear reason, not garbage pixels."""
+    rng = np.random.default_rng(23)
+    h, w = 64, 80
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    import io
+
+    from PIL import Image as PILImage
+
+    buf = io.BytesIO()
+    PILImage.fromarray(img).save(buf, "JPEG", quality=90)
+    path = tmp_path / "norst.ndpi"
+    _write_single_strip_ndpi(path, _zero_sof_dims(buf.getvalue()), w, h)
+    t = AtlasTiffFile(str(path))
+    with pytest.raises(RuntimeError, match="restart"):
+        t.read_region_level(0, 0, 0, w, h)
+    t.close()

@@ -221,6 +221,87 @@ class TiffWriter:
         self.buf.extend(b"\x00\x00\x00\x00")  # next-IFD placeholder
         self.ifd_offsets.append(ifd_off)
 
+    def add_level_raw_strips(
+        self,
+        chunks: list[bytes],
+        *,
+        width: int,
+        height: int,
+        rows_per_strip: int,
+        spp: int = 3,
+        compression: int = 7,
+        description: str | None = None,
+        resolution: tuple[float, float, int] | None = None,
+        extra_tags: list[tuple[int, int, list]] | None = None,
+    ) -> None:
+        """Add an IFD whose strip payloads are caller-provided raw bytes.
+
+        Used to fabricate vendor layouts the pixel-level ``add_level`` cannot
+        produce — e.g. an NDPI-style single-strip whole-image JPEG whose SOF
+        dimensions disagree with the TIFF tags."""
+        offsets = [self._write_blob(c) for c in chunks]
+        counts = [len(c) for c in chunks]
+
+        entries: list[tuple[int, int, int, bytes | int]] = []
+
+        def tag(tag_id, type_, values):
+            if isinstance(values, (int, float)):
+                values = [values]
+            if type_ == TYPE_SHORT:
+                data = struct.pack(f"<{len(values)}H", *values)
+            elif type_ == TYPE_LONG:
+                data = struct.pack(f"<{len(values)}I", *values)
+            elif type_ == TYPE_ASCII:
+                data = values[0].encode() + b"\x00"
+                values = [None] * len(data)
+            elif type_ == TYPE_RATIONAL:
+                data = b"".join(struct.pack("<II", int(v * 10000), 10000) for v in values)
+            elif type_ == TYPE_SRATIONAL:
+                data = b"".join(struct.pack("<ii", int(v * 10000), 10000) for v in values)
+            elif type_ == TYPE_FLOAT:
+                data = struct.pack(f"<{len(values)}f", *values)
+            else:
+                raise ValueError(type_)
+            entries.append((tag_id, type_, len(values), data))
+
+        tag(256, TYPE_LONG, width)
+        tag(257, TYPE_LONG, height)
+        tag(258, TYPE_SHORT, [8] * spp)
+        tag(259, TYPE_SHORT, compression)
+        tag(262, TYPE_SHORT, 6 if compression == 7 else (2 if spp == 3 else 1))
+        if description:
+            tag(270, TYPE_ASCII, [description])
+        tag(273, TYPE_LONG, offsets)
+        tag(277, TYPE_SHORT, spp)
+        tag(278, TYPE_LONG, rows_per_strip)
+        tag(279, TYPE_LONG, counts)
+        if resolution:
+            xres, yres, unit = resolution
+            tag(282, TYPE_RATIONAL, [xres])
+            tag(283, TYPE_RATIONAL, [yres])
+            tag(296, TYPE_SHORT, unit)
+        tag(284, TYPE_SHORT, 1)
+        for tag_id, type_, values in extra_tags or []:
+            tag(tag_id, type_, values)
+
+        entries.sort(key=lambda e: e[0])
+        finalized = []
+        for tag_id, type_, count, data in entries:
+            if len(data) <= 4:
+                inline = data + b"\x00" * (4 - len(data))
+                finalized.append((tag_id, type_, count, inline))
+            else:
+                off = self._write_blob(data)
+                finalized.append((tag_id, type_, count, struct.pack("<I", off)))
+
+        self._align()
+        ifd_off = len(self.buf)
+        self.buf.extend(struct.pack("<H", len(finalized)))
+        for tag_id, type_, count, value4 in finalized:
+            self.buf.extend(struct.pack("<HHI", tag_id, type_, count) + value4)
+        self.buf.extend(b"\x00\x00\x00\x00")  # next-IFD placeholder
+        self.ifd_offsets.append(ifd_off)
+
     def save(self, path) -> None:
         # link IFD chain
         buf = self.buf
