@@ -524,6 +524,77 @@ def info():
         click.echo(f"Registered, tower pending: " + ", ".join(ZOO_STATUS["pending"]))
 
 
+@cli.command("finetune-sam2")
+@click.argument("images_dir", type=click.Path(exists=True, file_okay=False))
+@click.option("--masks", "masks_dir", type=click.Path(exists=True, file_okay=False),
+              required=True,
+              help="Directory of binary masks matching images by stem "
+                   "(optional '_mask' suffix).")
+@click.option("--output", "-o", type=click.Path(), required=True,
+              help="Output directory for checkpoints and the final .npz.")
+@click.option("--epochs", type=click.IntRange(1, None), default=1, show_default=True)
+@click.option("--batch-size", type=click.IntRange(1, None), default=2, show_default=True)
+@click.option("--learning-rate", type=float, default=1e-4, show_default=True)
+@click.option("--sam2-checkpoint", type=click.Path(exists=True), default=None,
+              help="Initial SAM2 weights (.pth/.safetensors/.npz); defaults to the "
+                   "auto-resolved checkpoint, or random init with "
+                   "ATLASPATCH_ALLOW_RANDOM_WEIGHTS=1.")
+@click.option("--sam2-config", type=click.Path(exists=True), default=None,
+              help="SAM2 architecture YAML (reference hydra format).")
+@click.option("--image-size", type=click.IntRange(32, None), default=None,
+              help="Override model input size (small-scale experiments).")
+@click.option("--data-parallel", type=click.IntRange(1, None), default=1,
+              show_default=True, help="Shard batches over N devices (pure DP).")
+@click.option("--save-every", type=click.IntRange(0, None), default=0,
+              show_default=True, help="Save an orbax checkpoint every N epochs.")
+@click.option("--seed", type=int, default=0, show_default=True)
+@click.option("--device", type=str, default="tpu", show_default=True)
+@click.option("--verbose", "-v", is_flag=True, help="Enable debug logging.")
+def finetune_sam2_cmd(images_dir, masks_dir, output, epochs, batch_size,
+                      learning_rate, sam2_checkpoint, sam2_config, image_size,
+                      data_parallel, save_every, seed, device, verbose):
+    """Finetune SAM2 on (thumbnail, mask) pairs — norm-only updates.
+
+    Re-creates the reference's published training recipe (backbone frozen,
+    only normalization layers trained) as a TPU-native jitted train loop;
+    the final sam2_finetuned.npz plugs straight into --sam2-checkpoint.
+    """
+    from atlaspatch_tpu.models.train.loop import finetune_sam2
+
+    configure_logging(verbose)
+    bar = ProgressBar(total=None, enabled=not verbose, desc="finetune")
+
+    def on_step(step: int, loss: float) -> None:
+        bar.update(1)
+        if verbose:
+            logger.debug("step %d: loss %.4f", step, loss)
+
+    try:
+        summary = finetune_sam2(
+            Path(images_dir),
+            Path(masks_dir),
+            Path(output),
+            epochs=epochs,
+            batch_size=batch_size,
+            learning_rate=learning_rate,
+            checkpoint=Path(sam2_checkpoint) if sam2_checkpoint else None,
+            config_path=Path(sam2_config) if sam2_config else None,
+            image_size=image_size,
+            data_parallel=data_parallel,
+            save_every=save_every,
+            seed=seed,
+            device=device,
+            on_step=on_step,
+        )
+    finally:
+        bar.close()
+    click.echo(
+        f"Finetuned {summary['steps']} step(s) over {summary['pairs']} pair(s): "
+        f"loss {summary['first_loss']:.4f} → {summary['final_loss']:.4f}"
+    )
+    click.echo(f"Checkpoint: {summary['checkpoint']}")
+
+
 def main():
     try:
         cli()

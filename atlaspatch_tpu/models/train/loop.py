@@ -1,0 +1,192 @@
+"""SAM2 finetuning driver: (thumbnail, mask) pairs → norm-only updates.
+
+The reference ships no training code — its model card only documents the
+recipe ("~35,000 semi-manually annotated WSI thumbnails; SAM2 finetuned with
+backbone frozen, only normalization layers trained", SURVEY.md §6 /
+reference CHANGELOG.md:13). This module re-creates that capability
+TPU-first: the fused jitted train step from models/train/finetune.py
+(focal+dice+IoU loss, gradient AND update masking to the norm parameters),
+optionally data-parallel over a device mesh with XLA-inserted collectives,
+host-side image loading on threads, orbax step checkpoints, and a final
+``.npz`` archive directly consumable by ``--sam2-checkpoint``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Callable, Optional
+
+import numpy as np
+
+logger = logging.getLogger("atlaspatch_tpu.train")
+
+_IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
+
+
+def collect_pairs(images_dir: Path, masks_dir: Path) -> list[tuple[Path, Path]]:
+    """Match images to masks by stem (`<stem>.*` or `<stem>_mask.*`)."""
+    images_dir, masks_dir = Path(images_dir), Path(masks_dir)
+    mask_by_stem: dict[str, Path] = {}
+    for p in sorted(masks_dir.iterdir()) if masks_dir.is_dir() else []:
+        if p.suffix.lower() not in _IMAGE_EXTS:
+            continue
+        stem = p.stem[:-5] if p.stem.endswith("_mask") else p.stem
+        mask_by_stem.setdefault(stem, p)
+    pairs = []
+    for p in sorted(images_dir.iterdir()):
+        if p.suffix.lower() not in _IMAGE_EXTS:
+            continue
+        m = mask_by_stem.get(p.stem)
+        if m is not None:
+            pairs.append((p, m))
+    if not pairs:
+        raise FileNotFoundError(
+            f"no (image, mask) pairs: images={images_dir} masks={masks_dir} "
+            "(masks match images by stem, with an optional '_mask' suffix)"
+        )
+    return pairs
+
+
+def load_pair(img_path: Path, mask_path: Path, size: int) -> tuple[np.ndarray, np.ndarray]:
+    """uint8 (S,S,3) image + float32 (S,S) {0,1} mask, resized like the
+    inference path (bilinear image, NEAREST mask — segmentation service
+    parity)."""
+    from PIL import Image
+
+    img = Image.open(img_path).convert("RGB").resize((size, size), Image.BILINEAR)
+    mask = Image.open(mask_path).convert("L").resize((size, size), Image.NEAREST)
+    return np.asarray(img, np.uint8), (np.asarray(mask) > 127).astype(np.float32)
+
+
+def finetune_sam2(
+    images_dir: Path,
+    masks_dir: Path,
+    output_dir: Path,
+    *,
+    epochs: int = 1,
+    batch_size: int = 2,
+    learning_rate: float = 1e-4,
+    checkpoint: Optional[Path] = None,
+    config_path: Optional[Path] = None,
+    image_size: Optional[int] = None,
+    data_parallel: int = 1,
+    save_every: int = 0,
+    seed: int = 0,
+    device: str = "tpu",
+    loader_threads: int = 8,
+    on_step: Optional[Callable[[int, float], None]] = None,
+) -> dict:
+    """Run the finetune and return a summary dict.
+
+    ``image_size`` overrides the model input size — useful for small-scale
+    experiments with random init; a checkpoint trained at 1024 loads only at
+    its own size (shape mismatches fail loudly at load).
+    """
+    import jax
+
+    from atlaspatch_tpu.core.config import SegmentationConfig
+    from atlaspatch_tpu.models.sam2.config import SAM2Config
+    from atlaspatch_tpu.models.train.checkpoints import save_checkpoint
+    from atlaspatch_tpu.models.train.finetune import (
+        make_optimizer,
+        make_train_step,
+        shard_train_step,
+    )
+    from atlaspatch_tpu.services.segmentation import SAM2Predictor
+    from atlaspatch_tpu.tools.convert_weights import _flatten
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    pairs = collect_pairs(images_dir, masks_dir)
+
+    sam2_cfg = (
+        SAM2Config.from_reference_yaml(config_path)
+        if config_path is not None
+        else SAM2Config.tiny()
+    )
+    if image_size is not None:
+        sam2_cfg = dataclasses.replace(sam2_cfg, image_size=int(image_size))
+
+    seg_cfg = SegmentationConfig(
+        checkpoint_path=checkpoint, device=device
+    ).validated()
+    predictor = SAM2Predictor(seg_cfg, sam2_cfg=sam2_cfg)
+    params, sam2_cfg = predictor.params, predictor.sam2_cfg
+    size = sam2_cfg.image_size
+
+    optimizer = make_optimizer(learning_rate)
+    opt_state = optimizer.init(params)
+
+    if data_parallel > 1:
+        from jax.sharding import Mesh
+
+        devices = jax.devices()
+        if len(devices) < data_parallel:
+            raise RuntimeError(
+                f"--data-parallel {data_parallel} needs that many devices; "
+                f"{len(devices)} visible"
+            )
+        if batch_size % data_parallel:
+            raise ValueError("batch size must divide evenly over data_parallel")
+        mesh = Mesh(np.asarray(devices[:data_parallel]), ("data",))
+        step = shard_train_step(sam2_cfg, optimizer, mesh)
+    else:
+        step = jax.jit(make_train_step(sam2_cfg, optimizer))
+
+    rng = np.random.default_rng(seed)
+    pool = ThreadPoolExecutor(max_workers=max(1, loader_threads))
+    steps_per_epoch = max(1, len(pairs) // batch_size)
+    losses: list[float] = []
+    global_step = 0
+
+    def _load_batch(idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        loaded = list(pool.map(lambda i: load_pair(*pairs[i], size), idx))
+        return (
+            np.stack([im for im, _ in loaded]),
+            np.stack([mk for _, mk in loaded]),
+        )
+
+    try:
+        for epoch in range(epochs):
+            order = rng.permutation(len(pairs))
+            for b in range(steps_per_epoch):
+                idx = order[b * batch_size : (b + 1) * batch_size]
+                if len(idx) < batch_size:  # wrap the tail to keep shapes static
+                    idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+                images_u8, targets = _load_batch(idx)
+                params, opt_state, loss = step(params, opt_state, images_u8, targets)
+                global_step += 1
+                loss_f = float(loss)
+                losses.append(loss_f)
+                if on_step is not None:
+                    on_step(global_step, loss_f)
+            logger.info(
+                "epoch %d/%d: mean loss %.4f",
+                epoch + 1,
+                epochs,
+                float(np.mean(losses[-steps_per_epoch:])),
+            )
+            if save_every and (epoch + 1) % save_every == 0:
+                path = save_checkpoint(
+                    output_dir / "checkpoints",
+                    global_step,
+                    jax.device_get(params),
+                    jax.device_get(opt_state),
+                )
+                logger.info("saved %s", path)
+    finally:
+        pool.shutdown(wait=False)
+
+    npz_path = output_dir / "sam2_finetuned.npz"
+    np.savez(npz_path, **_flatten(jax.device_get(params)))
+    return {
+        "steps": global_step,
+        "pairs": len(pairs),
+        "first_loss": losses[0],
+        "final_loss": losses[-1],
+        "checkpoint": str(npz_path),
+        "image_size": size,
+    }

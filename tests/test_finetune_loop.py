@@ -1,0 +1,145 @@
+"""End-to-end SAM2 finetuning: CLI → train loop → loadable .npz.
+
+The reference only documents its training recipe (backbone frozen, norm
+layers trained — SURVEY.md §6); the loop itself is first-party
+(atlaspatch_tpu/models/train/loop.py). Small image size + random init keep
+this CPU-fast."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+from PIL import Image
+
+
+def _make_dataset(root: Path, n: int = 4, size: int = 96) -> tuple[Path, Path]:
+    images, masks = root / "images", root / "masks"
+    images.mkdir(parents=True)
+    masks.mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:size, 0:size]
+    for i in range(n):
+        img = rng.integers(120, 255, (size, size, 3), dtype=np.uint8)
+        cx, cy, r = rng.integers(24, size - 24, 3)
+        blob = (xx - cx) ** 2 + (yy - cy) ** 2 < max(int(r), 12) ** 2
+        img[blob] = (img[blob] * 0.5).astype(np.uint8)  # darker "tissue"
+        Image.fromarray(img).save(images / f"s{i}.png")
+        Image.fromarray((blob * 255).astype(np.uint8)).save(masks / f"s{i}_mask.png")
+    return images, masks
+
+
+def test_finetune_updates_only_norm_params(tmp_path: Path):
+    import jax
+
+    from atlaspatch_tpu.models.sam2.config import SAM2Config
+    from atlaspatch_tpu.models.sam2.model import init_params
+    from atlaspatch_tpu.models.train.finetune import norm_param_mask
+    from atlaspatch_tpu.models.train.loop import finetune_sam2
+    from atlaspatch_tpu.tools.convert_weights import unflatten
+
+    images, masks = _make_dataset(tmp_path)
+    out = tmp_path / "out"
+    summary = finetune_sam2(
+        images,
+        masks,
+        out,
+        epochs=1,
+        batch_size=2,
+        image_size=128,
+        device="cpu",
+        seed=0,
+    )
+    assert summary["steps"] == 2
+    assert np.isfinite(summary["first_loss"]) and np.isfinite(summary["final_loss"])
+    npz = Path(summary["checkpoint"])
+    assert npz.exists()
+
+    import dataclasses
+
+    cfg = dataclasses.replace(SAM2Config.tiny(), image_size=128)
+    init = init_params(cfg)
+    trained = unflatten(dict(np.load(npz)))
+    mask = norm_param_mask(init)
+
+    changed_norm, unchanged_other = 0, 0
+    for (path_i, a), (_, b), (_, m) in zip(
+        jax.tree_util.tree_flatten_with_path(init)[0],
+        jax.tree_util.tree_flatten_with_path(trained)[0],
+        jax.tree_util.tree_flatten_with_path(mask)[0],
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        if m:
+            changed_norm += int(not np.array_equal(a, b))
+        else:
+            assert np.array_equal(a, b), f"frozen param changed: {path_i}"
+            unchanged_other += 1
+    assert changed_norm > 0 and unchanged_other > 0
+
+
+def test_finetune_cli_and_reload(tmp_path: Path):
+    from click.testing import CliRunner
+
+    from atlaspatch_tpu.cli import cli
+    from atlaspatch_tpu.core.config import SegmentationConfig
+    from atlaspatch_tpu.services.segmentation import SAM2Predictor
+
+    images, masks = _make_dataset(tmp_path)
+    out = tmp_path / "out"
+    result = CliRunner().invoke(
+        cli,
+        [
+            "finetune-sam2",
+            str(images),
+            "--masks",
+            str(masks),
+            "-o",
+            str(out),
+            "--image-size",
+            "128",
+            "--batch-size",
+            "2",
+            "--device",
+            "cpu",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    npz = out / "sam2_finetuned.npz"
+    assert npz.exists()
+    assert "Finetuned" in result.output
+
+    # The produced archive plugs straight into the segmentation service.
+    import dataclasses
+
+    from atlaspatch_tpu.models.sam2.config import SAM2Config
+
+    cfg = SegmentationConfig(checkpoint_path=npz, device="cpu").validated()
+    pred = SAM2Predictor(
+        cfg, sam2_cfg=dataclasses.replace(SAM2Config.tiny(), image_size=128)
+    )
+    n_leaves = len(jax.tree_util.tree_leaves(pred.params))
+    assert n_leaves > 100
+
+
+def test_finetune_data_parallel_matches_single(tmp_path: Path):
+    """Pure-DP sharded training must match single-device numerics (same
+    batches, same updates — collectives only average identical math)."""
+    from atlaspatch_tpu.models.train.loop import finetune_sam2
+
+    images, masks = _make_dataset(tmp_path, n=4)
+    s1 = finetune_sam2(
+        images, masks, tmp_path / "o1", epochs=1, batch_size=2,
+        image_size=128, device="cpu", seed=0,
+    )
+    s2 = finetune_sam2(
+        images, masks, tmp_path / "o2", epochs=1, batch_size=2,
+        image_size=128, device="cpu", seed=0, data_parallel=2,
+    )
+    assert s1["steps"] == s2["steps"]
+    a = dict(np.load(s1["checkpoint"]))
+    b = dict(np.load(s2["checkpoint"]))
+    assert a.keys() == b.keys()
+    worst = max(float(np.abs(a[k] - b[k]).max()) for k in a)
+    assert worst < 5e-5, f"DP vs single divergence {worst}"
