@@ -507,7 +507,8 @@ def info():
 
     click.echo(
         "Supported WSI formats (native TIFF decoder): .svs, .tif, .tiff, .ndpi, "
-        ".scn, .bif"
+        ".scn, .bif (vendor-aware: NDPI SourceLens levels + striped giant-JPEG "
+        "decode; SCN XML main-region pyramid)"
     )
     click.echo(
         "Non-TIFF containers (first-party readers): .mrxs (MIRAX), "
