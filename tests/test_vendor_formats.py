@@ -359,3 +359,37 @@ def test_ndpi_striped_requires_restart_markers(tmp_path: Path):
     with pytest.raises(RuntimeError, match="restart"):
         t.read_region_level(0, 0, 0, w, h)
     t.close()
+
+
+def test_ndpi_striped_fuzz(tmp_path: Path):
+    """Random byte corruption of a striped-JPEG NDPI must raise clean Python
+    exceptions (or decode) — never hang or crash the process."""
+    rng = np.random.default_rng(31)
+    h, w = 64, 96
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    stream = _zero_sof_dims(_jpeg_with_restarts(img, rows=1, subsampling=0))
+    path = tmp_path / "fuzz.ndpi"
+    _write_single_strip_ndpi(path, stream, w, h)
+    original = path.read_bytes()
+
+    for _ in range(40):
+        raw = bytearray(original)
+        for _ in range(int(rng.integers(1, 8))):
+            raw[int(rng.integers(0, len(raw)))] = int(rng.integers(0, 256))
+        path.write_bytes(bytes(raw))
+        try:
+            t = AtlasTiffFile(str(path))
+            t.read_region_level(0, 0, 0, min(32, w), min(32, h))
+            t.close()
+        except Exception:
+            pass  # any clean Python exception is acceptable
+
+    # Truncations — mid-entropy, mid-header, mid-IFD.
+    for cut in (len(original) * 3 // 4, len(original) // 2, 64):
+        path.write_bytes(original[:cut])
+        try:
+            t = AtlasTiffFile(str(path))
+            t.read_region_level(0, 0, 0, w, h)
+            t.close()
+        except Exception:
+            pass
