@@ -548,12 +548,16 @@ def info():
               show_default=True, help="Shard batches over N devices (pure DP).")
 @click.option("--save-every", type=click.IntRange(0, None), default=0,
               show_default=True, help="Save an orbax checkpoint every N epochs.")
+@click.option("--val-fraction", type=click.FloatRange(0.0, 0.9), default=0.0,
+              show_default=True,
+              help="Hold out this fraction of pairs; report val loss/IoU per epoch.")
 @click.option("--seed", type=int, default=0, show_default=True)
 @click.option("--device", type=str, default="tpu", show_default=True)
 @click.option("--verbose", "-v", is_flag=True, help="Enable debug logging.")
 def finetune_sam2_cmd(images_dir, masks_dir, output, epochs, batch_size,
                       learning_rate, sam2_checkpoint, sam2_config, image_size,
-                      data_parallel, save_every, seed, device, verbose):
+                      data_parallel, save_every, val_fraction, seed, device,
+                      verbose):
     """Finetune SAM2 on (thumbnail, mask) pairs — norm-only updates.
 
     Re-creates the reference's published training recipe (backbone frozen,
@@ -583,6 +587,7 @@ def finetune_sam2_cmd(images_dir, masks_dir, output, epochs, batch_size,
             image_size=image_size,
             data_parallel=data_parallel,
             save_every=save_every,
+            val_fraction=val_fraction,
             seed=seed,
             device=device,
             on_step=on_step,
@@ -593,7 +598,56 @@ def finetune_sam2_cmd(images_dir, masks_dir, output, epochs, batch_size,
         f"Finetuned {summary['steps']} step(s) over {summary['pairs']} pair(s): "
         f"loss {summary['first_loss']:.4f} → {summary['final_loss']:.4f}"
     )
+    if "val_loss" in summary:
+        click.echo(
+            f"Validation ({summary['val_pairs']} held-out pair(s)): "
+            f"loss {summary['val_loss']:.4f}, IoU {summary['val_iou']:.4f}"
+        )
     click.echo(f"Checkpoint: {summary['checkpoint']}")
+
+
+@cli.command("evaluate-masks")
+@click.argument("pred_dir", type=click.Path(exists=True, file_okay=False))
+@click.option("--truth", "truth_dir", type=click.Path(exists=True, file_okay=False),
+              required=True,
+              help="Ground-truth binary masks, stem-matched to predictions.")
+@click.option("--threshold", type=click.IntRange(0, 255), default=127,
+              show_default=True, help="Grayscale > threshold counts as tissue.")
+@click.option("--csv", "csv_path", type=click.Path(), default=None,
+              help="Also write per-slide metrics as CSV.")
+def evaluate_masks(pred_dir, truth_dir, threshold, csv_path):
+    """Score predicted tissue masks against ground truth (IoU/F1/P/R).
+
+    Predictions are detect-tissue's <stem>_mask_bw.png (or any stem-matched
+    binary masks); truth masks match by stem with an optional '_mask'
+    suffix. Reproduces the reference's published quality comparison
+    (F1 vs baselines) on user annotations.
+    """
+    from atlaspatch_tpu.utils.maskeval import score_mask_dirs
+
+    rows, summary = score_mask_dirs(
+        Path(pred_dir), Path(truth_dir), threshold=threshold
+    )
+    for r in rows:
+        click.echo(
+            f"{r['slide']}: IoU {r['iou']:.4f}  F1 {r['f1']:.4f}  "
+            f"P {r['precision']:.4f}  R {r['recall']:.4f}"
+        )
+    click.echo(
+        f"Mean over {summary['n']} slide(s): IoU {summary['iou']:.4f}  "
+        f"F1 {summary['f1']:.4f}  P {summary['precision']:.4f}  "
+        f"R {summary['recall']:.4f}"
+    )
+    if csv_path:
+        import csv as _csv
+
+        with open(csv_path, "w", newline="") as f:
+            writer = _csv.DictWriter(
+                f, fieldnames=["slide", "iou", "f1", "precision", "recall"]
+            )
+            writer.writeheader()
+            writer.writerows(rows)
+        click.echo(f"CSV: {csv_path}")
 
 
 def main():

@@ -52,16 +52,24 @@ def _dice_loss(logits, targets, eps=1.0):
     return (1 - num / den).mean()
 
 
-def seg_loss_fn(cfg: SAM2Config, params, images_u8, target_masks):
-    """images_u8 (B,S,S,3); target_masks (B,S,S) in {0,1} at full image res."""
+def seg_forward(cfg: SAM2Config, params, images_u8, out_hw):
+    """Full-frame box-prompted forward: (logits at out_hw, iou_pred)."""
     model = SAM2ImageModel(cfg)
     pixels = normalize_images(cfg, images_u8)
     B = images_u8.shape[0]
     box = jnp.asarray([[0.0, 0.0, cfg.image_size, cfg.image_size]], jnp.float32)
     boxes = jnp.broadcast_to(box[None], (B, 1, 4))
-    masks, iou_pred, _obj = model.apply({"params": params}, pixels, boxes, multimask_output=False)
+    masks, iou_pred, _obj = model.apply(
+        {"params": params}, pixels, boxes, multimask_output=False
+    )
     low_res = masks[:, 0, 0]  # (B, S/4, S/4)
-    logits = interpolate_torch(low_res[..., None], target_masks.shape[-2:], "bilinear")[..., 0]
+    logits = interpolate_torch(low_res[..., None], out_hw, "bilinear")[..., 0]
+    return logits, iou_pred
+
+
+def seg_loss_fn(cfg: SAM2Config, params, images_u8, target_masks):
+    """images_u8 (B,S,S,3); target_masks (B,S,S) in {0,1} at full image res."""
+    logits, iou_pred = seg_forward(cfg, params, images_u8, target_masks.shape[-2:])
 
     focal = _sigmoid_focal_loss(logits, target_masks)
     dice = _dice_loss(logits, target_masks)
@@ -74,6 +82,25 @@ def seg_loss_fn(cfg: SAM2Config, params, images_u8, target_masks):
     actual_iou = inter / union
     iou_loss = jnp.mean((iou_pred[:, 0, 0] - actual_iou) ** 2)
     return 20.0 * focal + dice + iou_loss
+
+
+def make_eval_step(cfg: SAM2Config):
+    """jitted eval_step(params, images_u8, targets) → (loss, mean IoU)."""
+
+    def eval_step(params, images_u8, targets):
+        logits, iou_pred = seg_forward(cfg, params, images_u8, targets.shape[-2:])
+        focal = _sigmoid_focal_loss(logits, targets)
+        dice = _dice_loss(logits, targets)
+        pred_bin = (logits > 0).astype(jnp.float32)
+        inter = (pred_bin * targets).sum(axis=(-2, -1))
+        union = jnp.clip(
+            pred_bin.sum(axis=(-2, -1)) + targets.sum(axis=(-2, -1)) - inter, 1.0
+        )
+        actual_iou = inter / union
+        iou_loss = jnp.mean((iou_pred[:, 0, 0] - actual_iou) ** 2)
+        return 20.0 * focal + dice + iou_loss, actual_iou.mean()
+
+    return jax.jit(eval_step)
 
 
 def make_optimizer(learning_rate: float = 1e-4):

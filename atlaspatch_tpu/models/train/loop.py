@@ -77,6 +77,7 @@ def finetune_sam2(
     seed: int = 0,
     device: str = "tpu",
     loader_threads: int = 8,
+    val_fraction: float = 0.0,
     on_step: Optional[Callable[[int, float], None]] = None,
 ) -> dict:
     """Run the finetune and return a summary dict.
@@ -91,6 +92,7 @@ def finetune_sam2(
     from atlaspatch_tpu.models.sam2.config import SAM2Config
     from atlaspatch_tpu.models.train.checkpoints import save_checkpoint
     from atlaspatch_tpu.models.train.finetune import (
+        make_eval_step,
         make_optimizer,
         make_train_step,
         shard_train_step,
@@ -101,6 +103,16 @@ def finetune_sam2(
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     pairs = collect_pairs(images_dir, masks_dir)
+
+    val_pairs: list = []
+    if val_fraction > 0:
+        split_rng = np.random.default_rng(seed)  # deterministic holdout
+        order = split_rng.permutation(len(pairs))
+        n_val = max(1, int(round(len(pairs) * val_fraction)))
+        if n_val >= len(pairs):
+            raise ValueError("val_fraction leaves no training pairs")
+        val_pairs = [pairs[i] for i in order[:n_val]]
+        pairs = [pairs[i] for i in order[n_val:]]
 
     sam2_cfg = (
         SAM2Config.from_reference_yaml(config_path)
@@ -142,12 +154,29 @@ def finetune_sam2(
     losses: list[float] = []
     global_step = 0
 
-    def _load_batch(idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        loaded = list(pool.map(lambda i: load_pair(*pairs[i], size), idx))
+    def _load_batch(
+        idx: np.ndarray, source: list | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        src = pairs if source is None else source
+        loaded = list(pool.map(lambda i: load_pair(*src[i], size), idx))
         return (
             np.stack([im for im, _ in loaded]),
             np.stack([mk for _, mk in loaded]),
         )
+
+    eval_step = make_eval_step(sam2_cfg) if val_pairs else None
+    val_loss = val_iou = None
+
+    def _run_validation() -> tuple[float, float]:
+        # Fixed-size batches (wrap the tail) keep the jitted shape static.
+        losses_v, ious_v = [], []
+        for b in range(0, len(val_pairs), batch_size):
+            idx = np.arange(b, b + batch_size) % len(val_pairs)
+            images_u8, targets = _load_batch(idx, val_pairs)
+            lv, iv = eval_step(params, images_u8, targets)
+            losses_v.append(float(lv))
+            ious_v.append(float(iv))
+        return float(np.mean(losses_v)), float(np.mean(ious_v))
 
     try:
         for epoch in range(epochs):
@@ -163,12 +192,23 @@ def finetune_sam2(
                 losses.append(loss_f)
                 if on_step is not None:
                     on_step(global_step, loss_f)
-            logger.info(
-                "epoch %d/%d: mean loss %.4f",
-                epoch + 1,
-                epochs,
-                float(np.mean(losses[-steps_per_epoch:])),
-            )
+            if eval_step is not None:
+                val_loss, val_iou = _run_validation()
+                logger.info(
+                    "epoch %d/%d: train loss %.4f | val loss %.4f val IoU %.4f",
+                    epoch + 1,
+                    epochs,
+                    float(np.mean(losses[-steps_per_epoch:])),
+                    val_loss,
+                    val_iou,
+                )
+            else:
+                logger.info(
+                    "epoch %d/%d: mean loss %.4f",
+                    epoch + 1,
+                    epochs,
+                    float(np.mean(losses[-steps_per_epoch:])),
+                )
             if save_every and (epoch + 1) % save_every == 0:
                 path = save_checkpoint(
                     output_dir / "checkpoints",
@@ -182,7 +222,7 @@ def finetune_sam2(
 
     npz_path = output_dir / "sam2_finetuned.npz"
     np.savez(npz_path, **_flatten(jax.device_get(params)))
-    return {
+    summary = {
         "steps": global_step,
         "pairs": len(pairs),
         "first_loss": losses[0],
@@ -190,3 +230,8 @@ def finetune_sam2(
         "checkpoint": str(npz_path),
         "image_size": size,
     }
+    if val_loss is not None:
+        summary.update(
+            {"val_pairs": len(val_pairs), "val_loss": val_loss, "val_iou": val_iou}
+        )
+    return summary
