@@ -410,7 +410,9 @@ static bool jpeg_decode_rgb(const std::vector<uint8_t>& tables, const uint8_t* d
 // reused). Replaces OpenSlide for the reference's .ndpi coverage
 // (reference: atlas_patch/core/wsi/wsi_factory.py:20-39).
 struct JpegStripeIndex {
-  bool usable = false;
+  bool usable = false;   // header parsed AND segment geometry viable
+  bool scanned = false;  // entropy segments enumerated (lazy; see below)
+  bool sof_seen = false;  // a baseline SOF was parsed (hdr dims are real)
   std::string reason;
   uint64_t hdr_w = 0, hdr_h = 0;  // dims as declared in the SOF marker
   std::vector<uint8_t> header;    // SOI..SOS inclusive, DRI removed
@@ -418,6 +420,8 @@ struct JpegStripeIndex {
   uint64_t mcu_w = 8, mcu_h = 8;
   uint64_t seg_px_w = 0, seg_px_h = 0;  // segment rectangle (clamped at edges)
   uint64_t segs_per_row = 1;            // segments per MCU-row band
+  uint64_t expected_segs = 0;
+  uint64_t entropy_start = 0, entropy_end = 0;      // file offsets
   std::vector<std::pair<uint64_t, uint64_t>> segs;  // (file offset, length)
 };
 
@@ -500,6 +504,7 @@ static void build_stripe_index(const FileReader& file, const IFD& d,
     const uint8_t* seg = head.data() + p;
     size_t total = 2 + (size_t)seglen;
     if (m == 0xC0 || m == 0xC1) {  // baseline SOF
+      si->sof_seen = true;
       si->sof_dims_off = hdr.size() + 5;  // after FF Cx len16 precision8
       si->hdr_h = (uint64_t)((seg[5] << 8) | seg[6]);
       si->hdr_w = (uint64_t)((seg[7] << 8) | seg[8]);
@@ -563,18 +568,41 @@ static void build_stripe_index(const FileReader& file, const IFD& d,
     si->reason = "segment too large";
     return;
   }
-  if (!stripe_scan_entropy(file, entropy_start, off + len, &si->segs)) {
-    si->reason = "entropy scan failed";
-    return;
-  }
   uint64_t bands = (d.height + si->seg_px_h - 1) / si->seg_px_h;
-  uint64_t expected = bands * si->segs_per_row;
-  if (si->segs.size() < expected) {
-    si->reason = "restart segment count mismatch";
-    return;
+  si->expected_segs = bands * si->segs_per_row;
+  si->entropy_start = entropy_start;
+  si->entropy_end = off + len;
+  si->usable = true;  // geometry viable; segments enumerate lazily on use
+}
+
+// Enumerate the restart segments (the expensive full-strip scan) — called
+// only once striping is actually chosen for an IFD. When the declared strip
+// byte count undercounts (NDPI >4 GiB files wrap StripByteCounts the same
+// way they wrap offsets), rescan to the end of the file: the scan stops at
+// the first true marker (EOI), so a generous window stays correct.
+static bool scan_stripe_segments(const FileReader& file, JpegStripeIndex* si) {
+  if (si->scanned) return si->usable;
+  si->scanned = true;
+  if (!stripe_scan_entropy(file, si->entropy_start, si->entropy_end, &si->segs)) {
+    si->usable = false;
+    si->reason = "entropy scan failed";
+    return false;
   }
-  si->segs.resize(expected);
-  si->usable = true;
+  if (si->segs.size() < si->expected_segs && si->entropy_end < file.size) {
+    si->segs.clear();
+    if (!stripe_scan_entropy(file, si->entropy_start, file.size, &si->segs)) {
+      si->usable = false;
+      si->reason = "entropy scan failed";
+      return false;
+    }
+  }
+  if (si->segs.size() < si->expected_segs) {
+    si->usable = false;
+    si->reason = "restart segment count mismatch";
+    return false;
+  }
+  si->segs.resize(si->expected_segs);
+  return true;
 }
 
 // --------------------------------------------------------------------- handle
@@ -602,8 +630,10 @@ struct AtlasTiff {
   const IFD& level_ifd(int level) const { return ifds[levels[level].ifd_index]; }
 
   // Lazily built, cached per IFD; thread-safe (region reads come from the
-  // host prep thread pools concurrently).
-  const JpegStripeIndex* stripe_index(size_t ifd_index) const {
+  // host prep thread pools concurrently). Builds the cheap header probe
+  // only; callers run scan_stripe_segments under stripe_mu when striping
+  // is actually chosen.
+  JpegStripeIndex* stripe_index(size_t ifd_index) const {
     std::lock_guard<std::mutex> g(stripe_mu);
     auto it = stripe_cache.find(ifd_index);
     if (it == stripe_cache.end()) {
@@ -1110,10 +1140,17 @@ static bool read_region_striped(const AtlasTiff* t, const IFD& d,
       }
       int64_t cx0 = std::max(x0, sx), cx1 = std::min(x1, sx + sw);
       int64_t cy0 = std::max(y0, sy), cy1 = std::min(y1, sy + sh);
+      // MinIsWhite grayscale inverts, matching the generic chunk path.
+      bool invert = d.photometric == 0 && d.spp == 1;
       for (int64_t yy = cy0; yy < cy1; ++yy) {
         const uint8_t* src = px.data() + (size_t)((yy - sy) * sw + (cx0 - sx)) * 3;
         uint8_t* dstp = out + (size_t)((yy - y) * w + (cx0 - x)) * 3;
-        std::memcpy(dstp, src, (size_t)(cx1 - cx0) * 3);
+        size_t nbytes = (size_t)(cx1 - cx0) * 3;
+        if (invert) {
+          for (size_t i = 0; i < nbytes; ++i) dstp[i] = (uint8_t)(255 - src[i]);
+        } else {
+          std::memcpy(dstp, src, nbytes);
+        }
       }
     }
   }
@@ -1149,13 +1186,26 @@ static bool read_region_impl(const AtlasTiff* t, int level, int64_t x, int64_t y
   // Single-strip whole-image JPEGs (NDPI levels): decode stripe-wise via
   // restart markers when the declared SOF dims disagree with the TIFF tags
   // (images beyond JPEG's 65,535-px fields) or a full decode would be huge.
+  // The header probe is cheap; the entropy scan runs only if striping is
+  // actually chosen. A stream whose header we cannot parse (e.g.
+  // progressive) with no evidence of mismatch falls through to the normal
+  // whole-strip libjpeg decode.
   if (!d.tiled && d.compression == 7 && d.chunk_offsets.size() == 1 &&
       d.jpeg_tables.empty() && (d.spp == 1 || d.spp == 3)) {
-    bool huge = (uint64_t)W * (uint64_t)H * 3ull > (256ull << 20);
-    const JpegStripeIndex* si = t->stripe_index(t->levels[level].ifd_index);
-    bool mismatch = si->hdr_w != d.width || si->hdr_h != d.height;
+    bool huge = (uint64_t)W * (uint64_t)H * 3ull > (1ull << 30);
+    JpegStripeIndex* si = t->stripe_index(t->levels[level].ifd_index);
+    // Evidence of mismatch requires an actually-parsed baseline SOF; zeroed
+    // dims (what NDPI writers emit past 65,535 px) count as mismatching.
+    // Headers we cannot parse (e.g. progressive) fall through to libjpeg.
+    bool mismatch = si->sof_seen &&
+                    (si->hdr_w != d.width || si->hdr_h != d.height);
     if (huge || mismatch) {
-      if (!si->usable) {
+      bool ok;
+      {
+        std::lock_guard<std::mutex> g(t->stripe_mu);
+        ok = si->usable && scan_stripe_segments(t->file, si);
+      }
+      if (!ok) {
         *err = "single-strip JPEG needs striped decode but " + si->reason;
         return false;
       }

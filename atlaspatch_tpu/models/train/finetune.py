@@ -35,21 +35,22 @@ def norm_param_mask(params: Any) -> Any:
     return jax.tree_util.tree_map_with_path(lambda p, _: is_norm(p), params)
 
 
-def _sigmoid_focal_loss(logits, targets, alpha=0.25, gamma=2.0):
+def _sigmoid_focal_loss(logits, targets, alpha=0.25, gamma=2.0, reduce=True):
     p = jax.nn.sigmoid(logits)
     ce = optax.sigmoid_binary_cross_entropy(logits, targets)
     p_t = p * targets + (1 - p) * (1 - targets)
     loss = ce * ((1 - p_t) ** gamma)
     if alpha >= 0:
         loss = loss * (alpha * targets + (1 - alpha) * (1 - targets))
-    return loss.mean()
+    return loss.mean() if reduce else loss
 
 
-def _dice_loss(logits, targets, eps=1.0):
+def _dice_loss(logits, targets, eps=1.0, reduce=True):
     p = jax.nn.sigmoid(logits)
     num = 2 * (p * targets).sum(axis=(-2, -1)) + eps
     den = p.sum(axis=(-2, -1)) + targets.sum(axis=(-2, -1)) + eps
-    return (1 - num / den).mean()
+    per_sample = 1 - num / den
+    return per_sample.mean() if reduce else per_sample
 
 
 def seg_forward(cfg: SAM2Config, params, images_u8, out_hw):
@@ -67,38 +68,38 @@ def seg_forward(cfg: SAM2Config, params, images_u8, out_hw):
     return logits, iou_pred
 
 
-def seg_loss_fn(cfg: SAM2Config, params, images_u8, target_masks):
-    """images_u8 (B,S,S,3); target_masks (B,S,S) in {0,1} at full image res."""
-    logits, iou_pred = seg_forward(cfg, params, images_u8, target_masks.shape[-2:])
-
-    focal = _sigmoid_focal_loss(logits, target_masks)
-    dice = _dice_loss(logits, target_masks)
-    # IoU-head regression toward the actual IoU of the predicted mask
+def _per_sample_loss_terms(logits, iou_pred, target_masks):
+    """(per-sample loss vector, per-sample IoU vector) — the single source of
+    the training objective, shared by seg_loss_fn and the eval step."""
+    focal = _sigmoid_focal_loss(logits, target_masks, reduce=False).mean(
+        axis=(-2, -1)
+    )
+    dice = _dice_loss(logits, target_masks, reduce=False)
     pred_bin = (logits > 0).astype(jnp.float32)
     inter = (pred_bin * target_masks).sum(axis=(-2, -1))
     union = jnp.clip(
         pred_bin.sum(axis=(-2, -1)) + target_masks.sum(axis=(-2, -1)) - inter, 1.0
     )
     actual_iou = inter / union
-    iou_loss = jnp.mean((iou_pred[:, 0, 0] - actual_iou) ** 2)
-    return 20.0 * focal + dice + iou_loss
+    # IoU-head regression toward the actual IoU of the predicted mask
+    iou_loss = (iou_pred[:, 0, 0] - actual_iou) ** 2
+    return 20.0 * focal + dice + iou_loss, actual_iou
+
+
+def seg_loss_fn(cfg: SAM2Config, params, images_u8, target_masks):
+    """images_u8 (B,S,S,3); target_masks (B,S,S) in {0,1} at full image res."""
+    logits, iou_pred = seg_forward(cfg, params, images_u8, target_masks.shape[-2:])
+    loss, _iou = _per_sample_loss_terms(logits, iou_pred, target_masks)
+    return loss.mean()
 
 
 def make_eval_step(cfg: SAM2Config):
-    """jitted eval_step(params, images_u8, targets) → (loss, mean IoU)."""
+    """jitted eval_step(params, images_u8, targets) → per-sample (loss, IoU)
+    vectors, so callers can drop padding duplicates before averaging."""
 
     def eval_step(params, images_u8, targets):
         logits, iou_pred = seg_forward(cfg, params, images_u8, targets.shape[-2:])
-        focal = _sigmoid_focal_loss(logits, targets)
-        dice = _dice_loss(logits, targets)
-        pred_bin = (logits > 0).astype(jnp.float32)
-        inter = (pred_bin * targets).sum(axis=(-2, -1))
-        union = jnp.clip(
-            pred_bin.sum(axis=(-2, -1)) + targets.sum(axis=(-2, -1)) - inter, 1.0
-        )
-        actual_iou = inter / union
-        iou_loss = jnp.mean((iou_pred[:, 0, 0] - actual_iou) ** 2)
-        return 20.0 * focal + dice + iou_loss, actual_iou.mean()
+        return _per_sample_loss_terms(logits, iou_pred, targets)
 
     return jax.jit(eval_step)
 

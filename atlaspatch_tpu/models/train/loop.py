@@ -168,23 +168,28 @@ def finetune_sam2(
     val_loss = val_iou = None
 
     def _run_validation() -> tuple[float, float]:
-        # Fixed-size batches (wrap the tail) keep the jitted shape static.
+        # Fixed-size batches (wrap the tail) keep the jitted shape static;
+        # per-sample outputs let us drop the wrapped duplicates so every
+        # holdout pair counts exactly once in the means.
         losses_v, ious_v = [], []
         for b in range(0, len(val_pairs), batch_size):
+            n_real = min(batch_size, len(val_pairs) - b)
             idx = np.arange(b, b + batch_size) % len(val_pairs)
             images_u8, targets = _load_batch(idx, val_pairs)
             lv, iv = eval_step(params, images_u8, targets)
-            losses_v.append(float(lv))
-            ious_v.append(float(iv))
+            losses_v.extend(np.asarray(lv)[:n_real].tolist())
+            ious_v.extend(np.asarray(iv)[:n_real].tolist())
         return float(np.mean(losses_v)), float(np.mean(ious_v))
 
     try:
         for epoch in range(epochs):
             order = rng.permutation(len(pairs))
             for b in range(steps_per_epoch):
-                idx = order[b * batch_size : (b + 1) * batch_size]
-                if len(idx) < batch_size:  # wrap the tail to keep shapes static
-                    idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+                # Wrap modulo the dataset so every batch is exactly
+                # batch_size even when batch_size > len(pairs).
+                idx = order[
+                    np.arange(b * batch_size, (b + 1) * batch_size) % len(order)
+                ]
                 images_u8, targets = _load_batch(idx)
                 params, opt_state, loss = step(params, opt_state, images_u8, targets)
                 global_step += 1

@@ -73,16 +73,28 @@ def score_mask_dirs(
     for p in sorted(truth_dir.iterdir()) if truth_dir.is_dir() else []:
         if p.suffix.lower() in _IMAGE_EXTS:
             truth_by_stem.setdefault(_stem_key(p), p)
-    rows: list[dict] = []
+
+    # One prediction per stem. Visualization directories mix binary masks
+    # with overlays and grid renderings for the same slide — prefer the
+    # explicit binary mask: <stem>_mask_bw > <stem>_mask > <stem>.
+    def _priority(p: Path) -> int:
+        if p.stem.endswith("_mask_bw"):
+            return 0
+        if p.stem.endswith("_mask"):
+            return 1
+        return 2
+
+    pred_by_stem: dict[str, Path] = {}
     for p in sorted(pred_dir.iterdir()) if pred_dir.is_dir() else []:
         if p.suffix.lower() not in _IMAGE_EXTS:
             continue
         stem = _stem_key(p)
-        # detect-tissue writes both <stem>_mask_bw.png (binary) and
-        # <stem>_mask.png (green overlay) — score only the binary one when
-        # both are present.
-        if p.stem.endswith("_mask") and (p.parent / f"{stem}_mask_bw{p.suffix}").exists():
-            continue
+        cur = pred_by_stem.get(stem)
+        if cur is None or _priority(p) < _priority(cur):
+            pred_by_stem[stem] = p
+
+    rows: list[dict] = []
+    for stem, p in sorted(pred_by_stem.items()):
         t = truth_by_stem.get(stem)
         if t is None:
             continue

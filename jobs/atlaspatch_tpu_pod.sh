@@ -29,12 +29,19 @@ REPO_DIR=${REPO_DIR:-'$HOME/atlaspatch-tpu'}
 PATCH_SIZE=${PATCH_SIZE:-256}
 TARGET_MAG=${TARGET_MAG:-20}
 
-# Every worker gets the same command; the worker index and host count come
-# from the TPU runtime's env on each VM.
+# Every worker gets the same command. Host count and index come from the
+# TPU runtime via jax.distributed (one short probe process) — plain TPU VMs
+# don't export a worker-id env var, so deriving both from JAX is the only
+# portable source. Extra CLI flags are shell-quoted so values with spaces
+# survive the ssh hop.
+EXTRA=""
+if [ "$#" -gt 0 ]; then
+  EXTRA=$(printf "%q " "$@")
+fi
 gcloud compute tpus tpu-vm ssh "$TPU_NAME" --zone "$ZONE" --worker=all \
   --command "cd $REPO_DIR && \
-    ATLASPATCH_NUM_HOSTS=\$(python -c 'import jax; jax.distributed.initialize(); print(jax.process_count())' 2>/dev/null || echo 1) \
-    ATLASPATCH_HOST_ID=\${TPU_WORKER_ID:-0} \
+    eval \$(python -c 'import jax; jax.distributed.initialize(); print(f\"export ATLASPATCH_NUM_HOSTS={jax.process_count()} ATLASPATCH_HOST_ID={jax.process_index()}\")' \
+            2>/dev/null || echo 'export ATLASPATCH_NUM_HOSTS=1 ATLASPATCH_HOST_ID=0') && \
     python -m atlaspatch_tpu.cli segment-and-get-coords '$WSI_DIR' \
       --output '$OUT_DIR' \
       --patch-size $PATCH_SIZE \
@@ -42,4 +49,4 @@ gcloud compute tpus tpu-vm ssh "$TPU_NAME" --zone "$ZONE" --worker=all \
       --device tpu \
       --seg-batch-size 32 \
       --fast \
-      --skip-existing $*"
+      --skip-existing $EXTRA"

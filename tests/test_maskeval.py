@@ -43,9 +43,11 @@ def test_score_mask_dirs_with_naming_and_resize(tmp_path: Path):
     truth_dir.mkdir()
     mask = np.zeros((32, 40), bool)
     mask[8:24, 10:30] = True
-    # prediction uses detect-tissue naming; an overlay twin must be ignored
+    # prediction uses detect-tissue naming; the overlay twin AND the
+    # patch-grid rendering that share the stem must be ignored
     _save(pred_dir / "slideA_mask_bw.png", mask)
     _save(pred_dir / "slideA_mask.png", np.ones_like(mask))  # green overlay stand-in
+    _save(pred_dir / "slideA.png", np.ones_like(mask))  # grid visualization stand-in
     # truth at a different scale (2x), plain stem naming
     big = np.kron(mask, np.ones((2, 2), bool))
     _save(truth_dir / "slideA.png", big)

@@ -393,3 +393,100 @@ def test_ndpi_striped_fuzz(tmp_path: Path):
             t.close()
         except Exception:
             pass
+
+
+def test_single_strip_progressive_jpeg_uses_normal_path(tmp_path: Path):
+    """A progressive single-strip JPEG with correct dims must decode through
+    the plain libjpeg path — the striped header probe cannot parse it, and
+    that must NOT be treated as a dimension mismatch."""
+    import io
+
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(41)
+    h, w = 48, 64
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    PILImage.fromarray(img).save(buf, "JPEG", quality=92, progressive=True)
+    tw = TiffWriter()
+    tw.add_level_raw_strips([buf.getvalue()], width=w, height=h, rows_per_strip=h)
+    path = tmp_path / "prog.tif"
+    tw.save(path)
+    t = AtlasTiffFile(str(path))
+    ref = _decode_jpeg(buf.getvalue())
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, w, h), ref)
+    t.close()
+
+
+def test_single_strip_with_restarts_and_correct_dims_normal_path(tmp_path: Path):
+    """Correct SOF dims + DRI present: ordinary decode, no striping needed."""
+    rng = np.random.default_rng(42)
+    h, w = 48, 64
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    stream = _jpeg_with_restarts(img, rows=1, subsampling=0)
+    tw = TiffWriter()
+    tw.add_level_raw_strips([stream], width=w, height=h, rows_per_strip=h)
+    path = tmp_path / "plain.tif"
+    tw.save(path)
+    t = AtlasTiffFile(str(path))
+    np.testing.assert_array_equal(
+        t.read_region_level(0, 0, 0, w, h), _decode_jpeg(stream)
+    )
+    t.close()
+
+
+def test_striped_grayscale_min_is_white_inverts(tmp_path: Path):
+    """Striped decode applies the MinIsWhite inversion like the generic
+    chunk path."""
+    import io
+
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(43)
+    h, w = 32, 48
+    gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    buf = io.BytesIO()
+    PILImage.fromarray(gray, mode="L").save(
+        buf, "JPEG", quality=95, restart_marker_rows=1
+    )
+    stream = _zero_sof_dims(buf.getvalue())
+    ref = _decode_jpeg(buf.getvalue())  # libjpeg gray→RGB of the same stream
+    for photometric, expect in ((1, ref), (0, 255 - ref)):
+        tw = TiffWriter()
+        tw.add_level_raw_strips(
+            [stream], width=w, height=h, rows_per_strip=h, spp=1,
+            extra_tags=[(262, 3, [photometric])],  # SHORT overrides default
+        )
+        path = tmp_path / f"gray{photometric}.ndpi"
+        tw.save(path)
+        t = AtlasTiffFile(str(path))
+        np.testing.assert_array_equal(t.read_region_level(0, 0, 0, w, h), expect)
+        t.close()
+
+
+def test_striped_decode_rescans_on_wrapped_byte_count(tmp_path: Path):
+    """NDPI >4 GiB files wrap StripByteCounts like offsets; an undercounted
+    strip must trigger the rescan-to-file-end fallback (the entropy scan
+    stops at EOI, so the generous window stays correct)."""
+    rng = np.random.default_rng(44)
+    h, w = 96, 128
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    stream = _jpeg_with_restarts(img, rows=1, subsampling=0)
+    ref = _decode_jpeg(stream)
+    path = tmp_path / "wrapped.ndpi"
+    _write_single_strip_ndpi(path, _zero_sof_dims(stream), w, h)
+
+    # Halve the stored byte count — the scan window truncates mid-entropy.
+    raw = bytearray(path.read_bytes())
+    ifd_off = struct.unpack_from("<I", raw, 4)[0]
+    n = struct.unpack_from("<H", raw, ifd_off)[0]
+    for i in range(n):
+        at = ifd_off + 2 + 12 * i
+        tag, typ, cnt, val = struct.unpack_from("<HHII", raw, at)
+        if tag == 279:  # StripByteCounts, single LONG inline
+            struct.pack_into("<I", raw, at + 8, val // 2)
+    path.write_bytes(bytes(raw))
+
+    t = AtlasTiffFile(str(path))
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, w, h), ref)
+    t.close()
