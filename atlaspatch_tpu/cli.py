@@ -551,13 +551,15 @@ def info():
 @click.option("--val-fraction", type=click.FloatRange(0.0, 0.9), default=0.0,
               show_default=True,
               help="Hold out this fraction of pairs; report val loss/IoU per epoch.")
+@click.option("--resume", is_flag=True,
+              help="Resume from the latest orbax checkpoint in the output dir.")
 @click.option("--seed", type=int, default=0, show_default=True)
 @click.option("--device", type=str, default="tpu", show_default=True)
 @click.option("--verbose", "-v", is_flag=True, help="Enable debug logging.")
 def finetune_sam2_cmd(images_dir, masks_dir, output, epochs, batch_size,
                       learning_rate, sam2_checkpoint, sam2_config, image_size,
-                      data_parallel, save_every, val_fraction, seed, device,
-                      verbose):
+                      data_parallel, save_every, val_fraction, resume, seed,
+                      device, verbose):
     """Finetune SAM2 on (thumbnail, mask) pairs — norm-only updates.
 
     Re-creates the reference's published training recipe (backbone frozen,
@@ -588,16 +590,22 @@ def finetune_sam2_cmd(images_dir, masks_dir, output, epochs, batch_size,
             data_parallel=data_parallel,
             save_every=save_every,
             val_fraction=val_fraction,
+            resume=resume,
             seed=seed,
             device=device,
             on_step=on_step,
         )
     finally:
         bar.close()
-    click.echo(
-        f"Finetuned {summary['steps']} step(s) over {summary['pairs']} pair(s): "
-        f"loss {summary['first_loss']:.4f} → {summary['final_loss']:.4f}"
-    )
+    if summary["first_loss"] is None:
+        click.echo(
+            f"Nothing left to train (resumed at step {summary['steps']})."
+        )
+    else:
+        click.echo(
+            f"Finetuned {summary['steps']} step(s) over {summary['pairs']} pair(s): "
+            f"loss {summary['first_loss']:.4f} → {summary['final_loss']:.4f}"
+        )
     if "val_loss" in summary:
         click.echo(
             f"Validation ({summary['val_pairs']} held-out pair(s)): "

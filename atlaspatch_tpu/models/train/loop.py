@@ -78,6 +78,7 @@ def finetune_sam2(
     device: str = "tpu",
     loader_threads: int = 8,
     val_fraction: float = 0.0,
+    resume: bool = False,
     on_step: Optional[Callable[[int, float], None]] = None,
 ) -> dict:
     """Run the finetune and return a summary dict.
@@ -153,6 +154,29 @@ def finetune_sam2(
     steps_per_epoch = max(1, len(pairs) // batch_size)
     losses: list[float] = []
     global_step = 0
+    start_epoch = 0
+
+    if resume:
+        from atlaspatch_tpu.models.train.checkpoints import (
+            latest_step,
+            restore_checkpoint,
+        )
+
+        ckpt_dir = output_dir / "checkpoints"
+        if latest_step(ckpt_dir) is not None:
+            params, opt_state, global_step = restore_checkpoint(
+                ckpt_dir, None, jax.device_get(params), jax.device_get(opt_state)
+            )
+            start_epoch = min(epochs, global_step // steps_per_epoch)
+            # Replay the epoch shuffles consumed before the checkpoint so the
+            # resumed run sees the data order the original run would have.
+            for _ in range(start_epoch):
+                rng.permutation(len(pairs))
+            logger.info(
+                "resumed from step %d (epoch %d)", global_step, start_epoch
+            )
+        else:
+            logger.info("resume requested but no checkpoints under %s", ckpt_dir)
 
     def _load_batch(
         idx: np.ndarray, source: list | None = None
@@ -182,7 +206,7 @@ def finetune_sam2(
         return float(np.mean(losses_v)), float(np.mean(ious_v))
 
     try:
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             order = rng.permutation(len(pairs))
             for b in range(steps_per_epoch):
                 # Wrap modulo the dataset so every batch is exactly
@@ -230,8 +254,9 @@ def finetune_sam2(
     summary = {
         "steps": global_step,
         "pairs": len(pairs),
-        "first_loss": losses[0],
-        "final_loss": losses[-1],
+        # None when a resumed run had nothing left to do
+        "first_loss": losses[0] if losses else None,
+        "final_loss": losses[-1] if losses else None,
         "checkpoint": str(npz_path),
         "image_size": size,
     }

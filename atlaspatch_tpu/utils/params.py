@@ -54,7 +54,31 @@ def get_wsi_files(path: str, *, recursive: bool = False) -> list[str]:
         files_set.update(globber(f"*{ext}"))
         files_set.update(globber(f"*{ext.upper()}"))
 
-    files = sorted(files_set)
+    # Hamamatsu .vms/.vmu slides live beside their data files (ImageFile
+    # JPEGs, MapFile, macro images...). Those companions must not be
+    # discovered as standalone slides — exclude every file a map file in
+    # the cohort references. (The reference, going through OpenSlide's
+    # extension list, would try to open the companion JPEGs as plain
+    # images; skipping them is strictly more correct.)
+    companions: set[Path] = set()
+    for f in files_set:
+        if f.suffix.lower() not in (".vms", ".vmu"):
+            continue
+        try:
+            text = f.read_text(errors="replace")
+        except OSError:
+            continue
+        for line in text.splitlines():
+            key, _, value = line.partition("=")
+            key = key.strip().lower()
+            value = value.strip()
+            if not value:
+                continue
+            if key.startswith(("imagefile", "mapfile", "optimisationfile",
+                               "macroimage")):
+                companions.add(f.parent / value)
+
+    files = sorted(files_set - companions)
     if not files:
         raise ValueError(
             f"No WSI files found in directory: {path}\n"

@@ -143,3 +143,34 @@ def test_finetune_data_parallel_matches_single(tmp_path: Path):
     assert a.keys() == b.keys()
     worst = max(float(np.abs(a[k] - b[k]).max()) for k in a)
     assert worst < 5e-5, f"DP vs single divergence {worst}"
+
+
+def test_finetune_resume_matches_uninterrupted(tmp_path: Path):
+    """Interrupt-and-resume must reproduce the uninterrupted run exactly:
+    orbax restores params+optimizer state and the epoch shuffles replay."""
+    from atlaspatch_tpu.models.train.loop import finetune_sam2
+
+    images, masks = _make_dataset(tmp_path, n=4)
+    common = dict(
+        epochs=2, batch_size=2, image_size=128, device="cpu", seed=0
+    )
+    full = finetune_sam2(images, masks, tmp_path / "full", **common)
+
+    part = dict(common)
+    part["epochs"] = 1
+    finetune_sam2(images, masks, tmp_path / "res", save_every=1, **part)
+    resumed = finetune_sam2(
+        images, masks, tmp_path / "res", save_every=1, resume=True, **common
+    )
+    assert resumed["steps"] == full["steps"] == 4
+
+    a = dict(np.load(full["checkpoint"]))
+    b = dict(np.load(resumed["checkpoint"]))
+    worst = max(float(np.abs(a[k] - b[k]).max()) for k in a)
+    assert worst < 1e-6, f"resume diverged from uninterrupted run by {worst}"
+
+    # resuming past completion is a reported no-op
+    again = finetune_sam2(
+        images, masks, tmp_path / "res", save_every=1, resume=True, **common
+    )
+    assert again["steps"] == 4 and again["first_loss"] is None
