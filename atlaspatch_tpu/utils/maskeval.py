@@ -69,14 +69,10 @@ def score_mask_dirs(
     a different thumbnail scale).
     """
     pred_dir, truth_dir = Path(pred_dir), Path(truth_dir)
-    truth_by_stem: dict[str, Path] = {}
-    for p in sorted(truth_dir.iterdir()) if truth_dir.is_dir() else []:
-        if p.suffix.lower() in _IMAGE_EXTS:
-            truth_by_stem.setdefault(_stem_key(p), p)
 
-    # One prediction per stem. Visualization directories mix binary masks
-    # with overlays and grid renderings for the same slide — prefer the
-    # explicit binary mask: <stem>_mask_bw > <stem>_mask > <stem>.
+    # One file per stem, on both sides. Visualization directories mix binary
+    # masks with overlays and grid renderings for the same slide — prefer
+    # the explicit binary mask: <stem>_mask_bw > <stem>_mask > <stem>.
     def _priority(p: Path) -> int:
         if p.stem.endswith("_mask_bw"):
             return 0
@@ -84,14 +80,19 @@ def score_mask_dirs(
             return 1
         return 2
 
-    pred_by_stem: dict[str, Path] = {}
-    for p in sorted(pred_dir.iterdir()) if pred_dir.is_dir() else []:
-        if p.suffix.lower() not in _IMAGE_EXTS:
-            continue
-        stem = _stem_key(p)
-        cur = pred_by_stem.get(stem)
-        if cur is None or _priority(p) < _priority(cur):
-            pred_by_stem[stem] = p
+    def _collect(d: Path) -> dict[str, Path]:
+        by_stem: dict[str, Path] = {}
+        for p in sorted(d.iterdir()) if d.is_dir() else []:
+            if p.suffix.lower() not in _IMAGE_EXTS:
+                continue
+            stem = _stem_key(p)
+            cur = by_stem.get(stem)
+            if cur is None or _priority(p) < _priority(cur):
+                by_stem[stem] = p
+        return by_stem
+
+    truth_by_stem = _collect(truth_dir)
+    pred_by_stem = _collect(pred_dir)
 
     rows: list[dict] = []
     for stem, p in sorted(pred_by_stem.items()):

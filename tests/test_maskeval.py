@@ -117,3 +117,46 @@ def test_finetune_validation_split(tmp_path: Path):
     assert summary["steps"] == 1  # 2 train pairs / batch 2
     assert np.isfinite(summary["val_loss"])
     assert 0.0 <= summary["val_iou"] <= 1.0
+
+
+def test_detect_tissue_to_evaluate_masks_workflow(tmp_path: Path, monkeypatch):
+    """The documented quality loop (docs/TRAINING.md §3): detect-tissue's
+    visualization dir feeds evaluate-masks directly; scoring its own output
+    against itself is a perfect 1.0 across the board."""
+    from click.testing import CliRunner
+
+    from atlaspatch_tpu.cli import cli
+    from atlaspatch_tpu.io.synthetic_wsi import make_tissue_canvas
+    from atlaspatch_tpu.models.sam2.config import SAM2Config
+
+    monkeypatch.setattr(SAM2Config, "tiny", SAM2Config.test_tiny)
+    sdir = tmp_path / "slides"
+    sdir.mkdir()
+    for i in range(2):
+        Image.fromarray(make_tissue_canvas(512, 384, seed=i, n_blobs=2)).save(
+            sdir / f"s{i}.png"
+        )
+    (tmp_path / "mpp.csv").write_text("wsi,mpp\ns0.png,0.5\ns1.png,0.5\n")
+
+    runner = CliRunner()
+    out = tmp_path / "out"
+    r1 = runner.invoke(
+        cli,
+        ["detect-tissue", str(sdir), "-o", str(out), "--device", "cpu",
+         "--mpp-csv", str(tmp_path / "mpp.csv")],
+        catch_exceptions=False,
+    )
+    assert r1.exit_code == 0, r1.output
+    vis = out / "visualization"
+    assert sorted(p.name for p in vis.glob("*_mask_bw.png")) == [
+        "s0_mask_bw.png",
+        "s1_mask_bw.png",
+    ]
+
+    r2 = runner.invoke(
+        cli,
+        ["evaluate-masks", str(vis), "--truth", str(vis)],
+        catch_exceptions=False,
+    )
+    assert r2.exit_code == 0, r2.output
+    assert "Mean over 2 slide(s): IoU 1.0000  F1 1.0000" in r2.output
