@@ -602,8 +602,14 @@ def finetune_sam2_cmd(images_dir, masks_dir, output, epochs, batch_size,
             f"Nothing left to train (resumed at step {summary['steps']})."
         )
     else:
+        resumed = (
+            f" (resumed at step {summary['resumed_at']})"
+            if summary["resumed_at"]
+            else ""
+        )
         click.echo(
-            f"Finetuned {summary['steps']} step(s) over {summary['pairs']} pair(s): "
+            f"Finetuned {summary['steps_this_run']} step(s) over "
+            f"{summary['pairs']} pair(s){resumed}: "
             f"loss {summary['first_loss']:.4f} → {summary['final_loss']:.4f}"
         )
     if "val_loss" in summary:

@@ -156,27 +156,61 @@ def finetune_sam2(
     global_step = 0
     start_epoch = 0
 
+    ckpt_dir = output_dir / "checkpoints"
+    run_meta = {
+        "n_pairs": len(pairs),
+        "n_val_pairs": len(val_pairs),
+        "batch_size": batch_size,
+        "seed": seed,
+        "image_size": size,
+    }
+    resumed_at = 0
     if resume:
+        import json
+
         from atlaspatch_tpu.models.train.checkpoints import (
             latest_step,
             restore_checkpoint,
         )
 
-        ckpt_dir = output_dir / "checkpoints"
-        if latest_step(ckpt_dir) is not None:
-            params, opt_state, global_step = restore_checkpoint(
-                ckpt_dir, None, jax.device_get(params), jax.device_get(opt_state)
+        step_no = latest_step(ckpt_dir)
+        if step_no is None:
+            # A silent fresh start would be indistinguishable from a real
+            # resume — hours of training could restart unnoticed.
+            raise FileNotFoundError(
+                f"--resume: no checkpoints under {ckpt_dir} (the previous run "
+                "needs --save-every > 0); rerun without --resume to start fresh"
             )
-            start_epoch = min(epochs, global_step // steps_per_epoch)
-            # Replay the epoch shuffles consumed before the checkpoint so the
-            # resumed run sees the data order the original run would have.
-            for _ in range(start_epoch):
-                rng.permutation(len(pairs))
-            logger.info(
-                "resumed from step %d (epoch %d)", global_step, start_epoch
+        meta_path = ckpt_dir / "meta.json"
+        if meta_path.exists():
+            saved = json.loads(meta_path.read_text())
+            if saved != run_meta:
+                diffs = {
+                    k: (saved.get(k), run_meta[k])
+                    for k in run_meta
+                    if saved.get(k) != run_meta[k]
+                }
+                raise ValueError(
+                    "--resume: run configuration differs from the checkpointed "
+                    f"run (saved vs current): {diffs}. Epoch replay would be "
+                    "silently wrong; start a fresh output dir instead."
+                )
+        params, opt_state, global_step = restore_checkpoint(
+            ckpt_dir, step_no, jax.device_get(params), jax.device_get(opt_state)
+        )
+        if global_step % steps_per_epoch:
+            raise ValueError(
+                f"--resume: checkpoint step {global_step} is not a whole number "
+                f"of epochs at {steps_per_epoch} steps/epoch — the run "
+                "configuration changed since the checkpoint was written"
             )
-        else:
-            logger.info("resume requested but no checkpoints under %s", ckpt_dir)
+        resumed_at = global_step
+        start_epoch = min(epochs, global_step // steps_per_epoch)
+        # Replay the epoch shuffles consumed before the checkpoint so the
+        # resumed run sees the data order the original run would have.
+        for _ in range(start_epoch):
+            rng.permutation(len(pairs))
+        logger.info("resumed from step %d (epoch %d)", global_step, start_epoch)
 
     def _load_batch(
         idx: np.ndarray, source: list | None = None
@@ -240,12 +274,19 @@ def finetune_sam2(
                 )
             if save_every and (epoch + 1) % save_every == 0:
                 path = save_checkpoint(
-                    output_dir / "checkpoints",
+                    ckpt_dir,
                     global_step,
                     jax.device_get(params),
                     jax.device_get(opt_state),
                 )
+                import json
+
+                (ckpt_dir / "meta.json").write_text(json.dumps(run_meta))
                 logger.info("saved %s", path)
+        if eval_step is not None and val_loss is None:
+            # Nothing-left-to-train resume: still score the restored params
+            # so --resume --val-fraction reports metrics for the checkpoint.
+            val_loss, val_iou = _run_validation()
     finally:
         pool.shutdown(wait=False)
 
@@ -253,6 +294,8 @@ def finetune_sam2(
     np.savez(npz_path, **_flatten(jax.device_get(params)))
     summary = {
         "steps": global_step,
+        "steps_this_run": global_step - resumed_at,
+        "resumed_at": resumed_at,
         "pairs": len(pairs),
         # None when a resumed run had nothing left to do
         "first_loss": losses[0] if losses else None,

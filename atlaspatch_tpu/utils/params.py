@@ -65,18 +65,23 @@ def get_wsi_files(path: str, *, recursive: bool = False) -> list[str]:
         if f.suffix.lower() not in (".vms", ".vmu"):
             continue
         try:
-            text = f.read_text(errors="replace")
-        except OSError:
+            # The same tolerant INI parse the Hamamatsu backend uses — a
+            # hand-rolled splitter would accept a different dialect than
+            # the reader that actually opens the slide.
+            from atlaspatch_tpu.io.hamamatsu_wsi import _read_ini
+
+            cp = _read_ini(f)
+        except Exception:  # noqa: BLE001 — unparseable map file: nothing to exclude
             continue
-        for line in text.splitlines():
-            key, _, value = line.partition("=")
-            key = key.strip().lower()
-            value = value.strip()
-            if not value:
-                continue
-            if key.startswith(("imagefile", "mapfile", "optimisationfile",
-                               "macroimage")):
-                companions.add(f.parent / value)
+        for section in cp.sections():
+            for key, value in cp.items(section):
+                value = value.strip()
+                if not value:
+                    continue
+                if key.strip().lower().startswith(
+                    ("imagefile", "mapfile", "optimisationfile", "macroimage")
+                ):
+                    companions.add(f.parent / value)
 
     files = sorted(files_set - companions)
     if not files:

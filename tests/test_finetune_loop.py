@@ -174,3 +174,28 @@ def test_finetune_resume_matches_uninterrupted(tmp_path: Path):
         images, masks, tmp_path / "res", save_every=1, resume=True, **common
     )
     assert again["steps"] == 4 and again["first_loss"] is None
+
+
+def test_finetune_resume_guards(tmp_path: Path):
+    """--resume with nothing to resume, or with a changed run configuration,
+    must fail loudly instead of silently retraining or misreplaying."""
+    import pytest
+
+    from atlaspatch_tpu.models.train.loop import finetune_sam2
+
+    images, masks = _make_dataset(tmp_path, n=4)
+    with pytest.raises(FileNotFoundError, match="no checkpoints"):
+        finetune_sam2(
+            images, masks, tmp_path / "empty", epochs=1, batch_size=2,
+            image_size=128, device="cpu", resume=True,
+        )
+
+    finetune_sam2(
+        images, masks, tmp_path / "run", epochs=1, batch_size=2,
+        image_size=128, device="cpu", save_every=1,
+    )
+    with pytest.raises(ValueError, match="configuration differs"):
+        finetune_sam2(
+            images, masks, tmp_path / "run", epochs=2, batch_size=4,
+            image_size=128, device="cpu", save_every=1, resume=True,
+        )
