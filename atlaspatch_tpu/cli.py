@@ -553,13 +553,21 @@ def info():
               help="Hold out this fraction of pairs; report val loss/IoU per epoch.")
 @click.option("--resume", is_flag=True,
               help="Resume from the latest orbax checkpoint in the output dir.")
+@click.option("--lr-schedule", type=click.Choice(["constant", "cosine"]),
+              default="constant", show_default=True,
+              help="Learning-rate schedule (cosine decays over the full run).")
+@click.option("--warmup-steps", type=click.IntRange(0, None), default=0,
+              show_default=True, help="Linear LR warmup steps.")
+@click.option("--augment", is_flag=True,
+              help="Random horizontal/vertical flips (image+mask together).")
 @click.option("--seed", type=int, default=0, show_default=True)
 @click.option("--device", type=str, default="tpu", show_default=True)
 @click.option("--verbose", "-v", is_flag=True, help="Enable debug logging.")
 def finetune_sam2_cmd(images_dir, masks_dir, output, epochs, batch_size,
                       learning_rate, sam2_checkpoint, sam2_config, image_size,
-                      data_parallel, save_every, val_fraction, resume, seed,
-                      device, verbose):
+                      data_parallel, save_every, val_fraction, resume,
+                      lr_schedule, warmup_steps, augment, seed, device,
+                      verbose):
     """Finetune SAM2 on (thumbnail, mask) pairs — norm-only updates.
 
     Re-creates the reference's published training recipe (backbone frozen,
@@ -591,6 +599,9 @@ def finetune_sam2_cmd(images_dir, masks_dir, output, epochs, batch_size,
             save_every=save_every,
             val_fraction=val_fraction,
             resume=resume,
+            lr_schedule=lr_schedule,
+            warmup_steps=warmup_steps,
+            augment=augment,
             seed=seed,
             device=device,
             on_step=on_step,

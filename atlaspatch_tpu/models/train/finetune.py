@@ -104,8 +104,42 @@ def make_eval_step(cfg: SAM2Config):
     return jax.jit(eval_step)
 
 
-def make_optimizer(learning_rate: float = 1e-4):
-    return optax.adamw(learning_rate, weight_decay=0.01)
+def make_optimizer(
+    learning_rate: float = 1e-4,
+    *,
+    schedule: str = "constant",
+    warmup_steps: int = 0,
+    total_steps: int | None = None,
+):
+    """AdamW with an optional LR schedule.
+
+    ``constant`` (default, with optional linear warmup) or ``cosine``
+    (linear warmup to the peak then cosine decay over total_steps). The
+    schedule rides on the optimizer's step count, so checkpoint resume
+    continues it at the right position.
+    """
+    if schedule == "cosine":
+        total = max(int(total_steps or 0), warmup_steps + 1)
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=learning_rate,
+            warmup_steps=warmup_steps,
+            decay_steps=total,
+        )
+    elif schedule == "constant":
+        if warmup_steps > 0:
+            lr = optax.join_schedules(
+                [
+                    optax.linear_schedule(0.0, learning_rate, warmup_steps),
+                    optax.constant_schedule(learning_rate),
+                ],
+                [warmup_steps],
+            )
+        else:
+            lr = learning_rate
+    else:
+        raise ValueError(f"unknown LR schedule: {schedule!r}")
+    return optax.adamw(lr, weight_decay=0.01)
 
 
 def make_train_step(cfg: SAM2Config, optimizer):

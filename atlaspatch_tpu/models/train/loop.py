@@ -79,6 +79,9 @@ def finetune_sam2(
     loader_threads: int = 8,
     val_fraction: float = 0.0,
     resume: bool = False,
+    lr_schedule: str = "constant",
+    warmup_steps: int = 0,
+    augment: bool = False,
     on_step: Optional[Callable[[int, float], None]] = None,
 ) -> dict:
     """Run the finetune and return a summary dict.
@@ -130,7 +133,13 @@ def finetune_sam2(
     params, sam2_cfg = predictor.params, predictor.sam2_cfg
     size = sam2_cfg.image_size
 
-    optimizer = make_optimizer(learning_rate)
+    steps_per_epoch = max(1, len(pairs) // batch_size)
+    optimizer = make_optimizer(
+        learning_rate,
+        schedule=lr_schedule,
+        warmup_steps=warmup_steps,
+        total_steps=epochs * steps_per_epoch,
+    )
     opt_state = optimizer.init(params)
 
     if data_parallel > 1:
@@ -151,7 +160,6 @@ def finetune_sam2(
 
     rng = np.random.default_rng(seed)
     pool = ThreadPoolExecutor(max_workers=max(1, loader_threads))
-    steps_per_epoch = max(1, len(pairs) // batch_size)
     losses: list[float] = []
     global_step = 0
     start_epoch = 0
@@ -163,6 +171,9 @@ def finetune_sam2(
         "batch_size": batch_size,
         "seed": seed,
         "image_size": size,
+        "lr_schedule": lr_schedule,
+        "warmup_steps": warmup_steps,
+        "augment": augment,
     }
     resumed_at = 0
     if resume:
@@ -249,6 +260,21 @@ def finetune_sam2(
                     np.arange(b * batch_size, (b + 1) * batch_size) % len(order)
                 ]
                 images_u8, targets = _load_batch(idx)
+                if augment:
+                    # Flips applied identically to image and mask. Seeded by
+                    # (seed, global_step), not the shuffle rng, so checkpoint
+                    # resume reproduces them without replaying draws.
+                    aug = np.random.default_rng((seed, global_step))
+                    flips = aug.integers(0, 2, size=(batch_size, 2), dtype=np.int64)
+                    images_u8 = images_u8.copy()
+                    targets = targets.copy()
+                    for i, (fh, fv) in enumerate(flips):
+                        if fh:
+                            images_u8[i] = images_u8[i, :, ::-1]
+                            targets[i] = targets[i, :, ::-1]
+                        if fv:
+                            images_u8[i] = images_u8[i, ::-1]
+                            targets[i] = targets[i, ::-1]
                 params, opt_state, loss = step(params, opt_state, images_u8, targets)
                 global_step += 1
                 loss_f = float(loss)
