@@ -112,6 +112,11 @@ class SAM2Config:
             kwargs["window_size_per_stage"] = tuple(int(v) for v in trunk["window_spec"])
         if "d_model" in neck:
             kwargs["fpn_hidden_size"] = int(neck["d_model"])
+            # SAM2 ties the prompt-encoder/mask-decoder embedding width to
+            # the neck's d_model (the hydra YAML has no separate field for
+            # it); leaving the 256 default would break any YAML with a
+            # different d_model at the prompt + image-feature add.
+            kwargs["prompt_hidden_size"] = int(neck["d_model"])
         if "backbone_channel_list" in neck:
             kwargs["backbone_channel_list"] = tuple(
                 int(c) for c in neck["backbone_channel_list"]

@@ -245,3 +245,41 @@ def test_finetune_augment_deterministic_and_effective(tmp_path: Path):
     assert any(not np.array_equal(p[k], a[k]) for k in p), "augment had no effect"
     worst = max(float(np.abs(a[k] - b[k]).max()) for k in a)
     assert worst == 0.0, f"augmented runs not deterministic: {worst}"
+
+
+def test_finetune_with_reference_yaml_config(tmp_path: Path):
+    """--sam2-config (the reference's hydra YAML format) drives the train
+    loop's architecture, mirroring inference's config path."""
+    from atlaspatch_tpu.models.train.loop import finetune_sam2
+
+    yaml_path = tmp_path / "custom.yaml"
+    yaml_path.write_text(
+        """
+model:
+  image_size: 128
+  image_encoder:
+    trunk:
+      embed_dim: 16
+      num_heads: 1
+      stages: [1, 1, 1, 1]
+      global_att_blocks: [3]
+      window_pos_embed_bkg_spatial_size: [7, 7]
+      window_spec: [8, 4, 4, 4]
+    neck:
+      d_model: 32
+      backbone_channel_list: [128, 64, 32, 16]
+      fpn_top_down_levels: [2, 3]
+"""
+    )
+    images, masks = _make_dataset(tmp_path, n=2)
+    summary = finetune_sam2(
+        images,
+        masks,
+        tmp_path / "out",
+        epochs=1,
+        batch_size=2,
+        device="cpu",
+        config_path=yaml_path,
+    )
+    assert summary["image_size"] == 128
+    assert summary["steps"] == 1 and np.isfinite(summary["final_loss"])
