@@ -27,6 +27,7 @@ from OpticalPathSequence → ObjectiveLensPower.
 
 from __future__ import annotations
 
+import mmap
 import struct
 from pathlib import Path
 from typing import Any, Literal, Optional, Tuple, Union
@@ -258,12 +259,22 @@ class _DicomLevel:
 
     def __init__(self, path: Path) -> None:
         self.path = path
-        buf = path.read_bytes()
-        self.buf = buf
+        # mmap, not read_bytes(): real WSI levels are multi-GB. The parser
+        # walks element headers and records pixel data as (offset, length)
+        # spans, so only header pages fault in here; decode_frame later
+        # copies just one frame's span. (OpenSlide streams the same way.)
+        self._f = open(path, "rb")
+        try:
+            buf = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+        except (ValueError, OSError) as e:  # empty or unmappable file
+            self._f.close()
+            raise _DicomError(f"{path.name}: cannot map file: {e}") from e
+        self.buf: Any = buf
         parser = _Parser(buf)
         try:
             self.ds, self.pixel = parser.parse()
         except (struct.error, IndexError, ValueError, MemoryError) as e:
+            self.close()
             raise _DicomError(f"{path.name}: malformed DICOM dataset: {e}") from e
         self.ts = parser.ts
         ds = self.ds

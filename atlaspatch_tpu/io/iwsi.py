@@ -76,6 +76,22 @@ class IWSI(ABC):
     ) -> Union[np.ndarray, Image.Image]:
         """Read a (w, h) RGB region whose top-left is at level-0 coords xy."""
 
+    def extract_scaled(
+        self,
+        xy: Tuple[int, int],
+        lv: int,
+        wh: Tuple[int, int],
+        scale_denom: int,
+    ) -> Optional[np.ndarray]:
+        """Read a region decoded at 1/scale_denom, or None when unsupported.
+
+        xy/wh in LEVEL coordinates; output is ceil(w/s) x ceil(h/s) x 3.
+        Backends with cheap native downscaling (JPEG IDCT scaling in the TIFF
+        decoder) override this; the base returns None so callers fall back to
+        extract() + host resize.
+        """
+        return None
+
     @abstractmethod
     def get_size(self, lv: int = 0) -> Tuple[int, int]:
         """(width, height) at a pyramid level."""
@@ -232,12 +248,20 @@ class IWSI(ABC):
         *,
         power: float = 1.25,
         interpolation: str = "optimise",
+        scaled_decode: bool = False,
     ) -> Image.Image:
         """Full-slide thumbnail at a fixed objective power (reference: iwsi.py:246-323).
 
         ds = base_mag / power selects the closest pyramid level; the level read
         is then resized to exactly round(W0/ds) x round(H0/ds) with AREA for
         downscale / CUBIC for upscale under the "optimise" policy.
+
+        scaled_decode=True lets JPEG-backed pyramids decode the level directly
+        at 1/2, 1/4 or 1/8 via IDCT scaling instead of full decode + AREA
+        resize — ~5x fewer host cycles for the same thumbnail, at a few LSBs
+        of drift vs the reference's exact decode+resize chain. Off by default;
+        the segmentation service turns it on for non-float32 precisions where
+        the numeric chain already departs from the reference.
         """
         self._ensure_loaded()
 
@@ -260,10 +284,18 @@ class IWSI(ABC):
 
         read_w = max(1, int(round(W0 / ds_lvl)))
         read_h = max(1, int(round(H0 / ds_lvl)))
-        arr_any = self.extract((0, 0), lv=level, wh=(read_w, read_h), mode="array")
-        if not isinstance(arr_any, np.ndarray):
-            raise RuntimeError("Failed to read thumbnail region as array")
-        arr = arr_any
+
+        arr: Optional[np.ndarray] = None
+        if scaled_decode:
+            extra = ds_target / ds_lvl
+            if extra >= 2.0:
+                s = 8 if extra >= 8.0 else (4 if extra >= 4.0 else 2)
+                arr = self.extract_scaled((0, 0), level, (read_w, read_h), s)
+        if arr is None:
+            arr_any = self.extract((0, 0), lv=level, wh=(read_w, read_h), mode="array")
+            if not isinstance(arr_any, np.ndarray):
+                raise RuntimeError("Failed to read thumbnail region as array")
+            arr = arr_any
 
         out_w = max(1, int(round(W0 / ds_target)))
         out_h = max(1, int(round(H0 / ds_target)))

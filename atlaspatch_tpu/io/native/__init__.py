@@ -103,6 +103,19 @@ def load_library() -> ctypes.CDLL:
         ctypes.c_char_p,
         ctypes.c_int,
     ]
+    lib.atlas_read_region_scaled.restype = ctypes.c_int
+    lib.atlas_read_region_scaled.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_char_p,
+        ctypes.c_int,
+    ]
     lib.atlas_j2k_decode.restype = ctypes.c_int
     lib.atlas_j2k_decode.argtypes = [
         ctypes.POINTER(ctypes.c_uint8),
@@ -143,6 +156,14 @@ def load_library() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64,
+    ]
+    lib.atlas_points_polygon_test.restype = ctypes.c_int
+    lib.atlas_points_polygon_test.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int8),
     ]
     _LIB = lib
     return lib
@@ -199,6 +220,42 @@ class AtlasTiffFile:
         if rc != 0:
             raise RuntimeError(
                 f"atlas_tiff: read_region failed: {err.value.decode(errors='replace')}"
+            )
+        return out
+
+    def read_region_level_scaled(
+        self, level: int, x: int, y: int, w: int, h: int, scale_denom: int
+    ) -> "np.ndarray | None":
+        """Read an RGB region decoded at 1/scale_denom (libjpeg IDCT scaling).
+
+        x/y/w/h in LEVEL coordinates; output is ceil(w/s) x ceil(h/s) x 3.
+        Returns None when the level cannot be decoded scaled (non-JPEG
+        compression, off-grid geometry) — callers fall back to
+        read_region_level + host resize. Backs the thumbnail fast path
+        (reference reads the full level then resizes: iwsi.py:246-323).
+        """
+        s = int(scale_denom)
+        ow = (w + s - 1) // s
+        oh = (h + s - 1) // s
+        out = np.empty((oh, ow, 3), dtype=np.uint8)
+        err = ctypes.create_string_buffer(512)
+        rc = self._lib.atlas_read_region_scaled(
+            self._handle,
+            int(level),
+            int(x),
+            int(y),
+            int(w),
+            int(h),
+            s,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            err,
+            len(err),
+        )
+        if rc == -2:
+            return None
+        if rc != 0:
+            raise RuntimeError(
+                f"atlas_tiff: scaled read failed: {err.value.decode(errors='replace')}"
             )
         return out
 
@@ -278,6 +335,31 @@ def j2k_decode_rgb(buf: bytes, w: int, h: int, spp: int = 3, force_ycbcr: bool =
     )
     if rc != 0:
         raise RuntimeError(f"atlas_j2k_decode failed: {err.value.decode(errors='replace')}")
+    return out
+
+
+def native_points_polygon_test(polygon: np.ndarray, points: np.ndarray):
+    """Batched pointPolygonTest(measureDist=False): (M,) int8 of +1/0/-1.
+
+    Returns None when the native library is unavailable (caller falls back to
+    the numpy implementation in ops/polygon.py, which is also the oracle).
+    """
+    try:
+        lib = load_library()
+    except ImportError:
+        return None
+    poly = np.ascontiguousarray(np.asarray(polygon, dtype=np.int64).reshape(-1, 2))
+    pts = np.ascontiguousarray(np.asarray(points, dtype=np.int64).reshape(-1, 2))
+    out = np.empty(pts.shape[0], dtype=np.int8)
+    rc = lib.atlas_points_polygon_test(
+        poly.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        poly.shape[0],
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        pts.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"atlas_points_polygon_test failed ({rc})")
     return out
 
 

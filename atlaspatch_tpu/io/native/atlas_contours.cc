@@ -187,4 +187,48 @@ int atlas_find_contours(const uint8_t* mask, int h, int w, int max_contours,
   return -2;  // allocation or internal failure; never terminate the process
 }
 
+// Batched cv2.pointPolygonTest(measureDist=False) over M probe points
+// against one closed integer polygon. out[m] = +1 inside, 0 on boundary,
+// -1 outside — bit-identical to OpenCV's integer branch (the Python
+// fallback in ops/polygon.py is the parity oracle). This is the extraction
+// grid's containment probe (reference: atlas_patch/utils/contours.py:22-38,
+// services/extraction.py:83-128); the numpy version dominates the extract
+// stage at small candidate counts purely on array overhead.
+int atlas_points_polygon_test(const int64_t* poly, int64_t n, const int64_t* pts,
+                              int64_t m, int8_t* out) {
+  if (n <= 0 || m < 0) return -1;
+  for (int64_t k = 0; k < m; ++k) {
+    const int64_t px = pts[2 * k], py = pts[2 * k + 1];
+    int64_t crossings = 0;
+    bool on_edge = false;
+    // Directed edges v0->v with v0 = previous vertex (closed polygon).
+    int64_t v0x = poly[2 * (n - 1)], v0y = poly[2 * (n - 1) + 1];
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t vx = poly[2 * i], vy = poly[2 * i + 1];
+      // Boundary checks apply even to skipped edges: probe on a vertex, or
+      // on a horizontal edge at its own y.
+      if (py == vy &&
+          (px == vx || (py == v0y && ((v0x <= px && px <= vx) || (vx <= px && px <= v0x))))) {
+        on_edge = true;
+        break;
+      }
+      const bool skip = (v0y <= py && vy <= py) || (v0y > py && vy > py) ||
+                        (v0x < px && vx < px);
+      if (!skip) {
+        const int64_t dist = (py - v0y) * (vx - v0x) - (px - v0x) * (vy - v0y);
+        if (dist == 0) {
+          on_edge = true;
+          break;
+        }
+        const int64_t dist_signed = (vy < v0y) ? -dist : dist;
+        if (dist_signed > 0) ++crossings;
+      }
+      v0x = vx;
+      v0y = vy;
+    }
+    out[k] = on_edge ? 0 : ((crossings & 1) ? 1 : -1);
+  }
+  return 0;
+}
+
 }  // extern "C"

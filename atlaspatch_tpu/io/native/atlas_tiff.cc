@@ -357,7 +357,7 @@ static void jpeg_err_exit(j_common_ptr cinfo) {
 
 static bool jpeg_decode_rgb(const std::vector<uint8_t>& tables, const uint8_t* data,
                             size_t n, uint8_t* dst, uint64_t w, uint64_t h,
-                            uint32_t want_spp) {
+                            uint32_t want_spp, unsigned scale_denom = 1) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -375,6 +375,10 @@ static bool jpeg_decode_rgb(const std::vector<uint8_t>& tables, const uint8_t* d
   jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), static_cast<unsigned long>(n));
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = (want_spp == 1) ? JCS_GRAYSCALE : JCS_RGB;
+  // IDCT-domain downscale: 1/2, 1/4, 1/8 decode almost for free (smaller
+  // inverse DCT + fewer output pixels), used by the thumbnail fast path.
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = scale_denom > 0 ? scale_denom : 1;
   jpeg_start_decompress(&cinfo);
   if (cinfo.output_width > w || cinfo.output_height > h) {
     jpeg_abort_decompress(&cinfo);
@@ -713,6 +717,34 @@ struct AtlasTiff {
     }
     if (d.predictor == 2)
       for (uint64_t y = 0; y < ch; ++y) apply_predictor2(out + y * cw * d.spp, cw, d.spp);
+    return true;
+  }
+
+  // Decode chunk `idx` at 1/scale via libjpeg's IDCT-domain downscaling into
+  // an spp-interleaved buffer of ceil(cw/s) × ceil(ch/s). JPEG chunks only —
+  // callers check d.compression == 7 first.
+  bool decode_chunk_scaled(const IFD& d, uint64_t idx, uint8_t* out, uint64_t cw,
+                           uint64_t ch, unsigned s, std::string* err) const {
+    if (idx >= d.chunk_offsets.size()) {
+      *err = "chunk index out of range";
+      return false;
+    }
+    uint64_t cws = (cw + s - 1) / s, chs = (ch + s - 1) / s;
+    uint64_t off = d.chunk_offsets[idx];
+    uint64_t n = idx < d.chunk_counts.size() ? d.chunk_counts[idx] : 0;
+    if (n == 0) {  // missing tile ⇒ white
+      std::memset(out, 255, cws * chs * d.spp);
+      return true;
+    }
+    std::vector<uint8_t> raw(n);
+    if (!file.read_at(off, raw.data(), n)) {
+      *err = "read failed";
+      return false;
+    }
+    if (!jpeg_decode_rgb(d.jpeg_tables, raw.data(), n, out, cws, chs, d.spp, s)) {
+      *err = "scaled JPEG decode failed";
+      return false;
+    }
     return true;
   }
 };
@@ -1192,7 +1224,11 @@ static bool read_region_impl(const AtlasTiff* t, int level, int64_t x, int64_t y
   // whole-strip libjpeg decode.
   if (!d.tiled && d.compression == 7 && d.chunk_offsets.size() == 1 &&
       d.jpeg_tables.empty() && (d.spp == 1 || d.spp == 3)) {
-    bool huge = (uint64_t)W * (uint64_t)H * 3ull > (1ull << 30);
+    // The size-only trigger is an NDPI optimization (avoid whole-level
+    // decodes of multi-GiB single-JPEG levels); for generic TIFFs it stays
+    // advisory — when the stripe index is unusable we fall back to the
+    // whole-strip decode rather than failing files that used to work.
+    bool huge = t->ndpi && (uint64_t)W * (uint64_t)H * 3ull > (1ull << 30);
     JpegStripeIndex* si = t->stripe_index(t->levels[level].ifd_index);
     // Evidence of mismatch requires an actually-parsed baseline SOF; zeroed
     // dims (what NDPI writers emit past 65,535 px) count as mismatching.
@@ -1206,12 +1242,14 @@ static bool read_region_impl(const AtlasTiff* t, int level, int64_t x, int64_t y
         ok = si->usable && scan_stripe_segments(t->file, si);
       }
       if (!ok) {
+        if (huge && !mismatch) goto whole_strip;  // size heuristic only: retry whole
         *err = "single-strip JPEG needs striped decode but " + si->reason;
         return false;
       }
       return read_region_striped(t, d, *si, x, y, w, x0, y0, x1, y1, out, err);
     }
   }
+whole_strip:
 
   std::vector<uint8_t> chunk((size_t)(cw * chh * d.spp));
   for (int64_t ty = y0 / chh; ty * chh < y1; ++ty) {
@@ -1248,6 +1286,93 @@ static bool read_region_impl(const AtlasTiff* t, int level, int64_t x, int64_t y
     }
   }
   return true;
+}
+
+// Fill an RGB window decoded at 1/scale. x/y/w/h are LEVEL coordinates; out
+// holds ceil(w/s) × ceil(h/s) × 3 bytes. Only JPEG-compressed chunked levels
+// qualify (the DCT-domain downscale is what makes this cheap); anything else
+// returns kScaledUnsupported and the caller falls back to a full-resolution
+// read plus host resize. Thumbnail generation is the target: the reference
+// reads a whole pyramid level then cv2-resizes it down (reference:
+// atlas_patch/core/wsi/iwsi.py:246-323); decoding at 1/4 via libjpeg does the
+// same work in ~1/5 the cycles on this path.
+static constexpr int kScaledUnsupported = -2;
+
+static int read_region_scaled_impl(const AtlasTiff* t, int level, int64_t x,
+                                   int64_t y, int64_t w, int64_t h, unsigned s,
+                                   uint8_t* out, std::string* err) {
+  if (s == 1) return read_region_impl(t, level, x, y, w, h, out, err) ? 0 : -1;
+  if (s != 2 && s != 4 && s != 8) return kScaledUnsupported;
+  if (level < 0 || level >= (int)t->levels.size()) {
+    *err = "level out of range";
+    return -1;
+  }
+  const IFD& d = t->level_ifd(level);
+  if (d.compression != 7 || (d.spp != 1 && d.spp != 3)) return kScaledUnsupported;
+  // NDPI-style giant single-strip JPEGs go through the striped decoder; keep
+  // the fast path to plain tiled/striped pyramids.
+  if (!d.tiled && d.chunk_offsets.size() == 1 && d.jpeg_tables.empty())
+    return kScaledUnsupported;
+
+  const int64_t W = (int64_t)d.width, H = (int64_t)d.height;
+  int64_t cw = d.tiled ? (int64_t)d.tile_w : W;
+  int64_t chh = d.tiled ? (int64_t)d.tile_h : (int64_t)d.rows_per_strip;
+  if (cw <= 0 || chh <= 0) {
+    *err = "bad chunk geometry";
+    return -1;
+  }
+  // Chunk boxes must land on the scale grid or tile seams would shift. A
+  // ragged chunk height is fine only when it is the single/last chunk row.
+  if (x % s || y % s || cw % s) return kScaledUnsupported;
+  if (chh % s && chh < H) return kScaledUnsupported;
+
+  const int64_t Ws = (W + s - 1) / s, Hs = (H + s - 1) / s;
+  const int64_t xs = x / (int64_t)s, ys = y / (int64_t)s;
+  const int64_t ws = (w + s - 1) / s, hs = (h + s - 1) / s;
+  std::memset(out, 0, (size_t)(ws * hs * 3));
+
+  int64_t x0s = std::max<int64_t>(0, xs), y0s = std::max<int64_t>(0, ys);
+  int64_t x1s = std::min<int64_t>(Ws, xs + ws), y1s = std::min<int64_t>(Hs, ys + hs);
+  if (x0s >= x1s || y0s >= y1s) return 0;
+
+  const int64_t cws = cw / s;                    // chunk box in scaled space
+  const int64_t chs_box = (chh + s - 1) / s;     // strip rows (ceil: last strip)
+  int64_t tiles_across = d.tiled ? (W + cw - 1) / cw : 1;
+
+  std::vector<uint8_t> chunk((size_t)(cws * chs_box * d.spp));
+  int64_t ty0 = (y0s * (int64_t)s) / chh, ty1 = ((y1s - 1) * (int64_t)s) / chh;
+  int64_t tx0 = d.tiled ? (x0s * (int64_t)s) / cw : 0;
+  int64_t tx1 = d.tiled ? ((x1s - 1) * (int64_t)s) / cw : 0;
+  for (int64_t ty = ty0; ty <= ty1; ++ty) {
+    for (int64_t tx = tx0; tx <= tx1; ++tx) {
+      uint64_t idx = d.tiled ? (uint64_t)(ty * tiles_across + tx) : (uint64_t)ty;
+      int64_t this_ch = d.tiled ? chh : std::min<int64_t>(chh, H - ty * chh);
+      if (!t->decode_chunk_scaled(d, idx, chunk.data(), (uint64_t)cw,
+                                  (uint64_t)this_ch, s, err))
+        return -1;
+      int64_t cxs = tx * cws;                       // chunk origin, scaled space
+      int64_t cys = ty * (chh / (int64_t)s);
+      int64_t chs = (this_ch + (int64_t)s - 1) / (int64_t)s;
+      int64_t cx0 = std::max(x0s, cxs), cx1 = std::min(x1s, cxs + cws);
+      int64_t cy0 = std::max(y0s, cys), cy1 = std::min(y1s, cys + chs);
+      for (int64_t yy = cy0; yy < cy1; ++yy) {
+        const uint8_t* src =
+            chunk.data() + (size_t)((yy - cys) * cws + (cx0 - cxs)) * d.spp;
+        uint8_t* dstp = out + (size_t)((yy - ys) * ws + (cx0 - xs)) * 3;
+        int64_t count = cx1 - cx0;
+        if (d.spp == 3) {
+          std::memcpy(dstp, src, (size_t)count * 3);
+        } else {  // grayscale (invert for MinIsWhite)
+          bool invert = d.photometric == 0;
+          for (int64_t i = 0; i < count; ++i) {
+            uint8_t v = invert ? (uint8_t)(255 - src[i]) : src[i];
+            dstp[i * 3 + 0] = dstp[i * 3 + 1] = dstp[i * 3 + 2] = v;
+          }
+        }
+      }
+    }
+  }
+  return 0;
 }
 
 }  // namespace
@@ -1310,6 +1435,29 @@ int atlas_read_region(void* handle, int level, int64_t x, int64_t y, int64_t w,
     e = std::string("read failed: ") + ex.what();
   } catch (...) {
     e = "read failed: unknown C++ exception";
+  }
+  if (err && errlen > 0) snprintf(err, errlen, "%s", e.c_str());
+  return -1;
+}
+
+// Scaled region read: decode at 1/scale_denom via libjpeg IDCT downscaling.
+// out must hold ceil(w/scale)*ceil(h/scale)*3 bytes. Returns 0 on success,
+// -2 when this level/geometry does not support scaled decode (caller falls
+// back to atlas_read_region + host resize), -1 on error.
+int atlas_read_region_scaled(void* handle, int level, int64_t x, int64_t y,
+                             int64_t w, int64_t h, int scale_denom, uint8_t* out,
+                             char* err, int errlen) {
+  auto* t = static_cast<AtlasTiff*>(handle);
+  std::string e;
+  int rc = -1;
+  try {
+    rc = read_region_scaled_impl(t, level, x, y, w, h,
+                                 scale_denom > 0 ? (unsigned)scale_denom : 1, out, &e);
+    if (rc >= 0 || rc == kScaledUnsupported) return rc;
+  } catch (const std::exception& ex) {
+    e = std::string("scaled read failed: ") + ex.what();
+  } catch (...) {
+    e = "scaled read failed: unknown C++ exception";
   }
   if (err && errlen > 0) snprintf(err, errlen, "%s", e.c_str());
   return -1;

@@ -157,6 +157,25 @@ class TiffWSI(IWSI):
             return arr
         raise ValueError(f"Invalid mode: {mode}")
 
+    def extract_scaled(
+        self,
+        xy: Tuple[int, int],
+        lv: int,
+        wh: Tuple[int, int],
+        scale_denom: int,
+    ) -> Optional[np.ndarray]:
+        """Native scaled read (libjpeg IDCT downscaling); None ⇒ unsupported.
+
+        xy is in LEVEL coordinates here (thumbnail path reads whole levels).
+        """
+        self._ensure_loaded()
+        assert self._tiff is not None
+        if lv < 0 or lv >= (self.nlvl or 0):
+            raise IndexError(f"Level {lv} out of range")
+        return self._tiff.read_region_level_scaled(
+            lv, int(xy[0]), int(xy[1]), int(wh[0]), int(wh[1]), int(scale_denom)
+        )
+
     def get_size(self, lv: int = 0) -> Tuple[int, int]:
         self._ensure_loaded()
         if self.dims is None or lv < 0 or lv >= len(self.dims):

@@ -174,6 +174,12 @@ def finetune_sam2(
         "lr_schedule": lr_schedule,
         "warmup_steps": warmup_steps,
         "augment": augment,
+        # epochs + LR pin the optimizer's total_steps/peak: resuming with a
+        # different --epochs would silently re-shape the cosine decay, and a
+        # changed LR would break the exact-reproduction guarantee.
+        "epochs": epochs,
+        "learning_rate": learning_rate,
+        "total_steps": epochs * steps_per_epoch,
     }
     resumed_at = 0
     if resume:

@@ -40,7 +40,23 @@ def point_polygon_test(polygon: np.ndarray, points: np.ndarray) -> np.ndarray:
 
     Returns:
       (M,) int8 array: +1 inside, 0 on boundary, -1 outside.
+
+    Prefers the native C++ scan (io/native/atlas_contours.cc) — the numpy
+    path below is bit-identical and serves as both fallback and test oracle.
     """
+    try:
+        from atlaspatch_tpu.io.native import native_points_polygon_test
+
+        out = native_points_polygon_test(polygon, points)
+        if out is not None:
+            return out
+    except ImportError:
+        pass
+    return point_polygon_test_numpy(polygon, points)
+
+
+def point_polygon_test_numpy(polygon: np.ndarray, points: np.ndarray) -> np.ndarray:
+    """Pure-numpy reference implementation (see point_polygon_test)."""
     v0, v = _prep(polygon)
     pts = np.asarray(points, dtype=np.int64).reshape(-1, 2)
     px = pts[:, 0][:, None]  # (M,1)

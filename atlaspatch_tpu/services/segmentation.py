@@ -385,8 +385,14 @@ class SAM2SegmentationService(SegmentationService):
 
     def _prepare_thumbnail(self, wsi: IWSI):
         with perf.stage("thumbnail"):
+            # bfloat16 runs already depart from the reference's exact numeric
+            # chain, so let JPEG pyramids decode thumbnails at 1/2–1/8 scale
+            # natively (IDCT scaling; ~5x fewer host cycles, few-LSB drift).
+            # float32 keeps the reference-exact full-decode + AREA chain.
             thumb = wsi.get_thumbnail_at_power(
-                power=self.cfg.thumbnail_power, interpolation="optimise"
+                power=self.cfg.thumbnail_power,
+                interpolation="optimise",
+                scaled_decode=getattr(self.cfg, "precision", "float32") != "float32",
             )
             if self.cfg.thumbnail_max:
                 thumb.thumbnail((self.cfg.thumbnail_max, self.cfg.thumbnail_max))

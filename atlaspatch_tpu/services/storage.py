@@ -33,7 +33,7 @@ from typing import Any, Callable, Iterable, Mapping
 import h5py
 import numpy as np
 
-from atlaspatch_tpu.utils.h5 import H5AppendWriter
+from atlaspatch_tpu.utils.h5 import AtomicH5
 
 logger = logging.getLogger("atlaspatch_tpu.storage")
 
@@ -81,26 +81,8 @@ class H5PatchWriter:
         self.total_patches = int(total_patches) if total_patches is not None else None
         self.extra_file_attrs = dict(extra_file_attrs) if extra_file_attrs else {}
 
-    # --- passports -----------------------------------------------------------------
-    def _passport(self, x: int, y: int, rw: int, rh: int, lv: int) -> str:
-        if self.total_patches is None:
-            raise RuntimeError("total_patches must be set before generating passports")
-        mag_val: int | str = self.level0_mag if self.level0_mag else "na"
-        tgt_val: int | str = self.target_mag if self.target_mag else "na"
-        return (
-            f"{self.slide_stem}__x{x}_y{y}_rw{rw}_rh{rh}_lv{lv}"
-            f"_mag{mag_val}_tmag{tgt_val}_total{self.total_patches}"
-        )
-
     # --- seed + coord writing ------------------------------------------------------
-    def _seed_writer(self, output_path: Path) -> H5AppendWriter:
-        writer = H5AppendWriter(str(output_path), chunk_rows=self.chunk_rows)
-        writer.append(
-            {
-                "coords": np.empty((0, 5), dtype=np.int32),
-                "passports": np.empty((0,), dtype=_PASSPORT_DTYPE),
-            }
-        )
+    def _file_attrs(self) -> dict[str, Any]:
         level0_width, level0_height = self.level0_wh
         file_attrs: dict[str, Any] = {
             "patch_size": self.patch_size,
@@ -116,8 +98,19 @@ class H5PatchWriter:
             "creation_date": datetime.now(timezone.utc).isoformat(),
         }
         file_attrs.update(self.extra_file_attrs)
-        writer.update_file_attrs(file_attrs)
-        return writer
+        return file_attrs
+
+    def _passports_vec(self, coords: np.ndarray) -> np.ndarray:
+        """Vectorized passport strings for an (N,5) int coord array."""
+        mag_val: int | str = self.level0_mag if self.level0_mag else "na"
+        tgt_val: int | str = self.target_mag if self.target_mag else "na"
+        head = f"{self.slide_stem}__x"
+        tail = f"_mag{mag_val}_tmag{tgt_val}_total{self.total_patches}"
+        cols = coords.astype(np.int64).T
+        s = np.char.add(head, cols[0].astype("U12"))
+        for label, col in zip(("_y", "_rw", "_rh", "_lv"), cols[1:]):
+            s = np.char.add(np.char.add(s, label), col.astype("U12"))
+        return np.char.add(s, tail).astype(_PASSPORT_DTYPE)
 
     @staticmethod
     def _drain_png_future(fut: _fut.Future) -> None:
@@ -135,26 +128,24 @@ class H5PatchWriter:
         all_coords: list[tuple[int, int, int, int, int]],
         batch: int,
     ) -> int:
-        """Write a fully collected coordinate list (total already known)."""
+        """Write a fully collected coordinate list (total already known).
+
+        The two-pass count-then-write contract means the final size is known
+        here, so both datasets land in one HDF5 write each (still chunked with
+        an unlimited axis for schema parity with streamed writers)."""
         self.total_patches = len(all_coords)
-        writer = self._seed_writer(output_path)
-        total = 0
-        try:
-            step = max(1, int(batch))
-            for start in range(0, len(all_coords), step):
-                chunk = all_coords[start : start + step]
-                coords = np.asarray(chunk, dtype=np.int32).reshape(-1, 5)
-                passports = np.asarray(
-                    [self._passport(*c) for c in chunk], dtype=_PASSPORT_DTYPE
-                )
-                writer.append({"coords": coords, "passports": passports})
-                total += int(coords.shape[0])
-            writer.update_file_attrs({"num_patches": int(total)})
-            writer.close()
-        except Exception:
-            writer.abort()
-            raise
-        return total
+        coords = np.asarray(all_coords, dtype=np.int32).reshape(-1, 5)
+        passports = (
+            self._passports_vec(coords)
+            if coords.shape[0]
+            else np.empty((0,), dtype=_PASSPORT_DTYPE)
+        )
+        with AtomicH5(output_path, chunk_rows=self.chunk_rows) as store:
+            store.put_all("coords", coords)
+            store.put_all("passports", passports)
+            store.set_attrs(self._file_attrs())
+            store.set_attrs({"num_patches": int(coords.shape[0])})
+        return int(coords.shape[0])
 
     def write_coords(
         self,

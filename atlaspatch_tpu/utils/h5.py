@@ -1,62 +1,157 @@
-"""Append-only HDF5 writer with crash-safe atomic commit.
+"""Atomic HDF5 staging for patch/feature outputs.
 
-Same output contract as the reference writer (reference: atlas_patch/utils/h5.py:
-18-97): datasets grow along an unlimited first axis in fixed chunk rows; all
-writes land in a hidden temp file that is atomically renamed onto the target on
-close, so readers only ever observe absent or complete files. Dict-valued
-attributes are JSON-encoded; None becomes the string "None".
+Output contract (shared with the reference pipeline so downstream MIL readers
+are untouched, reference: atlas_patch/utils/h5.py:18-97): datasets carry an
+unlimited first axis with fixed chunk rows; dict attributes are JSON-encoded
+and None becomes the string "None"; files appear at their target path only
+complete — never partially written.
+
+The design here separates the two concerns instead of bundling them in one
+append-cursor object:
+
+  * ``AtomicH5`` owns the *staging lifecycle*: writes land in a sibling
+    ``.stage-*`` file, ``publish()`` renames it onto the target (POSIX-atomic),
+    ``discard()`` deletes it. As a context manager it publishes on clean exit
+    and discards on exception.
+  * Row storage is a pair of methods with different cost profiles:
+    ``put_rows`` extends a growable dataset (streaming producers, unknown
+    totals — the feature path), while ``put_all`` materializes a dataset of
+    known final size in a single HDF5 write (the coordinate path, where the
+    two-pass count-then-write design means totals are known up front).
+
+``H5AppendWriter`` remains as a thin facade over ``AtomicH5`` for callers and
+tests written against the append/close/abort surface.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import uuid
+import secrets
+from pathlib import Path
 from typing import Any, Mapping, Optional
 
 import h5py
 import numpy as np
 
 
-def _encode_attr(value: Any) -> Any:
+def encode_attr(value: Any) -> Any:
+    """HDF5-storable attribute encoding: dict → JSON, None → "None"."""
     if isinstance(value, dict):
         return json.dumps(value)
-    if value is None:
-        return "None"
-    return value
+    return "None" if value is None else value
+
+
+def write_attrs(node: Any, attrs: Mapping[str, Any]) -> None:
+    """Encode and set a mapping of attributes on any h5py node."""
+    for key, value in attrs.items():
+        node.attrs[key] = encode_attr(value)
+
+
+class AtomicH5:
+    """Staged HDF5 file: invisible until published, gone if discarded."""
+
+    def __init__(self, target: str | os.PathLike, chunk_rows: int = 8192) -> None:
+        self.target = Path(target).absolute()
+        self.chunk_rows = max(1, int(chunk_rows))
+        stage_name = f".stage-{os.getpid():x}-{secrets.token_hex(6)}-{self.target.name}"
+        self._stage_path: Optional[Path] = self.target.with_name(stage_name)
+        self.file: Optional[h5py.File] = h5py.File(self._stage_path, "w")
+
+    # --- row storage ---------------------------------------------------------
+    def _new_dataset(self, name: str, n_rows: int, row_shape: tuple, dtype) -> h5py.Dataset:
+        assert self.file is not None
+        return self.file.create_dataset(
+            name,
+            shape=(n_rows, *row_shape),
+            maxshape=(None, *row_shape),
+            chunks=(self.chunk_rows, *row_shape),
+            dtype=dtype,
+        )
+
+    def put_all(
+        self, name: str, array: np.ndarray, attrs: Mapping[str, Any] | None = None
+    ) -> h5py.Dataset:
+        """Create `name` at its final size and write every row at once."""
+        arr = np.asarray(array)
+        dset = self._new_dataset(name, arr.shape[0], arr.shape[1:], arr.dtype)
+        if arr.shape[0]:
+            dset[...] = arr
+        if attrs:
+            write_attrs(dset, attrs)
+        return dset
+
+    def put_rows(
+        self, name: str, array: np.ndarray, attrs: Mapping[str, Any] | None = None
+    ) -> h5py.Dataset:
+        """Append rows to `name`, creating it (empty) on first use."""
+        assert self.file is not None
+        arr = np.asarray(array)
+        dset = self.file.get(name)
+        if dset is None:
+            dset = self._new_dataset(name, 0, arr.shape[1:], arr.dtype)
+            if attrs:
+                write_attrs(dset, attrs)
+        n = int(arr.shape[0])
+        if n:
+            end = dset.shape[0] + n
+            dset.resize(end, axis=0)
+            dset[end - n : end] = arr
+        return dset
+
+    def set_attrs(self, attrs: Mapping[str, Any]) -> None:
+        assert self.file is not None
+        write_attrs(self.file, attrs)
+
+    # --- lifecycle -----------------------------------------------------------
+    @property
+    def live(self) -> bool:
+        return self._stage_path is not None
+
+    def publish(self) -> None:
+        """Close the staged file and rename it onto the target."""
+        if self._stage_path is None:
+            return
+        try:
+            if self.file is not None:
+                self.file.close()
+                self.file = None
+        finally:
+            os.replace(self._stage_path, self.target)
+            self._stage_path = None
+
+    def discard(self) -> None:
+        """Close and delete the staged file; the target is never touched."""
+        if self._stage_path is None:
+            return
+        try:
+            if self.file is not None:
+                self.file.close()
+                self.file = None
+        finally:
+            try:
+                self._stage_path.unlink(missing_ok=True)
+            except OSError:
+                pass
+            self._stage_path = None
+
+    def __enter__(self) -> "AtomicH5":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.publish()
+        else:
+            self.discard()
 
 
 class H5AppendWriter:
-    """Incremental writer: stage in `.name.tmp.<uuid>`, publish via os.replace."""
+    """Append-style facade over AtomicH5 (API parity for existing callers)."""
 
     def __init__(self, path: str, chunk_rows: int = 8192) -> None:
         self.path = path
         self.chunk_rows = int(chunk_rows)
-        self._target_path = os.path.abspath(path)
-        dir_name = os.path.dirname(self._target_path) or "."
-        base_name = os.path.basename(self._target_path)
-        self._tmp_path: str | None = os.path.join(
-            dir_name, f".{base_name}.tmp.{uuid.uuid4().hex}"
-        )
-        self._f = h5py.File(self._tmp_path, "w")
-        self._closed = False
-
-    def _ensure_dataset(
-        self, key: str, sample: np.ndarray, attrs: Optional[Mapping[str, Any]]
-    ) -> None:
-        if key in self._f:
-            return
-        row_shape = sample.shape[1:]
-        dset = self._f.create_dataset(
-            key,
-            shape=(0,) + row_shape,
-            maxshape=(None,) + row_shape,
-            chunks=(max(1, self.chunk_rows),) + row_shape,
-            dtype=sample.dtype,
-        )
-        if attrs:
-            for a_k, a_v in attrs.items():
-                dset.attrs[a_k] = _encode_attr(a_v)
+        self._store = AtomicH5(path, chunk_rows=chunk_rows)
 
     def append(
         self,
@@ -64,40 +159,13 @@ class H5AppendWriter:
         attributes: Optional[Mapping[str, Mapping[str, Any]]] = None,
     ) -> None:
         for key, val in assets.items():
-            self._ensure_dataset(key, val, attributes.get(key) if attributes else None)
-            n = int(val.shape[0])
-            if n == 0:
-                continue
-            dset = self._f[key]
-            cur = int(dset.shape[0])
-            dset.resize(cur + n, axis=0)
-            dset[cur : cur + n] = val
+            self._store.put_rows(key, val, attributes.get(key) if attributes else None)
 
     def update_file_attrs(self, file_attrs: Mapping[str, Any]) -> None:
-        for a_k, a_v in file_attrs.items():
-            self._f.attrs[a_k] = _encode_attr(a_v)
+        self._store.set_attrs(file_attrs)
 
     def close(self) -> None:
-        if self._closed:
-            return
-        try:
-            self._f.close()
-        finally:
-            if self._tmp_path is not None:
-                os.replace(self._tmp_path, self._target_path)
-                self._tmp_path = None
-            self._closed = True
+        self._store.publish()
 
     def abort(self) -> None:
-        """Discard all staged writes; the target path is left untouched."""
-        if self._closed:
-            return
-        try:
-            self._f.close()
-        finally:
-            if self._tmp_path and os.path.exists(self._tmp_path):
-                try:
-                    os.remove(self._tmp_path)
-                except OSError:
-                    pass
-            self._closed = True
+        self._store.discard()

@@ -309,3 +309,77 @@ def test_predictor2_strips_decode(tmp_path: Path, canvas, compression):
     t = AtlasTiffFile(str(path))
     out = t.read_region_level(0, 0, 0, canvas.shape[1], canvas.shape[0])
     np.testing.assert_array_equal(out, canvas)
+
+
+# --- scaled (IDCT-downscaled) reads ---------------------------------------------
+
+
+@pytest.mark.parametrize("scale", [2, 4, 8])
+def test_scaled_read_matches_area_resize(tmp_path: Path, canvas, scale):
+    """IDCT-scaled decode tracks full decode + AREA resize within a few LSBs."""
+    import cv2
+
+    path = tmp_path / "jp.svs"
+    write_pyramid(path, canvas, levels=1, tile=64, compression=7)
+    t = AtlasTiffFile(str(path))
+    h, w = canvas.shape[:2]
+    out = t.read_region_level_scaled(0, 0, 0, w, h, scale)
+    assert out is not None
+    assert out.shape == ((h + scale - 1) // scale, (w + scale - 1) // scale, 3)
+    full = t.read_region_level(0, 0, 0, w, h)
+    ref = cv2.resize(full, (out.shape[1], out.shape[0]), interpolation=cv2.INTER_AREA)
+    diff = np.abs(ref.astype(np.int16) - out.astype(np.int16))
+    assert diff.mean() < 2.0
+    assert diff.max() <= 40  # block edges under IDCT scaling vs box average
+
+
+def test_scaled_read_subwindow_and_oob(tmp_path: Path, canvas):
+    """Sub-window scaled reads align with the scaled full read; OOB pads black."""
+    path = tmp_path / "jp.svs"
+    write_pyramid(path, canvas, levels=1, tile=64, compression=7)
+    t = AtlasTiffFile(str(path))
+    h, w = canvas.shape[:2]
+    whole = t.read_region_level_scaled(0, 0, 0, w, h, 4)
+    sub = t.read_region_level_scaled(0, 64, 64, 256, 128, 4)
+    np.testing.assert_array_equal(sub, whole[16 : 16 + 32, 16 : 16 + 64])
+    # window hanging past the right/bottom edge: zero padding
+    over = t.read_region_level_scaled(0, w - 64, h - 64, 256, 256, 4)
+    assert over.shape == (64, 64, 3)
+    np.testing.assert_array_equal(over[:16, :16], whole[-16:, -16:])
+    assert (over[20:, :] == 0).all() and (over[:, 20:] == 0).all()
+
+
+def test_scaled_read_unsupported_falls_back(tmp_path: Path, canvas):
+    """Non-JPEG levels and off-grid windows return None (caller falls back)."""
+    path = tmp_path / "raw.tiff"
+    write_pyramid(path, canvas, levels=1, tile=64, compression=8)
+    t = AtlasTiffFile(str(path))
+    assert t.read_region_level_scaled(0, 0, 0, 512, 384, 4) is None
+    jp = tmp_path / "jp.svs"
+    write_pyramid(jp, canvas, levels=1, tile=64, compression=7)
+    tj = AtlasTiffFile(str(jp))
+    assert tj.read_region_level_scaled(0, 3, 0, 64, 64, 4) is None  # x not on grid
+    assert tj.read_region_level_scaled(0, 0, 0, 64, 64, 3) is None  # odd scale
+
+
+def test_thumbnail_scaled_decode_parity(tmp_path: Path):
+    """get_thumbnail_at_power(scaled_decode=True) ≈ the exact chain, and
+    silently falls back for non-JPEG pyramids."""
+    big = make_tissue_canvas(2048, 1536, seed=7, n_blobs=3)
+    desc = "Aperio Image Library v12\r\n2048x1536 | AppMag = 20 | MPP = 0.5"
+    jp = tmp_path / "jp.svs"
+    write_pyramid(jp, big, levels=3, tile=64, compression=7, description=desc)
+    wsi = TiffWSI(path=str(jp))
+    exact = np.asarray(wsi.get_thumbnail_at_power(power=1.25), np.int16)
+    fast = np.asarray(wsi.get_thumbnail_at_power(power=1.25, scaled_decode=True), np.int16)
+    assert exact.shape == fast.shape
+    assert np.abs(exact - fast).mean() < 2.0
+
+    raw = tmp_path / "raw.tiff"
+    write_pyramid(raw, big, levels=3, tile=64, compression=8, description=desc)
+    wsi_raw = TiffWSI(path=str(raw))
+    exact_raw = np.asarray(wsi_raw.get_thumbnail_at_power(power=1.25), np.uint8)
+    fast_raw = np.asarray(
+        wsi_raw.get_thumbnail_at_power(power=1.25, scaled_decode=True), np.uint8
+    )
+    np.testing.assert_array_equal(exact_raw, fast_raw)
