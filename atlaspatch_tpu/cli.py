@@ -675,6 +675,40 @@ def evaluate_masks(pred_dir, truth_dir, threshold, csv_path):
         click.echo(f"CSV: {csv_path}")
 
 
+@cli.command("verify-weights")
+@click.argument("weights_dir", type=click.Path(exists=True, file_okay=False))
+@click.option("--names", default=None,
+              help="Comma-separated encoder names (default: all 66).")
+@click.option("--smoke/--no-smoke", default=True, show_default=True,
+              help="Run a 1-image CPU forward per checkpoint (slow for "
+                   "giant towers); --no-smoke stops at converter + shape checks.")
+@click.option("--no-sam2", is_flag=True, help="Skip SAM2 checkpoint detection.")
+def verify_weights_cmd(weights_dir, names, smoke, no_sam2):
+    """Preflight checkpoints: converter → shape check → forward smoke.
+
+    One PASS/FAIL/SKIP line per encoder found under WEIGHTS_DIR (or the HF
+    cache). Run this the moment real weights land so layout drift surfaces
+    before a cohort job, not mid-run (the reference loads lazily at embed
+    time: reference feature_embedding.py:277-310). Exits non-zero if any
+    checkpoint FAILs; SKIPs (no checkpoint) are informational.
+    """
+    from atlaspatch_tpu.tools.verify_weights import run_preflight
+
+    name_list = [n.strip() for n in names.split(",") if n.strip()] if names else None
+    try:
+        results = run_preflight(
+            Path(weights_dir),
+            names=name_list,
+            smoke=smoke,
+            include_sam2=not no_sam2,
+            report=click.echo,
+        )
+    except ValueError as e:
+        raise click.ClickException(str(e)) from e
+    if any(r.status == "FAIL" for r in results):
+        sys.exit(1)
+
+
 def main():
     try:
         cli()

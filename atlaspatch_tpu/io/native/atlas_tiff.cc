@@ -417,6 +417,7 @@ struct JpegStripeIndex {
   bool usable = false;   // header parsed AND segment geometry viable
   bool scanned = false;  // entropy segments enumerated (lazy; see below)
   bool sof_seen = false;  // a baseline SOF was parsed (hdr dims are real)
+  bool seq_ok = false;   // header + entropy span usable for sequential decode
   std::string reason;
   uint64_t hdr_w = 0, hdr_h = 0;  // dims as declared in the SOF marker
   std::vector<uint8_t> header;    // SOI..SOS inclusive, DRI removed
@@ -541,12 +542,17 @@ static void build_stripe_index(const FileReader& file, const IFD& d,
     si->reason = "no SOF marker";
     return;
   }
+  // Header + entropy span are enough for the sequential (row-capped)
+  // fallback even when restart-marker striping is impossible below.
+  si->mcu_w = 8 * max_h;
+  si->mcu_h = 8 * max_v;
+  si->entropy_start = entropy_start;
+  si->entropy_end = off + len;
+  si->seq_ok = true;
   if (!dri) {
     si->reason = "no restart interval";
     return;
   }
-  si->mcu_w = 8 * max_h;
-  si->mcu_h = 8 * max_v;
   uint64_t mcus_per_row = (d.width + si->mcu_w - 1) / si->mcu_w;
   if (mcus_per_row == 0) {
     si->reason = "zero-width image";
@@ -608,6 +614,77 @@ static bool scan_stripe_segments(const FileReader& file, JpegStripeIndex* si) {
   si->segs.resize(si->expected_segs);
   return true;
 }
+
+// --- sequential (row-capped) fallback for streams without usable restarts ----
+// A libjpeg source manager that serves (1) the rebuilt header with patched SOF
+// dims, then (2) entropy bytes streamed from the file in bounded chunks, then
+// (3) a synthetic EOI. Lets a giant single-JPEG level decode top-down without
+// ever materializing the whole strip, stopping after the rows a window needs.
+struct StreamJpegSrc {
+  jpeg_source_mgr mgr;
+  const FileReader* file = nullptr;
+  uint64_t pos = 0, end = 0;
+  std::vector<uint8_t> chunk;
+  const std::vector<uint8_t>* header = nullptr;
+  int state = 0;  // 0 = serve header, 1 = stream entropy, 2 = EOI served
+  bool io_error = false;
+};
+
+static void stream_src_init(j_decompress_ptr) {}
+static void stream_src_term(j_decompress_ptr) {}
+
+static boolean stream_src_fill(j_decompress_ptr cinfo) {
+  static const uint8_t kEOI[2] = {0xFF, 0xD9};
+  auto* s = reinterpret_cast<StreamJpegSrc*>(cinfo->src);
+  if (s->state == 0) {
+    s->state = 1;
+    s->mgr.next_input_byte = s->header->data();
+    s->mgr.bytes_in_buffer = s->header->size();
+    return TRUE;
+  }
+  if (s->state == 1 && s->pos < s->end) {
+    size_t n = (size_t)std::min<uint64_t>(s->chunk.size(), s->end - s->pos);
+    if (!s->file->read_at(s->pos, s->chunk.data(), n)) {
+      s->io_error = true;
+      s->state = 2;
+    } else {
+      s->pos += n;
+      s->mgr.next_input_byte = s->chunk.data();
+      s->mgr.bytes_in_buffer = n;
+      return TRUE;
+    }
+  }
+  s->state = 2;
+  s->mgr.next_input_byte = kEOI;
+  s->mgr.bytes_in_buffer = 2;
+  return TRUE;
+}
+
+static void stream_src_skip(j_decompress_ptr cinfo, long num_bytes) {
+  auto* s = reinterpret_cast<StreamJpegSrc*>(cinfo->src);
+  while (num_bytes > 0) {
+    if ((size_t)num_bytes <= s->mgr.bytes_in_buffer) {
+      s->mgr.next_input_byte += num_bytes;
+      s->mgr.bytes_in_buffer -= num_bytes;
+      return;
+    }
+    num_bytes -= (long)s->mgr.bytes_in_buffer;
+    s->mgr.bytes_in_buffer = 0;
+    stream_src_fill(cinfo);
+  }
+}
+
+// Decode rows [y0,y1) × cols [x0,x1) of a single-strip JPEG without restart
+// markers by streaming a sequential top-down decode capped at y1 (SOF height
+// patched down so libjpeg stops exactly at the last needed MCU row). Matches
+// OpenSlide's ability to open such files (the reference relies on it via
+// openslide_wsi.py:198); whole-strip decode would need W*H*3 bytes.
+struct AtlasTiff;
+static bool read_region_jpeg_sequential(const AtlasTiff* t, const IFD& d,
+                                        const JpegStripeIndex& si, int64_t x,
+                                        int64_t y, int64_t w, int64_t x0,
+                                        int64_t y0, int64_t x1, int64_t y1,
+                                        uint8_t* out, std::string* err);
 
 // --------------------------------------------------------------------- handle
 struct Level {
@@ -748,6 +825,104 @@ struct AtlasTiff {
     return true;
   }
 };
+
+static bool read_region_jpeg_sequential(const AtlasTiff* t, const IFD& d,
+                                        const JpegStripeIndex& si, int64_t x,
+                                        int64_t y, int64_t w, int64_t x0,
+                                        int64_t y0, int64_t x1, int64_t y1,
+                                        uint8_t* out, std::string* err) {
+  const int64_t W = (int64_t)d.width;
+  if (W > 65535) {
+    *err = "width beyond 65535 needs restart markers";
+    return false;
+  }
+  if (y1 > 65535) {
+    *err = "window rows beyond 65535 need restart markers";
+    return false;
+  }
+  const uint64_t mcu_h = si.mcu_h ? si.mcu_h : 8;
+  uint64_t hp = std::min<uint64_t>((uint64_t)d.height, 65535);
+  hp = std::min<uint64_t>(hp, (((uint64_t)y1 + mcu_h - 1) / mcu_h) * mcu_h);
+
+  std::vector<uint8_t> hdr = si.header;  // SOF patched to (W, hp)
+  hdr[si.sof_dims_off + 0] = (uint8_t)(hp >> 8);
+  hdr[si.sof_dims_off + 1] = (uint8_t)(hp & 0xFF);
+  hdr[si.sof_dims_off + 2] = (uint8_t)((uint64_t)W >> 8);
+  hdr[si.sof_dims_off + 3] = (uint8_t)((uint64_t)W & 0xFF);
+
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    *err = "sequential JPEG decode failed";
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  StreamJpegSrc src;
+  src.file = &t->file;
+  src.pos = si.entropy_start;
+  // Stream to EOF, not the declared strip length: NDPI >4 GiB files wrap
+  // StripByteCounts; the decode is height-capped, so a generous end is safe.
+  src.end = std::max<uint64_t>(si.entropy_end, t->file.size);
+  src.chunk.resize(4u << 20);
+  src.header = &hdr;
+  src.mgr.init_source = stream_src_init;
+  src.mgr.fill_input_buffer = stream_src_fill;
+  src.mgr.skip_input_data = stream_src_skip;
+  src.mgr.resync_to_restart = jpeg_resync_to_restart;
+  src.mgr.term_source = stream_src_term;
+  src.mgr.bytes_in_buffer = 0;
+  src.mgr.next_input_byte = nullptr;
+  cinfo.src = &src.mgr;
+
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = (d.spp == 1) ? JCS_GRAYSCALE : JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  const uint32_t comps = cinfo.output_components;
+  if ((int64_t)cinfo.output_width != W) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    *err = "sequential decode width mismatch";
+    return false;
+  }
+  std::vector<uint8_t> rowbuf((size_t)cinfo.output_width * comps);
+  JSAMPROW rowptr = rowbuf.data();
+  const bool invert = d.photometric == 0 && d.spp == 1;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    int64_t yy = (int64_t)cinfo.output_scanline;
+    jpeg_read_scanlines(&cinfo, &rowptr, 1);
+    if (src.io_error) {
+      jpeg_abort_decompress(&cinfo);
+      jpeg_destroy_decompress(&cinfo);
+      *err = "read failed during sequential decode";
+      return false;
+    }
+    if (yy >= y0 && yy < y1) {
+      uint8_t* dstp = out + (size_t)((yy - y) * w + (x0 - x)) * 3;
+      int64_t count = x1 - x0;
+      if (comps >= 3) {
+        const uint8_t* srcp = rowbuf.data() + (size_t)x0 * comps;
+        for (int64_t i = 0; i < count; ++i) {
+          dstp[i * 3 + 0] = srcp[i * comps + 0];
+          dstp[i * 3 + 1] = srcp[i * comps + 1];
+          dstp[i * 3 + 2] = srcp[i * comps + 2];
+        }
+      } else {
+        const uint8_t* srcp = rowbuf.data() + (size_t)x0;
+        for (int64_t i = 0; i < count; ++i) {
+          uint8_t v = invert ? (uint8_t)(255 - srcp[i]) : srcp[i];
+          dstp[i * 3 + 0] = dstp[i * 3 + 1] = dstp[i * 3 + 2] = v;
+        }
+      }
+    }
+    if (yy + 1 >= y1) break;  // everything needed is copied
+  }
+  jpeg_abort_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
 
 // ------------------------------------------------------------------ IFD parse
 static bool parse_ifds(AtlasTiff* t) {
@@ -1243,7 +1418,15 @@ static bool read_region_impl(const AtlasTiff* t, int level, int64_t x, int64_t y
       }
       if (!ok) {
         if (huge && !mismatch) goto whole_strip;  // size heuristic only: retry whole
+        // No usable restart segments (e.g. no DRI): stream a sequential
+        // top-down decode capped at the needed rows instead of failing.
+        std::string seq_err;
+        if (si->seq_ok &&
+            read_region_jpeg_sequential(t, d, *si, x, y, w, x0, y0, x1, y1, out,
+                                        &seq_err))
+          return true;
         *err = "single-strip JPEG needs striped decode but " + si->reason;
+        if (!seq_err.empty()) *err += "; sequential fallback: " + seq_err;
         return false;
       }
       return read_region_striped(t, d, *si, x, y, w, x0, y0, x1, y1, out, err);

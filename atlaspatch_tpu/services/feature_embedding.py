@@ -95,6 +95,8 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
         """Read + resize a block of patches concurrently on host threads."""
         import cv2
 
+        from atlaspatch_tpu.utils import perf
+
         def read_one(row):
             x, y, rw, rh, lv = (int(v) for v in row)
             patch = wsi.extract((x, y), lv=lv, wh=(rw, rh), mode="array")
@@ -104,13 +106,37 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
                 patch = cv2.resize(patch, (self.cfg.patch_size, self.cfg.patch_size))
             return patch
 
-        workers = max(1, min(16, self.feature_cfg.num_workers or (os.cpu_count() or 4)))
-        if workers == 1 or len(coords) <= 1:
-            patches = [read_one(row) for row in coords]
-        else:
-            with ThreadPoolExecutor(max_workers=workers, thread_name_prefix="patch-read") as ex:
-                patches = list(ex.map(read_one, coords))
+        with perf.stage("patch_read"):
+            workers = max(1, min(16, self.feature_cfg.num_workers or (os.cpu_count() or 4)))
+            if workers == 1 or len(coords) <= 1:
+                patches = [read_one(row) for row in coords]
+            else:
+                with ThreadPoolExecutor(
+                    max_workers=workers, thread_name_prefix="patch-read"
+                ) as ex:
+                    patches = list(ex.map(read_one, coords))
         return [p for p in patches if p is not None]
+
+    def _prepare_slide(self, res: ExtractionResult, wsi_loader):
+        """Producer stage for the cross-slide pipeline: open the slide, read
+        its coords, and pre-read the FIRST pixel block — everything the
+        embed loop would otherwise do serially between slides. Runs on a
+        background thread while the previous slide's batches are on device
+        (the reference re-reads patches strictly serially per slide:
+        reference feature_embedding.py:81-96)."""
+        wsi = wsi_loader.open(res.slide)
+        try:
+            with h5py.File(res.h5_path, "r") as f:
+                coords = f["coords"][:]
+            batch = max(1, int(self.feature_cfg.batch_size))
+            first = self._read_patch_block(wsi, coords[:batch])
+            return wsi, coords, first
+        except Exception:
+            try:
+                wsi.cleanup()
+            except Exception:
+                pass
+            raise
 
     # --- locks ----------------------------------------------------------------------
     def _acquire_feature_lock(self, slide) -> tuple[int | None, Path]:
@@ -173,7 +199,7 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
 
     # --- embedding ------------------------------------------------------------------
     def _embed_with_extractor(
-        self, *, result: ExtractionResult, wsi: IWSI, extractor
+        self, *, result: ExtractionResult, wsi: IWSI, extractor, preloaded=None
     ) -> ExtractionResult:
         lock_fd: int | None = None
         lock_path: Path | None = None
@@ -201,8 +227,12 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
                 )
                 return self._update_metadata_feature_sets(result)
 
-            with h5py.File(result.h5_path, "r") as f:
-                coords = f["coords"][:]
+            if preloaded is not None:
+                coords, first_block = preloaded
+            else:
+                with h5py.File(result.h5_path, "r") as f:
+                    coords = f["coords"][:]
+                first_block = None
 
             # One-block-ahead read pipeline: while the device embeds block i,
             # a background thread reads block i+1's pixels from the slide.
@@ -210,6 +240,12 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
             total_rows = int(coords.shape[0])
             prefetcher = ThreadPoolExecutor(max_workers=1, thread_name_prefix="block-read")
             pending: dict[int, object] = {}
+            if first_block is not None:
+                from concurrent.futures import Future
+
+                seeded: Future = Future()
+                seeded.set_result(first_block)
+                pending[0] = seeded
 
             def read_block(start: int) -> list:
                 stop = min(start + batch, total_rows)
@@ -303,15 +339,30 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
                             progress.update(1)
                 continue
 
+            # Cross-slide pipeline: a producer thread opens slide i+1, reads
+            # its coords, and pre-reads its first pixel block while slide i's
+            # batches are on the device. With the per-slide one-block-ahead
+            # reader this removes the remaining between-slide host stall.
+            todo = [r for r in results if name in pending.get(r.h5_path, set())]
+            prep_pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="slide-prep")
+            prep_fut = prep_pool.submit(self._prepare_slide, todo[0], wsi_loader) if todo else None
             try:
-                for res in results:
-                    if name not in pending.get(res.h5_path, set()):
-                        continue
+                for i, res in enumerate(todo):
+                    next_fut = (
+                        prep_pool.submit(self._prepare_slide, todo[i + 1], wsi_loader)
+                        if i + 1 < len(todo)
+                        else None
+                    )
                     wsi = None
                     try:
+                        wsi, coords, first = prep_fut.result()
                         if not self._feature_present(res, extractor.name):
-                            wsi = wsi_loader.open(res.slide)
-                            self._embed_with_extractor(result=res, wsi=wsi, extractor=extractor)
+                            self._embed_with_extractor(
+                                result=res,
+                                wsi=wsi,
+                                extractor=extractor,
+                                preloaded=(coords, first),
+                            )
                         self._update_metadata_feature_sets(res)
                     except Exception as e:  # noqa: BLE001
                         failures.append((res.slide, e))
@@ -323,7 +374,17 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
                                 pass
                     if progress:
                         progress.update(1)
+                    prep_fut = next_fut
             finally:
+                # Drain an outstanding prep (early exit paths) so its WSI
+                # handle is not leaked.
+                if prep_fut is not None:
+                    try:
+                        leftover_wsi, _c, _f = prep_fut.result()
+                        leftover_wsi.cleanup()
+                    except Exception:
+                        pass
+                prep_pool.shutdown(wait=True)
                 try:
                     extractor.cleanup()
                 except Exception:

@@ -1,0 +1,237 @@
+"""Weight preflight: converter → shape check → forward smoke, one line each.
+
+The reference loads checkpoints lazily at embed time, so a bad download or a
+layout drift only surfaces mid-cohort (reference:
+atlas_patch/services/feature_embedding.py:277-310, models/patch/*.py). Here
+validation is one command run the moment weights land on disk:
+
+    atlaspatch-tpu verify-weights <dir> [--names a,b] [--no-smoke]
+
+For every encoder whose checkpoint is discoverable (``<dir>/<name>.{npz,
+safetensors,pt,pth,bin}`` or the HF cache), the preflight runs the real
+converter, compares every converted array's shape against the model's init
+shapes (jax.eval_shape — no weights materialized), and optionally executes a
+1-image forward on CPU checking output dim + finiteness. A SAM2 checkpoint
+(``sam2*.{npz,pt,pth}`` or ``model.pth``) is validated through the SAM2
+converter and a segment_step smoke the same way.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from pathlib import Path
+from typing import Callable, Iterable
+
+import numpy as np
+
+logger = logging.getLogger("atlaspatch_tpu.verify_weights")
+
+
+@dataclasses.dataclass
+class PreflightResult:
+    name: str
+    status: str  # PASS | FAIL | SKIP
+    detail: str
+    path: Path | None = None
+    seconds: float = 0.0
+
+    def line(self) -> str:
+        where = f" [{self.path.name}]" if self.path is not None else ""
+        return f"{self.status:4s} {self.name:24s} {self.detail}{where} ({self.seconds:.1f}s)"
+
+
+def _tree_shape_diff(converted, expected) -> list[str]:
+    """Human-readable diffs between a converted param tree and init shapes."""
+    import jax
+
+    conv = {"/".join(map(str, [getattr(k, "key", k) for k in path])): np.shape(leaf)
+            for path, leaf in jax.tree_util.tree_flatten_with_path(converted)[0]}
+    want = {"/".join(map(str, [getattr(k, "key", k) for k in path])): tuple(leaf.shape)
+            for path, leaf in jax.tree_util.tree_flatten_with_path(expected)[0]}
+    diffs = []
+    for key in sorted(set(conv) | set(want)):
+        if key not in conv:
+            diffs.append(f"missing {key} {want[key]}")
+        elif key not in want:
+            diffs.append(f"unexpected {key} {conv[key]}")
+        elif tuple(conv[key]) != tuple(want[key]):
+            diffs.append(f"shape {key}: ckpt {tuple(conv[key])} vs model {want[key]}")
+    return diffs
+
+
+def verify_encoder(entry, path: Path, *, smoke: bool = True) -> PreflightResult:
+    """Convert one checkpoint and validate it against its registered tower."""
+    import jax
+    import jax.numpy as jnp
+
+    from atlaspatch_tpu.models.encoders.zoo import _convert, _load_state_dict, _model_for
+
+    t0 = time.perf_counter()
+    try:
+        if path.suffix == ".npz":
+            from atlaspatch_tpu.tools.convert_weights import unflatten
+
+            params = unflatten(dict(np.load(path)))
+        else:
+            params = _convert(entry, _load_state_dict(path))
+    except Exception as e:  # noqa: BLE001 — each failure is one report row
+        return PreflightResult(
+            entry.name, "FAIL", f"converter: {e}", path, time.perf_counter() - t0
+        )
+
+    model = _model_for(entry)
+    size = entry.preprocess.crop
+    try:
+        expected = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.float32))
+        )["params"]
+        diffs = _tree_shape_diff(params, expected)
+    except Exception as e:  # noqa: BLE001
+        return PreflightResult(
+            entry.name, "FAIL", f"shape check: {e}", path, time.perf_counter() - t0
+        )
+    if diffs:
+        shown = "; ".join(diffs[:4]) + ("; ..." if len(diffs) > 4 else "")
+        return PreflightResult(
+            entry.name, "FAIL", f"{len(diffs)} shape diffs: {shown}", path,
+            time.perf_counter() - t0,
+        )
+    n_params = sum(int(np.prod(np.shape(p))) for p in jax.tree.leaves(params))
+
+    if not smoke:
+        return PreflightResult(
+            entry.name, "PASS", f"{n_params / 1e6:.1f}M params, shapes ok (no smoke)",
+            path, time.perf_counter() - t0,
+        )
+    try:
+        params_j = jax.tree.map(lambda a: jnp.asarray(np.asarray(a), jnp.float32), params)
+        if entry.family == "beit3":
+            from atlaspatch_tpu.models.encoders.beit3 import musk_ms_aug_apply
+
+            out = musk_ms_aug_apply(model, params_j, jnp.zeros((1, size, size, 3)))
+        else:
+            out = model.apply({"params": params_j}, jnp.zeros((1, size, size, 3)))
+        out = np.asarray(out)
+    except Exception as e:  # noqa: BLE001
+        return PreflightResult(
+            entry.name, "FAIL", f"forward: {e}", path, time.perf_counter() - t0
+        )
+    if out.shape != (1, entry.embedding_dim):
+        return PreflightResult(
+            entry.name, "FAIL",
+            f"forward shape {out.shape} != (1, {entry.embedding_dim})", path,
+            time.perf_counter() - t0,
+        )
+    if not np.isfinite(out).all():
+        return PreflightResult(
+            entry.name, "FAIL", "forward produced non-finite values", path,
+            time.perf_counter() - t0,
+        )
+    return PreflightResult(
+        entry.name, "PASS",
+        f"{n_params / 1e6:.1f}M params, forward ({1},{entry.embedding_dim}) finite",
+        path, time.perf_counter() - t0,
+    )
+
+
+def _find_sam2_checkpoint(weights_dir: Path) -> Path | None:
+    for pattern in ("sam2*.npz", "sam2*.pt", "sam2*.pth", "model.pth"):
+        matches = sorted(weights_dir.glob(pattern))
+        if matches:
+            return matches[0]
+    return None
+
+
+def verify_sam2(path: Path, *, smoke: bool = True) -> PreflightResult:
+    import jax
+    import jax.numpy as jnp
+
+    from atlaspatch_tpu.models.sam2.config import SAM2Config
+    from atlaspatch_tpu.models.sam2.model import init_params, segment_step
+
+    t0 = time.perf_counter()
+    cfg = SAM2Config.tiny()
+    try:
+        if path.suffix == ".npz":
+            from atlaspatch_tpu.tools.convert_weights import unflatten
+
+            params = unflatten(dict(np.load(path)))
+        else:
+            from atlaspatch_tpu.models.sam2.convert import load_checkpoint
+
+            params = load_checkpoint(str(path), cfg)
+    except Exception as e:  # noqa: BLE001
+        return PreflightResult("sam2_hiera_tiny", "FAIL", f"converter: {e}", path,
+                               time.perf_counter() - t0)
+    try:
+        expected = jax.eval_shape(lambda: init_params(cfg))
+        diffs = _tree_shape_diff(params, expected)
+    except Exception as e:  # noqa: BLE001
+        return PreflightResult("sam2_hiera_tiny", "FAIL", f"shape check: {e}", path,
+                               time.perf_counter() - t0)
+    if diffs:
+        shown = "; ".join(diffs[:4]) + ("; ..." if len(diffs) > 4 else "")
+        return PreflightResult(
+            "sam2_hiera_tiny", "FAIL", f"{len(diffs)} shape diffs: {shown}", path,
+            time.perf_counter() - t0,
+        )
+    if not smoke:
+        return PreflightResult("sam2_hiera_tiny", "PASS", "shapes ok (no smoke)", path,
+                               time.perf_counter() - t0)
+    try:
+        params_j = jax.tree.map(lambda a: jnp.asarray(np.asarray(a), jnp.float32), params)
+        images = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.uint8)
+        logits = np.asarray(segment_step(cfg, params_j, images))
+    except Exception as e:  # noqa: BLE001
+        return PreflightResult("sam2_hiera_tiny", "FAIL", f"forward: {e}", path,
+                               time.perf_counter() - t0)
+    if not np.isfinite(logits).all():
+        return PreflightResult("sam2_hiera_tiny", "FAIL", "non-finite mask logits", path,
+                               time.perf_counter() - t0)
+    return PreflightResult(
+        "sam2_hiera_tiny", "PASS",
+        f"segment_step {logits.shape} finite", path, time.perf_counter() - t0,
+    )
+
+
+def run_preflight(
+    weights_dir: Path,
+    *,
+    names: Iterable[str] | None = None,
+    smoke: bool = True,
+    include_sam2: bool = True,
+    report: Callable[[str], None] = print,
+) -> list[PreflightResult]:
+    """Validate every discoverable checkpoint; returns all result rows."""
+    from atlaspatch_tpu.models.encoders.zoo import ENTRIES, _find_cached_weights
+
+    os.environ["ATLASPATCH_WEIGHTS_DIR"] = str(weights_dir)
+    wanted = list(names) if names else sorted(ENTRIES)
+    unknown = [n for n in wanted if n not in ENTRIES]
+    if unknown:
+        raise ValueError(f"unknown encoder name(s): {', '.join(unknown)}")
+
+    results: list[PreflightResult] = []
+    for name in wanted:
+        entry = ENTRIES[name]
+        path = _find_cached_weights(entry)
+        if path is None:
+            results.append(PreflightResult(name, "SKIP", "no checkpoint found"))
+        else:
+            results.append(verify_encoder(entry, path, smoke=smoke))
+        report(results[-1].line())
+
+    if include_sam2:
+        sam2_path = _find_sam2_checkpoint(weights_dir)
+        if sam2_path is not None:
+            results.append(verify_sam2(sam2_path, smoke=smoke))
+            report(results[-1].line())
+
+    n_pass = sum(r.status == "PASS" for r in results)
+    n_fail = sum(r.status == "FAIL" for r in results)
+    n_skip = sum(r.status == "SKIP" for r in results)
+    report(f"preflight: {n_pass} PASS, {n_fail} FAIL, {n_skip} SKIP")
+    return results

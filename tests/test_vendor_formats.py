@@ -341,9 +341,9 @@ def test_ndpi_striped_decode_420_chroma(tmp_path: Path):
     t.close()
 
 
-def test_ndpi_striped_requires_restart_markers(tmp_path: Path):
-    """A mismatched-SOF single-strip JPEG without restart markers must fail
-    with a clear reason, not garbage pixels."""
+def test_ndpi_no_restart_markers_sequential_fallback(tmp_path: Path):
+    """A mismatched-SOF single-strip JPEG without restart markers decodes via
+    the sequential row-capped fallback, bit-exact vs a full libjpeg decode."""
     rng = np.random.default_rng(23)
     h, w = 64, 80
     img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
@@ -352,12 +352,18 @@ def test_ndpi_striped_requires_restart_markers(tmp_path: Path):
     from PIL import Image as PILImage
 
     buf = io.BytesIO()
-    PILImage.fromarray(img).save(buf, "JPEG", quality=90)
+    PILImage.fromarray(img).save(buf, "JPEG", quality=90, subsampling=0)
+    stream = buf.getvalue()
+    ref = _decode_jpeg(stream)
     path = tmp_path / "norst.ndpi"
-    _write_single_strip_ndpi(path, _zero_sof_dims(buf.getvalue()), w, h)
+    _write_single_strip_ndpi(path, _zero_sof_dims(stream), w, h)
     t = AtlasTiffFile(str(path))
-    with pytest.raises(RuntimeError, match="restart"):
-        t.read_region_level(0, 0, 0, w, h)
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, w, h), ref)
+    # windows: top-left-anchored and interior (rows before y0 are skipped)
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, 32, 16), ref[:16, :32])
+    np.testing.assert_array_equal(
+        t.read_region_level(0, 13, 41, 50, 20), ref[41:61, 13:63]
+    )
     t.close()
 
 

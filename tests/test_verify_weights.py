@@ -1,0 +1,96 @@
+"""Preflight command tests: converter → shape check → forward smoke rows.
+
+Uses the same synthetic upstream-layout checkpoints as the converter harness,
+saved as real .pt files, so the preflight exercises the exact discovery →
+torch-load → convert → validate chain a user hits with downloaded weights.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from atlaspatch_tpu.models.encoders.zoo import ENTRIES, _model_for
+from atlaspatch_tpu.tools.verify_weights import (
+    run_preflight,
+    verify_encoder,
+    verify_sam2,
+)
+from tests.upstream_layouts import synth_state_dict
+
+
+def _save_synthetic_ckpt(name: str, out_dir: Path) -> Path:
+    entry = ENTRIES[name]
+    model = _model_for(entry)
+    size = entry.preprocess.crop
+    target = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.float32))
+    )["params"]
+    sd = synth_state_dict(entry, jax.tree.map(lambda x: x, target))
+    path = out_dir / f"{name}.pt"
+    torch.save({k: torch.as_tensor(np.asarray(v)) for k, v in sd.items()}, path)
+    return path
+
+
+def test_preflight_pass_fail_skip(tmp_path: Path):
+    _save_synthetic_ckpt("resnet18", tmp_path)
+    # corrupt checkpoint: truncate one weight's shape
+    bad = torch.load(tmp_path / "resnet18.pt", weights_only=False)
+    key = next(k for k in bad if bad[k].ndim == 4)
+    bad[key] = bad[key][..., :-1]
+    torch.save(bad, tmp_path / "vit_b_32.pt")  # wrong layout for that entry too
+
+    lines: list[str] = []
+    results = run_preflight(
+        tmp_path,
+        names=["resnet18", "vit_b_32", "resnet50"],
+        smoke=True,
+        include_sam2=False,
+        report=lines.append,
+    )
+    by_name = {r.name: r for r in results}
+    assert by_name["resnet18"].status == "PASS"
+    assert "finite" in by_name["resnet18"].detail
+    assert by_name["vit_b_32"].status == "FAIL"
+    assert by_name["resnet50"].status == "SKIP"
+    assert any(line.startswith("preflight:") for line in lines)
+
+
+def test_preflight_shape_drift_detected(tmp_path: Path):
+    path = _save_synthetic_ckpt("resnet18", tmp_path)
+    sd = torch.load(path, weights_only=False)
+    key = next(k for k in sd if sd[k].ndim == 4 and sd[k].shape[0] > 8)
+    sd[key] = sd[key][:-3]  # converter succeeds; shapes no longer match
+    torch.save(sd, path)
+    res = verify_encoder(ENTRIES["resnet18"], path, smoke=False)
+    assert res.status == "FAIL"
+    assert "shape" in res.detail
+
+
+def test_preflight_unknown_name(tmp_path: Path):
+    with pytest.raises(ValueError, match="unknown encoder"):
+        run_preflight(tmp_path, names=["not_a_model"], report=lambda _s: None)
+
+
+def test_preflight_sam2_npz(tmp_path: Path):
+    from atlaspatch_tpu.models.sam2.config import SAM2Config
+    from atlaspatch_tpu.models.sam2.model import init_params
+    from atlaspatch_tpu.tools.convert_weights import _flatten
+
+    params = init_params(SAM2Config.tiny())
+    np.savez(tmp_path / "sam2_hiera_tiny.npz", **_flatten(jax.tree.map(np.asarray, params)))
+    res = verify_sam2(tmp_path / "sam2_hiera_tiny.npz", smoke=False)
+    assert res.status == "PASS", res.detail
+
+    # a checkpoint for the wrong architecture must FAIL the shape check
+    tiny = init_params(SAM2Config.test_tiny())
+    np.savez(tmp_path / "sam2_wrong.npz", **_flatten(jax.tree.map(np.asarray, tiny)))
+    res_bad = verify_sam2(tmp_path / "sam2_wrong.npz", smoke=False)
+    assert res_bad.status == "FAIL"
+    assert "shape" in res_bad.detail
