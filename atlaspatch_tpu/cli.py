@@ -560,22 +560,30 @@ def info():
               show_default=True, help="Linear LR warmup steps.")
 @click.option("--augment", is_flag=True,
               help="Random horizontal/vertical flips (image+mask together).")
+@click.option("--trainable", type=click.Choice(["norms", "all"]), default="norms",
+              show_default=True,
+              help="'norms' freezes the backbone (the reference recipe for "
+                   "finetuning pretrained weights); 'all' trains every "
+                   "parameter (required when starting from random init).")
 @click.option("--seed", type=int, default=0, show_default=True)
 @click.option("--device", type=str, default="tpu", show_default=True)
 @click.option("--verbose", "-v", is_flag=True, help="Enable debug logging.")
 def finetune_sam2_cmd(images_dir, masks_dir, output, epochs, batch_size,
                       learning_rate, sam2_checkpoint, sam2_config, image_size,
                       data_parallel, save_every, val_fraction, resume,
-                      lr_schedule, warmup_steps, augment, seed, device,
-                      verbose):
-    """Finetune SAM2 on (thumbnail, mask) pairs — norm-only updates.
+                      lr_schedule, warmup_steps, augment, trainable, seed,
+                      device, verbose):
+    """Finetune SAM2 on (thumbnail, mask) pairs.
 
-    Re-creates the reference's published training recipe (backbone frozen,
-    only normalization layers trained) as a TPU-native jitted train loop;
-    the final sam2_finetuned.npz plugs straight into --sam2-checkpoint.
+    Default recipe matches the reference's published training (backbone
+    frozen, only normalization layers trained); --trainable all unlocks
+    full training for from-scratch runs. The final sam2_finetuned.npz
+    plugs straight into --sam2-checkpoint.
     """
     from atlaspatch_tpu.models.train.loop import finetune_sam2
+    from atlaspatch_tpu.parallel.multihost import maybe_init_distributed
 
+    maybe_init_distributed()  # multi-host DP when a coordinator is configured
     configure_logging(verbose)
     bar = ProgressBar(total=None, enabled=not verbose, desc="finetune")
 
@@ -602,6 +610,7 @@ def finetune_sam2_cmd(images_dir, masks_dir, output, epochs, batch_size,
             lr_schedule=lr_schedule,
             warmup_steps=warmup_steps,
             augment=augment,
+            trainable=trainable,
             seed=seed,
             device=device,
             on_step=on_step,

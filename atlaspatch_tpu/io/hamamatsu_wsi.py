@@ -165,7 +165,8 @@ class HamamatsuVMSWSI(IWSI):
             lw, lh = int(x_off[cols]), int(y_off[rows])
             levels.append(
                 TiledLevel(lw, lh, 1.0, tiles, self._decode_tile,
-                           (255, 255, 255), cache_tiles=4)
+                           (255, 255, 255), cache_tiles=4,
+                           decode_window=self._decode_tile_window)
             )
             dims.append((lw, lh))
         downs = [dims[0][0] / d[0] for d in dims]
@@ -191,6 +192,21 @@ class HamamatsuVMSWSI(IWSI):
         from atlaspatch_tpu.io.native import jpeg_decode
 
         return jpeg_decode(self._files[pos].read_bytes(), scale)
+
+    def _decode_tile_window(
+        self, key: tuple[tuple[int, int], int], x: int, y: int, w: int, h: int
+    ) -> Optional[np.ndarray]:
+        """Partial decode for large source JPEGs: only the window's MCU rows
+        are entropy-decoded (libjpeg-turbo crop + skip), so multi-gigapixel
+        VMS images never decode whole per patch read (the concern OpenSlide
+        solves with its restart-marker optimisation file)."""
+        pos, scale = key
+        from atlaspatch_tpu.io.native import jpeg_decode_window
+
+        try:
+            return jpeg_decode_window(self._files[pos].read_bytes(), scale, x, y, w, h)
+        except RuntimeError:
+            return self._decode_tile(key)
 
     # --- IWSI surface -----------------------------------------------------
     def extract(

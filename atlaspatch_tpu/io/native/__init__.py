@@ -145,6 +145,17 @@ def load_library() -> ctypes.CDLL:
         ctypes.c_int64,
         ctypes.c_int64,
     ]
+    lib.atlas_jpeg_decode_window.restype = ctypes.c_int
+    lib.atlas_jpeg_decode_window.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     lib.atlas_find_contours.restype = ctypes.c_int
     lib.atlas_find_contours.argtypes = [
         ctypes.POINTER(ctypes.c_uint8),
@@ -309,6 +320,34 @@ def jpeg_decode(buf: bytes, scale_denom: int = 1) -> np.ndarray:
     )
     if rc != 0:
         raise RuntimeError(f"atlas_jpeg_decode failed ({rc})")
+    return out
+
+
+def jpeg_decode_window(
+    buf: bytes, scale_denom: int, x: int, y: int, w: int, h: int
+) -> np.ndarray:
+    """Decode only an (x, y, w, h) window of a JPEG stream, in coordinates of
+    the 1/scale_denom output space (libjpeg-turbo crop + skip-scanlines).
+
+    Cost scales with the window's MCU rows, not the whole image — the
+    Hamamatsu VMS backend uses this so multi-gigapixel source JPEGs never
+    decode whole per region read.
+    """
+    lib = load_library()
+    data = np.frombuffer(buf, dtype=np.uint8)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    rc = lib.atlas_jpeg_decode_window(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        data.size,
+        int(scale_denom),
+        int(x),
+        int(y),
+        int(w),
+        int(h),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"atlas_jpeg_decode_window failed ({rc})")
     return out
 
 

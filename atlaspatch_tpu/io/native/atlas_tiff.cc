@@ -1725,4 +1725,63 @@ int atlas_jpeg_decode(const uint8_t* data, int64_t n, int scale_denom,
   return 0;
 }
 
+// Windowed standalone-JPEG decode: only the (x, y, w, h) window — in SCALED
+// output coordinates — is produced, via libjpeg-turbo's jpeg_crop_scanline
+// (horizontal iMCU crop) + jpeg_skip_scanlines (cheap vertical skip). A
+// multi-gigapixel Hamamatsu VMS image no longer decodes (or allocates)
+// whole per patch read; cost scales with the window's MCU rows, not the
+// image (OpenSlide uses its restart-marker optimisation file for the same
+// purpose). out must hold w*h*3 bytes. Returns 0 on success.
+int atlas_jpeg_decode_window(const uint8_t* data, int64_t n, int scale_denom,
+                             int64_t x, int64_t y, int64_t w, int64_t h,
+                             uint8_t* out) {
+  if (w <= 0 || h <= 0 || x < 0 || y < 0) return -1;
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), static_cast<unsigned long>(n));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = scale_denom > 0 ? (unsigned)scale_denom : 1;
+  jpeg_start_decompress(&cinfo);
+  if (cinfo.output_components != 3 ||
+      (JDIMENSION)(x + w) > cinfo.output_width ||
+      (JDIMENSION)(y + h) > cinfo.output_height) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  // Decode with a 16px margin on every side, then trim: fancy chroma
+  // upsampling needs neighbor context, so pixels right at a crop/skip
+  // boundary would differ from a whole-image decode by a few LSBs. One
+  // iMCU of margin restores full context — output is bit-identical.
+  const int64_t W = cinfo.output_width;
+  const int64_t margin = 16;
+  const int64_t mx = std::max<int64_t>(0, x - margin);
+  const int64_t my = std::max<int64_t>(0, y - margin);
+  const int64_t mw = std::min<int64_t>(W - mx, (x - mx) + w + margin);
+  JDIMENSION cx = (JDIMENSION)mx, cw = (JDIMENSION)mw;
+  jpeg_crop_scanline(&cinfo, &cx, &cw);
+  const int64_t x_in_crop = x - (int64_t)cx;
+  std::vector<uint8_t> rowbuf((size_t)cw * 3);
+  JSAMPROW rowptr = rowbuf.data();
+  if (my > 0) jpeg_skip_scanlines(&cinfo, (JDIMENSION)my);
+  for (int64_t row = (int64_t)my; row < y + h; ++row) {
+    jpeg_read_scanlines(&cinfo, &rowptr, 1);
+    if (row < y) continue;  // vertical margin rows: context only
+    std::memcpy(out + (size_t)(row - y) * w * 3,
+                rowbuf.data() + (size_t)x_in_crop * 3, (size_t)w * 3);
+  }
+  jpeg_abort_decompress(&cinfo);  // remaining rows intentionally unread
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
 }  // extern "C"

@@ -39,11 +39,19 @@ class TiledLevel:
         decode: Callable[[object], Optional[np.ndarray]],
         fill_rgb: Tuple[int, int, int] = (255, 255, 255),
         cache_tiles: int = 16,
+        decode_window: Optional[Callable[[object, int, int, int, int], Optional[np.ndarray]]] = None,
+        window_threshold_bytes: int = 64 << 20,
     ) -> None:
         self.width = int(width)
         self.height = int(height)
         self.downsample = float(downsample)
         self._decode = decode
+        # Optional partial decode: decode_window(key, x, y, w, h) with x/y in
+        # TILE-LOCAL pixels. Used (and never cached) for tiles whose full
+        # decoded size exceeds window_threshold_bytes — a multi-gigapixel VMS
+        # source JPEG must not decode (or allocate) whole per patch read.
+        self._decode_window = decode_window
+        self._window_threshold = int(window_threshold_bytes)
         self.fill_rgb = tuple(int(c) for c in fill_rgb)
         self._tiles: list[Tile] = [tuple(t) for t in tiles]  # type: ignore[misc]
         # Bucket tiles on a grid of the max tile size so lookup is local.
@@ -95,6 +103,19 @@ class TiledLevel:
                     ix0, iy0 = max(x, px), max(y, py)
                     ix1, iy1 = min(x1, px + tw), min(y1, py + th)
                     if ix0 >= ix1 or iy0 >= iy1:
+                        continue
+                    big = 3 * tw * th > self._window_threshold
+                    cached = False
+                    with self._lock:
+                        cached = key in self._cache
+                    if self._decode_window is not None and big and not cached:
+                        win = self._decode_window(
+                            key, ix0 - px, iy0 - py, ix1 - ix0, iy1 - iy0
+                        )
+                        if win is not None:
+                            out[iy0 - y : iy1 - y, ix0 - x : ix1 - x] = win[
+                                : iy1 - iy0, : ix1 - ix0, :3
+                            ]
                         continue
                     arr = self._tile_array(key)
                     if arr is None:

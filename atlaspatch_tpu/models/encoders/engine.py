@@ -152,7 +152,9 @@ class JaxFeatureExtractor(FeatureExtractor):
             self._batch_align = int(self.mesh.shape["data"])
         else:
             if self.device is None:
-                self.device = jax.devices()[0]
+                # local_devices: under jax.distributed, jax.devices()[0] may
+                # be another host's chip (non-addressable for device_put).
+                self.device = jax.local_devices()[0]
             self.params = jax.device_put(self.params, self.device)
             self._data_sharding = None
             self._batch_align = 1

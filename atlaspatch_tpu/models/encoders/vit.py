@@ -55,6 +55,12 @@ class ViTSpec:
     # MLP shapes). Opt-in via --feature-precision int8; params use the
     # quantized layout from quantize_vit_params().
     quant_int8: bool = False
+    # With quant_int8: also run QK^T and PV as int8 MXU matmuls (dynamic
+    # per-row/per-channel scales; softmax stays f32). Default off: measured
+    # on v5e at ViT-L 197-token shapes these matmuls are ~3% of FLOPs and the
+    # quantize/dequantize VPU passes cost more than the MXU time saved (see
+    # docs/PERF.md). Kept for longer-sequence regimes.
+    quant_int8_attn: bool = False
 
     @property
     def tokens(self) -> int:
@@ -180,6 +186,13 @@ def quantize_vit_params(params):
     return walk(params, ())
 
 
+def _q8_dyn(x: jnp.ndarray, axis: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric dynamic abs-max int8 quantization along one axis."""
+    s = jnp.maximum(jnp.abs(x).max(axis=axis, keepdims=True), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x / s), -127.0, 127.0).astype(jnp.int8)
+    return xq, s
+
+
 class Attention(nn.Module):
     spec: ViTSpec
 
@@ -207,9 +220,32 @@ class Attention(nn.Module):
             q = jnp.concatenate([q[:, :, :n_prefix], qp], axis=2)
             k = jnp.concatenate([k[:, :, :n_prefix], kp], axis=2)
 
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (head_dim**-0.5)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        if s.quant_int8 and s.quant_int8_attn:
+            # int8 attention matmuls: QK^T with per-(b,h,row) dynamic scales
+            # on both sides, PV with per-row prob scales x per-(b,h,channel)
+            # value scales (constant over the contracted axis, like the
+            # per-output-channel weight scales in Int8Dense). Softmax stays
+            # f32 on the VPU. At ≤~1k tokens these matmuls are a few percent
+            # of the FLOPs — this exists to MEASURE that headroom honestly.
+            qq, sq = _q8_dyn(q.astype(jnp.float32), axis=-1)
+            kq, sk = _q8_dyn(k.astype(jnp.float32), axis=-1)
+            acc = jax.lax.dot_general(
+                qq, kq, (((3,), (3,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.int32,
+            )
+            attn = acc.astype(jnp.float32) * (sq * sk.transpose(0, 1, 3, 2))
+            attn = jax.nn.softmax(attn * (head_dim**-0.5), axis=-1)
+            aq, sa = _q8_dyn(attn, axis=-1)
+            vq, sv = _q8_dyn(v.astype(jnp.float32), axis=2)
+            acc2 = jax.lax.dot_general(
+                aq, vq, (((3,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.int32,
+            )
+            out = (acc2.astype(jnp.float32) * (sa * sv)).astype(x.dtype)
+        else:
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (head_dim**-0.5)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, s.dim)
         return _dense(s, s.dim, name="proj")(out)
 

@@ -962,9 +962,9 @@ def build_default_registry(
             if platform in ("cuda", "gpu"):
                 platform = "tpu"
             try:
-                resolved_device = jax.devices(platform)[0]
+                resolved_device = jax.local_devices(backend=platform)[0]
             except RuntimeError:
-                resolved_device = jax.devices("cpu")[0]
+                resolved_device = jax.local_devices(backend="cpu")[0]
         return resolved_device
 
     registry = PatchFeatureExtractorRegistry()

@@ -142,39 +142,46 @@ def make_optimizer(
     return optax.adamw(lr, weight_decay=0.01)
 
 
-def make_train_step(cfg: SAM2Config, optimizer):
+def make_train_step(cfg: SAM2Config, optimizer, *, trainable: str = "norms"):
     """Returns train_step(params, opt_state, images_u8, targets) → (params, opt_state, loss).
 
-    Gradients flow through the whole model but updates apply only to
-    normalization parameters (frozen-backbone recipe).
+    ``trainable="norms"`` (the reference recipe): gradients flow through the
+    whole model but updates apply only to normalization parameters.
+    ``trainable="all"``: every parameter updates — the mode for training from
+    scratch/random init, where norm-only recalibration has no pretrained
+    features to steer.
     """
+    if trainable not in ("norms", "all"):
+        raise ValueError(f"trainable must be 'norms' or 'all', got {trainable!r}")
 
     def train_step(params, opt_state, images_u8, targets):
         loss, grads = jax.value_and_grad(
             lambda p: seg_loss_fn(cfg, p, images_u8, targets)
         )(params)
-        mask = norm_param_mask(params)
-        grads = jax.tree.map(
-            lambda g, m: g if m else jnp.zeros_like(g), grads, mask
-        )
+        if trainable == "norms":
+            mask = norm_param_mask(params)
+            grads = jax.tree.map(
+                lambda g, m: g if m else jnp.zeros_like(g), grads, mask
+            )
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        # Mask the *updates* too: AdamW's decoupled weight decay would otherwise
-        # shrink frozen parameters even with zero gradients.
-        updates = jax.tree.map(
-            lambda u, m: u if m else jnp.zeros_like(u), updates, mask
-        )
+        if trainable == "norms":
+            # Mask the *updates* too: AdamW's decoupled weight decay would
+            # otherwise shrink frozen parameters even with zero gradients.
+            updates = jax.tree.map(
+                lambda u, m: u if m else jnp.zeros_like(u), updates, mask
+            )
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
     return train_step
 
 
-def shard_train_step(cfg: SAM2Config, optimizer, mesh: Mesh):
+def shard_train_step(cfg: SAM2Config, optimizer, mesh: Mesh, *, trainable: str = "norms"):
     """jit the train step over a mesh: batch sharded over 'data', params and
     optimizer state replicated (pure DP — collectives inserted by XLA)."""
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P("data"))
-    step = make_train_step(cfg, optimizer)
+    step = make_train_step(cfg, optimizer, trainable=trainable)
     return jax.jit(
         step,
         in_shardings=(replicated, replicated, batch_sharded, batch_sharded),

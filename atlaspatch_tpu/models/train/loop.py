@@ -82,6 +82,7 @@ def finetune_sam2(
     lr_schedule: str = "constant",
     warmup_steps: int = 0,
     augment: bool = False,
+    trainable: str = "norms",
     on_step: Optional[Callable[[int, float], None]] = None,
 ) -> dict:
     """Run the finetune and return a summary dict.
@@ -142,7 +143,32 @@ def finetune_sam2(
     )
     opt_state = optimizer.init(params)
 
-    if data_parallel > 1:
+    # Multi-host DP: when launched under jax.distributed (maybe_init_distributed
+    # in the CLI, or a test harness), every process runs this loop in lockstep
+    # over a GLOBAL mesh of all hosts' devices. batch_size stays the GLOBAL
+    # batch; each host loads only its contiguous slice and contributes it via
+    # host_local_array_to_global_array — the gradient all-reduce is inserted
+    # by XLA exactly as in the single-host sharded path.
+    n_proc = jax.process_count()
+    mh: tuple[int, int] | None = None  # (process_index, rows per host)
+    mesh = None
+    if n_proc > 1:
+        from jax.sharding import Mesh
+
+        if batch_size % n_proc:
+            raise ValueError(
+                f"global batch size {batch_size} must divide over {n_proc} hosts"
+            )
+        if resume or save_every:
+            raise NotImplementedError(
+                "multi-host finetune does not support --resume/--save-every yet; "
+                "run those single-host"
+            )
+        devices = np.asarray(jax.devices())  # all hosts' devices
+        mesh = Mesh(devices, ("data",))
+        mh = (jax.process_index(), batch_size // n_proc)
+        step = shard_train_step(sam2_cfg, optimizer, mesh, trainable=trainable)
+    elif data_parallel > 1:
         from jax.sharding import Mesh
 
         devices = jax.devices()
@@ -154,9 +180,29 @@ def finetune_sam2(
         if batch_size % data_parallel:
             raise ValueError("batch size must divide evenly over data_parallel")
         mesh = Mesh(np.asarray(devices[:data_parallel]), ("data",))
-        step = shard_train_step(sam2_cfg, optimizer, mesh)
+        step = shard_train_step(sam2_cfg, optimizer, mesh, trainable=trainable)
     else:
-        step = jax.jit(make_train_step(sam2_cfg, optimizer))
+        step = jax.jit(make_train_step(sam2_cfg, optimizer, trainable=trainable))
+
+    if mh is not None:
+        from jax.experimental import multihost_utils
+        from jax.sharding import PartitionSpec
+
+        # Replicated params/opt state as global arrays (identical on every
+        # host: same seed/checkpoint → same init).
+        params = multihost_utils.host_local_array_to_global_array(
+            jax.device_get(params), mesh, PartitionSpec()
+        )
+        opt_state = multihost_utils.host_local_array_to_global_array(
+            jax.device_get(opt_state), mesh, PartitionSpec()
+        )
+
+        def _to_global_batch(arr: np.ndarray):
+            return multihost_utils.host_local_array_to_global_array(
+                arr, mesh, PartitionSpec("data")
+            )
+    else:
+        _to_global_batch = None
 
     rng = np.random.default_rng(seed)
     pool = ThreadPoolExecutor(max_workers=max(1, loader_threads))
@@ -174,13 +220,17 @@ def finetune_sam2(
         "lr_schedule": lr_schedule,
         "warmup_steps": warmup_steps,
         "augment": augment,
-        # epochs + LR pin the optimizer's total_steps/peak: resuming with a
-        # different --epochs would silently re-shape the cosine decay, and a
-        # changed LR would break the exact-reproduction guarantee.
-        "epochs": epochs,
+        "trainable": trainable,
+        # A changed LR breaks the exact-reproduction guarantee in any
+        # schedule, so it is always pinned. epochs/total_steps shape ONLY the
+        # cosine decay — pinning them under "constant" would reject the
+        # legitimate resume-an-interrupted-run-with-the-full-epoch-count
+        # workflow, so they are recorded only when they matter.
         "learning_rate": learning_rate,
-        "total_steps": epochs * steps_per_epoch,
     }
+    if lr_schedule == "cosine":
+        run_meta["epochs"] = epochs
+        run_meta["total_steps"] = epochs * steps_per_epoch
     resumed_at = 0
     if resume:
         import json
@@ -265,13 +315,17 @@ def finetune_sam2(
                 idx = order[
                     np.arange(b * batch_size, (b + 1) * batch_size) % len(order)
                 ]
-                images_u8, targets = _load_batch(idx)
+                # Multi-host: this host loads only its contiguous batch slice;
+                # augmentation draws stay GLOBAL so host p applies the exact
+                # flips the single-host run would at rows [p*per, (p+1)*per).
+                sel = slice(mh[0] * mh[1], (mh[0] + 1) * mh[1]) if mh else slice(None)
+                images_u8, targets = _load_batch(idx[sel])
                 if augment:
                     # Flips applied identically to image and mask. Seeded by
                     # (seed, global_step), not the shuffle rng, so checkpoint
                     # resume reproduces them without replaying draws.
                     aug = np.random.default_rng((seed, global_step))
-                    flips = aug.integers(0, 2, size=(batch_size, 2), dtype=np.int64)
+                    flips = aug.integers(0, 2, size=(batch_size, 2), dtype=np.int64)[sel]
                     images_u8 = images_u8.copy()
                     targets = targets.copy()
                     for i, (fh, fv) in enumerate(flips):
@@ -281,6 +335,9 @@ def finetune_sam2(
                         if fv:
                             images_u8[i] = images_u8[i, ::-1]
                             targets[i] = targets[i, ::-1]
+                if _to_global_batch is not None:
+                    images_u8 = _to_global_batch(images_u8)
+                    targets = _to_global_batch(targets)
                 params, opt_state, loss = step(params, opt_state, images_u8, targets)
                 global_step += 1
                 loss_f = float(loss)
@@ -323,7 +380,8 @@ def finetune_sam2(
         pool.shutdown(wait=False)
 
     npz_path = output_dir / "sam2_finetuned.npz"
-    np.savez(npz_path, **_flatten(jax.device_get(params)))
+    if jax.process_index() == 0:  # shared-FS output: one writer
+        np.savez(npz_path, **_flatten(jax.device_get(params)))
     summary = {
         "steps": global_step,
         "steps_this_run": global_step - resumed_at,

@@ -76,11 +76,14 @@ class SAM2Predictor:
         self.input_size = self.sam2_cfg.image_size
 
         platform = cfg.device.split(":")[0]
+        # local_devices, not devices: under jax.distributed, jax.devices()
+        # leads with process 0's devices — a device_put there from another
+        # host fails ("non-addressable device").
         try:
-            self._device = jax.devices(platform)[0]
+            self._device = jax.local_devices(backend=platform)[0]
         except RuntimeError:
             logger.warning("%s requested but unavailable; falling back to CPU.", platform)
-            self._device = jax.devices("cpu")[0]
+            self._device = jax.local_devices(backend="cpu")[0]
         logger.info("SAM2 predictor device: %s (requested=%s)", self._device, cfg.device)
 
         self.params = self._load_params()

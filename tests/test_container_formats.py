@@ -146,6 +146,24 @@ class TestHamamatsu:
             # libjpeg's DCT-space 1/2 is not a box filter; allow looser bound
             assert_close_rgb(region, half.astype(np.uint8), tol=12.0)
 
+    def test_vms_windowed_decode_matches_whole(self, vms):
+        """Force the partial-decode path (threshold 0): every region must be
+        bit-identical to the whole-tile decode path."""
+        path, img = vms
+        with WSIFactory.load(str(path)) as wsi:
+            wsi._ensure_loaded()
+            whole = [wsi.extract((x, y), 0, (64, 48), mode="array")
+                     for x, y in ((0, 0), (96, 32), (200, 90))]
+            for level in wsi._levels:
+                level._window_threshold = 0  # every tile takes the window path
+                level.clear_cache()
+            for (x, y), ref in zip(((0, 0), (96, 32), (200, 90)), whole):
+                got = wsi.extract((x, y), 0, (64, 48), mode="array")
+                np.testing.assert_array_equal(got, ref)
+            # scaled level through the windowed path too
+            region = wsi.extract((0, 0), 1, (128, 64), mode="array")
+            assert region.shape == (64, 128, 3)
+
     def test_vmu_exact_roundtrip(self, tmp_path):
         img = smooth_rgb(128, 64)
         path = write_vmu(tmp_path / "case.vmu", img, column_width=32, mpp=0.3, lens=40)

@@ -1,0 +1,109 @@
+"""Two-process multi-host finetune: loss trajectory must match single-host.
+
+Spawns two real processes under jax.distributed (CPU backend, one device
+each) sharing a global batch of 2 — each host loads its half — and compares
+the per-step losses against a single-process run of the identical
+configuration. The gradient all-reduce across hosts must reproduce the
+single-host math (tolerance covers reduction-order float differences).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+REPO = Path(__file__).resolve().parent.parent
+
+WORKER = """
+import json, sys
+import jax
+coord, pid, nproc, out_json, images, masks, outdir = sys.argv[1:8]
+if int(nproc) > 1:
+    jax.distributed.initialize(coordinator_address=coord,
+                               num_processes=int(nproc), process_id=int(pid))
+from atlaspatch_tpu.models.train.loop import finetune_sam2
+losses = []
+summary = finetune_sam2(
+    images, masks, outdir,
+    epochs=2, batch_size=2, image_size=64, device="cpu", seed=0,
+    learning_rate=1e-3, trainable="all", augment=True,
+    on_step=lambda step, loss: losses.append(loss),
+)
+json.dump({"losses": losses, "steps": summary["steps"]}, open(out_json, "w"))
+"""
+
+
+def _make_dataset(d: Path, n: int = 4) -> tuple[Path, Path]:
+    rng = np.random.default_rng(11)
+    images = d / "images"
+    masks = d / "masks"
+    images.mkdir(parents=True)
+    masks.mkdir(parents=True)
+    for i in range(n):
+        img = rng.uniform(200, 255, (64, 64, 3)).astype(np.uint8)
+        yy, xx = np.mgrid[0:64, 0:64]
+        cx, cy = rng.integers(16, 48, 2)
+        blob = (xx - cx) ** 2 + (yy - cy) ** 2 < 14**2
+        img[blob] = (180, 110, 170)
+        Image.fromarray(img).save(images / f"s{i}.png")
+        Image.fromarray((blob * 255).astype(np.uint8)).save(masks / f"s{i}_mask.png")
+    return images, masks
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _run(coord: str, pid: int, nproc: int, out_json: Path, images: Path,
+         masks: Path, outdir: Path) -> subprocess.Popen:
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               ATLASPATCH_ALLOW_RANDOM_WEIGHTS="1", PYTHONPATH=str(REPO))
+    env.pop("XLA_FLAGS", None)  # one device per process
+    return subprocess.Popen(
+        [sys.executable, "-c", WORKER, coord, str(pid), str(nproc),
+         str(out_json), str(images), str(masks), str(outdir)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+
+
+def test_two_host_finetune_matches_single_host(tmp_path: Path):
+    images, masks = _make_dataset(tmp_path)
+
+    # single-process reference trajectory
+    p = _run("", 0, 1, tmp_path / "single.json", images, masks, tmp_path / "single")
+    out, err = p.communicate(timeout=1500)
+    assert p.returncode == 0, err[-2000:]
+    single = json.loads((tmp_path / "single.json").read_text())
+
+    # two processes, one CPU device each, global batch 2
+    coord = f"localhost:{_free_port()}"
+    procs = [
+        _run(coord, pid, 2, tmp_path / f"mh{pid}.json", images, masks,
+             tmp_path / f"mh{pid}")
+        for pid in range(2)
+    ]
+    errs = []
+    for p in procs:
+        out, err = p.communicate(timeout=1500)
+        errs.append(err)
+    assert all(p.returncode == 0 for p in procs), "\n".join(e[-2000:] for e in errs)
+
+    mh0 = json.loads((tmp_path / "mh0.json").read_text())
+    mh1 = json.loads((tmp_path / "mh1.json").read_text())
+    assert mh0["steps"] == mh1["steps"] == single["steps"] == 4
+    # both hosts observed the identical (replicated) loss
+    np.testing.assert_allclose(mh0["losses"], mh1["losses"], rtol=1e-5)
+    # and it matches the single-host trajectory
+    np.testing.assert_allclose(mh0["losses"], single["losses"], rtol=2e-3)
+    # one writer: only host 0 published the final npz
+    assert (tmp_path / "mh0" / "sam2_finetuned.npz").exists()
+    assert not (tmp_path / "mh1" / "sam2_finetuned.npz").exists()
