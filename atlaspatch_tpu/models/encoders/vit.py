@@ -203,22 +203,23 @@ class Attention(nn.Module):
         head_dim = s.dim // s.heads
         qkv = _dense(s, 3 * s.dim, use_bias=s.qkv_bias, name="qkv")(x)
         qkv = qkv.reshape(B, T, 3, s.heads, head_dim)
+        # Token-major (B, T, H, D) throughout: dot_general takes the head
+        # axis as a non-leading batch dim directly, so no (B,H,T,D)
+        # transposes in or out — XLA materialized those as real copies
+        # (~8% of the ViT-L forward in the round-3 traces).
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        q = q.transpose(0, 2, 1, 3)
-        k = k.transpose(0, 2, 1, 3)
-        v = v.transpose(0, 2, 1, 3)
 
         if s.pos_mode == "rope":
             cos, sin = _rope_cos_sin(s)
-            cos = cos.astype(q.dtype)[None, None]
-            sin = sin.astype(q.dtype)[None, None]
-            n_prefix = T - cos.shape[2]
-            qp = q[:, :, n_prefix:]
-            kp = k[:, :, n_prefix:]
+            cos = cos.astype(q.dtype)[None, :, None, :]  # (1, T_patch, 1, D)
+            sin = sin.astype(q.dtype)[None, :, None, :]
+            n_prefix = T - cos.shape[1]
+            qp = q[:, n_prefix:]
+            kp = k[:, n_prefix:]
             qp = qp * cos + _rotate_half(qp) * sin
             kp = kp * cos + _rotate_half(kp) * sin
-            q = jnp.concatenate([q[:, :, :n_prefix], qp], axis=2)
-            k = jnp.concatenate([k[:, :, :n_prefix], kp], axis=2)
+            q = jnp.concatenate([q[:, :n_prefix], qp], axis=1)
+            k = jnp.concatenate([k[:, :n_prefix], kp], axis=1)
 
         if s.quant_int8 and s.quant_int8_attn:
             # int8 attention matmuls: QK^T with per-(b,h,row) dynamic scales
@@ -227,26 +228,29 @@ class Attention(nn.Module):
             # per-output-channel weight scales in Int8Dense). Softmax stays
             # f32 on the VPU. At ≤~1k tokens these matmuls are a few percent
             # of the FLOPs — this exists to MEASURE that headroom honestly.
-            qq, sq = _q8_dyn(q.astype(jnp.float32), axis=-1)
+            qq, sq = _q8_dyn(q.astype(jnp.float32), axis=-1)  # (B,T,H,1)
             kq, sk = _q8_dyn(k.astype(jnp.float32), axis=-1)
             acc = jax.lax.dot_general(
-                qq, kq, (((3,), (3,)), ((0, 1), (0, 1))),
+                qq, kq, (((3,), (3,)), ((0, 2), (0, 2))),
                 preferred_element_type=jnp.int32,
+            )  # (B,H,Tq,Tk)
+            attn = acc.astype(jnp.float32) * (
+                sq.transpose(0, 2, 1, 3) * sk.transpose(0, 2, 3, 1)
             )
-            attn = acc.astype(jnp.float32) * (sq * sk.transpose(0, 1, 3, 2))
             attn = jax.nn.softmax(attn * (head_dim**-0.5), axis=-1)
-            aq, sa = _q8_dyn(attn, axis=-1)
-            vq, sv = _q8_dyn(v.astype(jnp.float32), axis=2)
+            aq, sa = _q8_dyn(attn, axis=-1)  # (B,H,Tq,1)
+            vq, sv = _q8_dyn(v.astype(jnp.float32), axis=1)  # scale (B,1,H,D)
             acc2 = jax.lax.dot_general(
-                aq, vq, (((3,), (2,)), ((0, 1), (0, 1))),
+                aq, vq, (((3,), (1,)), ((0, 1), (0, 2))),
                 preferred_element_type=jnp.int32,
-            )
-            out = (acc2.astype(jnp.float32) * (sa * sv)).astype(x.dtype)
+            )  # (B,H,Tq,D)
+            out = (acc2.astype(jnp.float32) * (sa * sv.transpose(0, 2, 1, 3)))
+            out = out.transpose(0, 2, 1, 3).astype(x.dtype)
         else:
-            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (head_dim**-0.5)
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (head_dim**-0.5)
             attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
-            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(B, T, s.dim)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        out = out.reshape(B, T, s.dim)
         return _dense(s, s.dim, name="proj")(out)
 
 
@@ -324,6 +328,10 @@ class ViT(nn.Module):
         """(B, S, S, 3) normalized images → (B, D) features per spec.pool."""
         s = self.spec
         B = images.shape[0]
+        # Patch embed stays a stride-P conv: a reshape+matmul formulation was
+        # measured identical for bf16 and ~10% SLOWER for the int8 serving
+        # graph on v5e (it broke a downstream fusion; 1075 → 975 pps at
+        # ViT-L batch 32) — see docs/PERF.md round-3 ceiling analysis.
         x = nn.Conv(
             s.dim,
             kernel_size=(s.patch_size, s.patch_size),
