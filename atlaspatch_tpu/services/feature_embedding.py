@@ -343,18 +343,37 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
             # its coords, and pre-reads its first pixel block while slide i's
             # batches are on the device. With the per-slide one-block-ahead
             # reader this removes the remaining between-slide host stall.
+            # ATLASPATCH_SLIDE_PREFETCH=0 disables it (serial A/B baseline).
+            prefetch_on = os.environ.get("ATLASPATCH_SLIDE_PREFETCH", "1") != "0"
             todo = [r for r in results if name in pending.get(r.h5_path, set())]
             prep_pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="slide-prep")
-            prep_fut = prep_pool.submit(self._prepare_slide, todo[0], wsi_loader) if todo else None
+
+            def _submit(index: int):
+                if index >= len(todo):
+                    return None
+                if prefetch_on:
+                    return prep_pool.submit(self._prepare_slide, todo[index], wsi_loader)
+                from concurrent.futures import Future
+
+                f: Future = Future()  # serial baseline: prep runs inline, lazily
+                try:
+                    f.set_result(self._prepare_slide(todo[index], wsi_loader))
+                except Exception as e:  # noqa: BLE001
+                    f.set_exception(e)
+                return f
+
+            prep_fut = (
+                prep_pool.submit(self._prepare_slide, todo[0], wsi_loader)
+                if (todo and prefetch_on)
+                else (_submit(0) if todo else None)
+            )
             try:
                 for i, res in enumerate(todo):
-                    next_fut = (
-                        prep_pool.submit(self._prepare_slide, todo[i + 1], wsi_loader)
-                        if i + 1 < len(todo)
-                        else None
-                    )
+                    next_fut = _submit(i + 1) if prefetch_on else None
                     wsi = None
                     try:
+                        if prep_fut is None:  # serial baseline: prep inline now
+                            prep_fut = _submit(i)
                         wsi, coords, first = prep_fut.result()
                         if not self._feature_present(res, extractor.name):
                             self._embed_with_extractor(
