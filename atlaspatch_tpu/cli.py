@@ -370,23 +370,44 @@ def detect_tissue(wsi_path, output, device, seg_batch_size, recursive, mpp_csv,
     def process_batch(batch):
         if not batch:
             return
-        wsis = [w for _, w in batch]
-        try:
-            masks = (
-                segmentation_service.segment_batch(wsis)
-                if len(wsis) > 1
-                else [segmentation_service.segment_thumbnail(wsis[0])]
-            )
-        except Exception as e:  # noqa: BLE001
-            for slide, wsi in batch:
-                failures.append((slide, e))
+        # Per-slide fault isolation (beyond reference parity, which fails the
+        # whole batch: reference cli.py:384-391): thumbnails prepare with
+        # per-slide error capture; only healthy slides enter the device step,
+        # and a device-step failure falls back to one-by-one segmentation.
+        prepped = segmentation_service.prepare_thumbnails_safe([w for _, w in batch])
+        healthy = []
+        for (slide, wsi), thumb in zip(batch, prepped):
+            if isinstance(thumb, Exception):
+                failures.append((slide, thumb))
                 try:
                     wsi.cleanup()
                 except Exception:
                     pass
                 progress.update(1)
+            else:
+                healthy.append((slide, wsi, thumb))
+        if not healthy:
             return
+        thumbs = [t for _, _, t in healthy]
+        try:
+            masks = segmentation_service.segment_thumbnails(thumbs)
+        except Exception:  # noqa: BLE001 — isolate the poisoned slide
+            masks = []
+            for _slide, _wsi, t in healthy:
+                try:
+                    masks.append(segmentation_service.segment_thumbnails([t])[0])
+                except Exception as e:  # noqa: BLE001
+                    masks.append(e)
+        batch = [(s, w) for s, w, _ in healthy]
         for (slide, wsi), mask in zip(batch, masks):
+            if isinstance(mask, Exception):
+                failures.append((slide, mask))
+                try:
+                    wsi.cleanup()
+                except Exception:
+                    pass
+                progress.update(1)
+                continue
             try:
                 out_path = visualize_mask_on_thumbnail(
                     mask=mask.data, wsi=wsi, output_dir=vis_dir,

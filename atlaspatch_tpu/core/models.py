@@ -1,4 +1,13 @@
-"""Domain value types (reference: atlas_patch/core/models.py:10-37)."""
+"""Domain value types.
+
+Field names and defaults are a parity contract with the reference's value
+objects (reference: atlas_patch/core/models.py:10-37) — the runner, services,
+and tests pass these records across layer boundaries, and downstream callers
+pattern-match their attributes. Slide is frozen (hashable; used as a dict key
+by trackers); Mask carries the prediction-time shape so contour scaling knows
+its source resolution; ExtractionResult accumulates per-slide outputs as the
+pipeline stages touch it.
+"""
 
 from __future__ import annotations
 

@@ -105,6 +105,17 @@ def finetune_sam2(
     from atlaspatch_tpu.services.segmentation import SAM2Predictor
     from atlaspatch_tpu.tools.convert_weights import _flatten
 
+    # Multi-host: initialize the cross-host collective context while every
+    # process is still in lockstep (right after jax.distributed rendezvous).
+    # The first collective otherwise fires only after minutes of (contended)
+    # SAM2 compilation, and the backend's ~30 s key-exchange window expires
+    # when hosts reach it skewed (observed: "Gloo context initialization
+    # failed: GetKeyValue() timed out").
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("atlaspatch_finetune_start")
+
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     pairs = collect_pairs(images_dir, masks_dir)

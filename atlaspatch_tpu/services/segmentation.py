@@ -416,6 +416,23 @@ class SAM2SegmentationService(SegmentationService):
         with ThreadPoolExecutor(max_workers=max_workers, thread_name_prefix="thumb") as ex:
             return list(ex.map(self._prepare_thumbnail, wsis))
 
+    def prepare_thumbnails_safe(self, wsis: Sequence[IWSI]) -> list:
+        """prepare_thumbnails with per-slide fault isolation: each element is
+        the thumbnail OR the exception that slide raised (bad metadata,
+        truncated pyramid, ...), so one poisoned slide cannot sink its whole
+        batch. (The reference fails the full batch here: reference
+        cli.py:384-391.)"""
+
+        def one(w: IWSI):
+            try:
+                return self._prepare_thumbnail(w)
+            except Exception as e:  # noqa: BLE001 — per-slide report
+                return e
+
+        max_workers = min(8, len(wsis), os.cpu_count() or 8)
+        with ThreadPoolExecutor(max_workers=max_workers, thread_name_prefix="thumb") as ex:
+            return list(ex.map(one, wsis))
+
     def segment_thumbnails_async(self, thumbs: Sequence):
         """Dispatch the device stage; returns a zero-arg resolve() producing the
         masks. The runner uses this to overlap batch i+1's transfer+compute

@@ -118,3 +118,40 @@ def test_cli_seg_data_parallel(slide_dir: Path, tmp_path: Path, tiny_sam2):
     for i in range(2):
         with h5py.File(out / "patches" / f"s{i}.h5") as f:
             assert f.attrs["num_patches"] > 0
+
+
+def test_cli_detect_tissue_per_slide_isolation(slide_dir: Path, tmp_path: Path, tiny_sam2):
+    """One poisoned slide (no MPP → magnification unknown at thumbnail time)
+    must fail alone; the rest of its batch still produces overlays. (The
+    reference fails the whole batch: reference cli.py:384-391.)"""
+    from click.testing import CliRunner
+    from PIL import Image as PILImage
+
+    from atlaspatch_tpu.cli import cli
+    from atlaspatch_tpu.io.synthetic_wsi import make_tissue_canvas
+
+    # a third slide with NO mpp.csv entry: opens fine, thumbnail prep raises
+    PILImage.fromarray(make_tissue_canvas(768, 512, seed=9, n_blobs=2)).save(
+        slide_dir / "s2_bad.png"
+    )
+    out = tmp_path / "vis_iso"
+    runner = CliRunner()
+    result = runner.invoke(
+        cli,
+        [
+            "detect-tissue",
+            str(slide_dir),
+            "--output", str(out),
+            "--device", "cpu",
+            "--seg-batch-size", "3",  # all three land in ONE batch
+            "--mpp-csv", str(tmp_path / "mpp.csv"),
+            "--verbose",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    assert "Created 2 mask overlay(s), failures: 1" in result.output
+    for i in range(2):
+        assert (out / "visualization" / f"s{i}_mask_bw.png").exists()
+    assert not (out / "visualization" / "s2_bad_mask_bw.png").exists()
+    assert "[FAIL] s2_bad.png" in result.output

