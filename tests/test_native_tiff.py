@@ -383,3 +383,100 @@ def test_thumbnail_scaled_decode_parity(tmp_path: Path):
         wsi_raw.get_thumbnail_at_power(power=1.25, scaled_decode=True), np.uint8
     )
     np.testing.assert_array_equal(exact_raw, fast_raw)
+
+
+def test_scaled_and_windowed_corruption_robustness(tmp_path: Path, canvas):
+    """Bit-flipped inputs through the round-3 native paths — scaled region
+    reads, the windowed standalone-JPEG decode, and the sequential no-DRI
+    fallback — must raise cleanly or return data, never hang or crash."""
+    import io
+    import signal
+
+    from PIL import Image as PILImage
+
+    from atlaspatch_tpu.io.native import jpeg_decode_window
+
+    good = tmp_path / "good.svs"
+    write_pyramid(good, canvas, levels=2, tile=64, compression=7)
+    tiff_data = good.read_bytes()
+    buf = io.BytesIO()
+    PILImage.fromarray(canvas).save(buf, "JPEG", quality=90)
+    jpeg_data = buf.getvalue()
+    rng = np.random.default_rng(11)
+
+    class _Timeout(Exception):
+        pass
+
+    old = signal.signal(signal.SIGALRM, lambda s, f: (_ for _ in ()).throw(_Timeout()))
+    try:
+        for trial in range(25):
+            # scaled TIFF reads over corrupted pyramids
+            blob = bytearray(tiff_data)
+            for _ in range(int(rng.integers(1, 120))):
+                blob[rng.integers(8, len(blob))] ^= 1 << rng.integers(0, 8)
+            p = tmp_path / f"fz{trial}.svs"
+            p.write_bytes(bytes(blob))
+            signal.alarm(20)
+            try:
+                t = AtlasTiffFile(str(p))
+                t.read_region_level_scaled(0, 0, 0, 256, 192, 4)
+                t.close()
+            except (RuntimeError, ValueError):
+                pass
+            finally:
+                signal.alarm(0)
+
+            # windowed standalone JPEG decode over corrupted streams
+            jblob = bytearray(jpeg_data)
+            for _ in range(int(rng.integers(1, 60))):
+                jblob[rng.integers(2, len(jblob))] ^= 1 << rng.integers(0, 8)
+            signal.alarm(20)
+            try:
+                jpeg_decode_window(bytes(jblob), 1, 16, 16, 64, 48)
+            except RuntimeError:
+                pass
+            finally:
+                signal.alarm(0)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def test_sequential_fallback_corruption_robustness(tmp_path: Path):
+    """No-DRI single-strip NDPI streams with corrupted entropy data must
+    decode-or-raise cleanly through the sequential fallback."""
+    import io
+    import signal
+
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (64, 80, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    PILImage.fromarray(img).save(buf, "JPEG", quality=90)
+    stream = buf.getvalue()
+    from tests.test_vendor_formats import _write_single_strip_ndpi, _zero_sof_dims
+
+    class _Timeout(Exception):
+        pass
+
+    old = signal.signal(signal.SIGALRM, lambda s, f: (_ for _ in ()).throw(_Timeout()))
+    try:
+        for trial in range(25):
+            blob = bytearray(_zero_sof_dims(stream))
+            for _ in range(int(rng.integers(1, 50))):
+                blob[rng.integers(2, len(blob))] ^= 1 << rng.integers(0, 8)
+            path = tmp_path / f"seq{trial}.ndpi"
+            _write_single_strip_ndpi(path, bytes(blob), 80, 64)
+            signal.alarm(20)
+            try:
+                t = AtlasTiffFile(str(path))
+                t.read_region_level(0, 0, 0, 80, 64)
+                t.close()
+            except (RuntimeError, ValueError):
+                pass
+            finally:
+                signal.alarm(0)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
