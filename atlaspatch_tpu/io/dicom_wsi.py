@@ -270,31 +270,53 @@ class _DicomLevel:
             self._f.close()
             raise _DicomError(f"{path.name}: cannot map file: {e}") from e
         self.buf: Any = buf
-        parser = _Parser(buf)
+        # Any failure past this point must release the mmap + fd: the sibling
+        # scan in DicomWSI._setup probes every .dcm in the directory and
+        # swallows errors, so a leak here accumulates one fd per non-WSI file.
         try:
-            self.ds, self.pixel = parser.parse()
-        except (struct.error, IndexError, ValueError, MemoryError) as e:
+            parser = _Parser(buf)
+            try:
+                self.ds, self.pixel = parser.parse()
+            except (struct.error, IndexError, ValueError, MemoryError) as e:
+                raise _DicomError(f"{path.name}: malformed DICOM dataset: {e}") from e
+            self.ts = parser.ts
+            ds = self.ds
+            self.rows = ds.int_val(TAG_ROWS) or 0
+            self.cols = ds.int_val(TAG_COLUMNS) or 0
+            self.total_cols = ds.int_val(TAG_TOTAL_COLS) or self.cols
+            self.total_rows = ds.int_val(TAG_TOTAL_ROWS) or self.rows
+            self.n_frames = ds.int_val(TAG_NUMBER_OF_FRAMES) or 1
+            self.spp = ds.int_val(TAG_SAMPLES_PER_PIXEL) or 3
+            self.bits = ds.int_val(TAG_BITS_ALLOCATED) or 8
+            self.photometric = (ds.str_val(TAG_PHOTOMETRIC) or "RGB").upper()
+            self.series_uid = ds.str_val(TAG_SERIES_UID)
+            self.image_type = (ds.str_val(TAG_IMAGE_TYPE) or "").upper()
+            self.dim_org = (ds.str_val(TAG_DIM_ORG_TYPE) or "TILED_FULL").upper()
+            if self.rows <= 0 or self.cols <= 0:
+                raise _DicomError(f"{path.name}: missing Rows/Columns")
+            if self.bits != 8:
+                raise _DicomError(
+                    f"{path.name}: only 8-bit samples supported (got {self.bits})"
+                )
+            if self.pixel is None:
+                raise _DicomError(f"{path.name}: no PixelData")
+        except BaseException:
             self.close()
-            raise _DicomError(f"{path.name}: malformed DICOM dataset: {e}") from e
-        self.ts = parser.ts
-        ds = self.ds
-        self.rows = ds.int_val(TAG_ROWS) or 0
-        self.cols = ds.int_val(TAG_COLUMNS) or 0
-        self.total_cols = ds.int_val(TAG_TOTAL_COLS) or self.cols
-        self.total_rows = ds.int_val(TAG_TOTAL_ROWS) or self.rows
-        self.n_frames = ds.int_val(TAG_NUMBER_OF_FRAMES) or 1
-        self.spp = ds.int_val(TAG_SAMPLES_PER_PIXEL) or 3
-        self.bits = ds.int_val(TAG_BITS_ALLOCATED) or 8
-        self.photometric = (ds.str_val(TAG_PHOTOMETRIC) or "RGB").upper()
-        self.series_uid = ds.str_val(TAG_SERIES_UID)
-        self.image_type = (ds.str_val(TAG_IMAGE_TYPE) or "").upper()
-        self.dim_org = (ds.str_val(TAG_DIM_ORG_TYPE) or "TILED_FULL").upper()
-        if self.rows <= 0 or self.cols <= 0:
-            raise _DicomError(f"{path.name}: missing Rows/Columns")
-        if self.bits != 8:
-            raise _DicomError(f"{path.name}: only 8-bit samples supported (got {self.bits})")
-        if self.pixel is None:
-            raise _DicomError(f"{path.name}: no PixelData")
+            raise
+
+    def close(self) -> None:
+        """Release the mmap and file handle (idempotent)."""
+        buf = getattr(self, "buf", None)
+        if buf is not None:
+            try:
+                buf.close()
+            except (BufferError, ValueError):
+                pass  # live frame views keep the map alive until GC
+            self.buf = None
+        f = getattr(self, "_f", None)
+        if f is not None:
+            f.close()
+            self._f = None
 
     def frame_positions(self) -> list[tuple[int, int]]:
         """Top-left pixel position of each frame in the total pixel matrix."""
@@ -442,6 +464,8 @@ class DicomWSI(IWSI):
                 and inst.series_uid is not None
             ):
                 instances.append(inst)
+            else:
+                inst.close()
         instances.sort(key=lambda m: -(m.total_cols * m.total_rows))
         # Drop duplicate level sizes (multiple focal planes / optical paths).
         seen_sizes: set[tuple[int, int]] = set()
@@ -451,6 +475,8 @@ class DicomWSI(IWSI):
             if size not in seen_sizes:
                 seen_sizes.add(size)
                 uniq.append(inst)
+            else:
+                inst.close()
         self._instances = uniq
 
         w0, h0 = uniq[0].total_cols, uniq[0].total_rows
@@ -545,6 +571,14 @@ class DicomWSI(IWSI):
     def cleanup(self) -> None:
         for level in self._levels:
             level.clear_cache()
+        for inst in self._instances:
+            inst.close()
         self._instances = []
         self._levels = []
         self._loaded = False
+
+    def __del__(self) -> None:
+        try:
+            self.cleanup()
+        except Exception:
+            pass

@@ -206,7 +206,13 @@ class HamamatsuVMSWSI(IWSI):
         try:
             return jpeg_decode_window(self._files[pos].read_bytes(), scale, x, y, w, h)
         except RuntimeError:
-            return self._decode_tile(key)
+            # Fallback: decode whole and CROP to the requested window — the
+            # caller pastes the return value at the window position, so
+            # returning the full tile here would paste the wrong pixels.
+            full = self._decode_tile(key)
+            if full is None:
+                return None
+            return full[y : y + h, x : x + w]
 
     # --- IWSI surface -----------------------------------------------------
     def extract(

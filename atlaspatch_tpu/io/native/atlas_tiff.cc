@@ -422,6 +422,8 @@ struct JpegStripeIndex {
   uint64_t hdr_w = 0, hdr_h = 0;  // dims as declared in the SOF marker
   std::vector<uint8_t> header;    // SOI..SOS inclusive, DRI removed
   size_t sof_dims_off = 0;        // offset of the big-endian h,w pair in header
+  size_t sos_off = 0;             // offset of the SOS segment in header
+  uint32_t dri = 0;               // restart interval declared by the stream
   uint64_t mcu_w = 8, mcu_h = 8;
   uint64_t seg_px_w = 0, seg_px_h = 0;  // segment rectangle (clamped at edges)
   uint64_t segs_per_row = 1;            // segments per MCU-row band
@@ -526,6 +528,7 @@ static void build_stripe_index(const FileReader& file, const IFD& d,
     } else if (m == 0xDD) {  // DRI: record, drop from the per-segment header
       if (seglen >= 4) dri = (uint32_t)((seg[4] << 8) | seg[5]);
     } else if (m == 0xDA) {  // SOS: header complete, entropy follows
+      si->sos_off = hdr.size();
       hdr.insert(hdr.end(), seg, seg + total);
       entropy_start = off + p + total;
       break;
@@ -543,11 +546,14 @@ static void build_stripe_index(const FileReader& file, const IFD& d,
     return;
   }
   // Header + entropy span are enough for the sequential (row-capped)
-  // fallback even when restart-marker striping is impossible below.
+  // fallback even when restart-marker striping is impossible below. The
+  // DRI value is kept so the fallback can re-insert it: sequential decode
+  // consumes the WHOLE entropy stream, restart markers included.
   si->mcu_w = 8 * max_h;
   si->mcu_h = 8 * max_v;
   si->entropy_start = entropy_start;
   si->entropy_end = off + len;
+  si->dri = dri;
   si->seq_ok = true;
   if (!dri) {
     si->reason = "no restart interval";
@@ -849,6 +855,14 @@ static bool read_region_jpeg_sequential(const AtlasTiff* t, const IFD& d,
   hdr[si.sof_dims_off + 1] = (uint8_t)(hp & 0xFF);
   hdr[si.sof_dims_off + 2] = (uint8_t)((uint64_t)W >> 8);
   hdr[si.sof_dims_off + 3] = (uint8_t)((uint64_t)W & 0xFF);
+  // Re-insert the DRI segment the striped header drops: this decode walks
+  // the full entropy stream, so libjpeg must expect its restart markers or
+  // it resyncs through them as corrupt data (silent garbage pixels).
+  if (si.dri != 0 && si.sos_off != 0) {
+    const uint8_t dri_seg[6] = {0xFF, 0xDD, 0x00, 0x04,
+                                (uint8_t)(si.dri >> 8), (uint8_t)(si.dri & 0xFF)};
+    hdr.insert(hdr.begin() + si.sos_off, dri_seg, dri_seg + 6);
+  }
 
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
@@ -1399,11 +1413,12 @@ static bool read_region_impl(const AtlasTiff* t, int level, int64_t x, int64_t y
   // whole-strip libjpeg decode.
   if (!d.tiled && d.compression == 7 && d.chunk_offsets.size() == 1 &&
       d.jpeg_tables.empty() && (d.spp == 1 || d.spp == 3)) {
-    // The size-only trigger is an NDPI optimization (avoid whole-level
-    // decodes of multi-GiB single-JPEG levels); for generic TIFFs it stays
-    // advisory — when the stripe index is unusable we fall back to the
-    // whole-strip decode rather than failing files that used to work.
-    bool huge = t->ndpi && (uint64_t)W * (uint64_t)H * 3ull > (1ull << 30);
+    // The size-only trigger avoids whole-level decodes of multi-GiB
+    // single-JPEG levels (NDPI or generic). It is advisory: when the stripe
+    // index is unusable we try the row-capped sequential decode, then fall
+    // back to the whole-strip decode rather than failing files that used to
+    // work.
+    bool huge = (uint64_t)W * (uint64_t)H * 3ull > (1ull << 30);
     JpegStripeIndex* si = t->stripe_index(t->levels[level].ifd_index);
     // Evidence of mismatch requires an actually-parsed baseline SOF; zeroed
     // dims (what NDPI writers emit past 65,535 px) count as mismatching.
@@ -1417,14 +1432,15 @@ static bool read_region_impl(const AtlasTiff* t, int level, int64_t x, int64_t y
         ok = si->usable && scan_stripe_segments(t->file, si);
       }
       if (!ok) {
-        if (huge && !mismatch) goto whole_strip;  // size heuristic only: retry whole
-        // No usable restart segments (e.g. no DRI): stream a sequential
-        // top-down decode capped at the needed rows instead of failing.
+        // No usable restart segments (e.g. no DRI, misaligned interval):
+        // stream a sequential top-down decode capped at the needed rows —
+        // bounded memory, bit-identical pixels.
         std::string seq_err;
         if (si->seq_ok &&
             read_region_jpeg_sequential(t, d, *si, x, y, w, x0, y0, x1, y1, out,
                                         &seq_err))
           return true;
+        if (huge && !mismatch) goto whole_strip;  // size heuristic only: retry whole
         *err = "single-strip JPEG needs striped decode but " + si->reason;
         if (!seq_err.empty()) *err += "; sequential fallback: " + seq_err;
         return false;

@@ -113,10 +113,15 @@ class TiledLevel:
                             key, ix0 - px, iy0 - py, ix1 - ix0, iy1 - iy0
                         )
                         if win is not None:
-                            out[iy0 - y : iy1 - y, ix0 - x : ix1 - x] = win[
-                                : iy1 - iy0, : ix1 - ix0, :3
-                            ]
-                        continue
+                            # Clip to the decoded window's real size (a
+                            # fallback decode may come up short near edges).
+                            wh_ = min(iy1 - iy0, win.shape[0])
+                            ww_ = min(ix1 - ix0, win.shape[1])
+                            out[iy0 - y : iy0 - y + wh_, ix0 - x : ix0 - x + ww_] = (
+                                win[:wh_, :ww_, :3]
+                            )
+                            continue
+                        # None: fall through to the full-tile decode below.
                     arr = self._tile_array(key)
                     if arr is None:
                         continue

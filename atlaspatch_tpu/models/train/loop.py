@@ -166,16 +166,20 @@ def finetune_sam2(
     if n_proc > 1:
         from jax.sharding import Mesh
 
-        if batch_size % n_proc:
-            raise ValueError(
-                f"global batch size {batch_size} must divide over {n_proc} hosts"
-            )
         if resume or save_every:
             raise NotImplementedError(
                 "multi-host finetune does not support --resume/--save-every yet; "
                 "run those single-host"
             )
         devices = np.asarray(jax.devices())  # all hosts' devices
+        # The P("data") sharding splits batch rows over EVERY mesh device,
+        # not just one per host — validate against the real requirement so
+        # the failure is this message, not a shape error inside jit.
+        if batch_size % devices.size:
+            raise ValueError(
+                f"global batch size {batch_size} must divide over the "
+                f"{devices.size} devices of the global mesh ({n_proc} hosts)"
+            )
         mesh = Mesh(devices, ("data",))
         mh = (jax.process_index(), batch_size // n_proc)
         step = shard_train_step(sam2_cfg, optimizer, mesh, trainable=trainable)
@@ -262,16 +266,26 @@ def finetune_sam2(
         meta_path = ckpt_dir / "meta.json"
         if meta_path.exists():
             saved = json.loads(meta_path.read_text())
-            if saved != run_meta:
-                diffs = {
-                    k: (saved.get(k), run_meta[k])
-                    for k in run_meta
-                    if saved.get(k) != run_meta[k]
-                }
+            # Compare only keys the checkpointed run recorded: meta.json
+            # written before a key existed must stay resumable (the value was
+            # simply not tracked then), but any RECORDED value must match.
+            diffs = {
+                k: (saved[k], run_meta[k])
+                for k in run_meta
+                if k in saved and saved[k] != run_meta[k]
+            }
+            if diffs:
                 raise ValueError(
                     "--resume: run configuration differs from the checkpointed "
                     f"run (saved vs current): {diffs}. Epoch replay would be "
                     "silently wrong; start a fresh output dir instead."
+                )
+            untracked = sorted(k for k in run_meta if k not in saved)
+            if untracked:
+                logger.warning(
+                    "--resume: checkpoint meta.json predates %s; cannot verify "
+                    "those settings match the original run",
+                    untracked,
                 )
         params, opt_state, global_step = restore_checkpoint(
             ckpt_dir, step_no, jax.device_get(params), jax.device_get(opt_state)
@@ -308,11 +322,16 @@ def finetune_sam2(
         # per-sample outputs let us drop the wrapped duplicates so every
         # holdout pair counts exactly once in the means.
         losses_v, ious_v = [], []
+        # Multi-host: params live as global (replicated) arrays that the
+        # plain-jit eval step cannot mix with host-local inputs; fetch the
+        # local replica once and let every host score the full holdout
+        # redundantly (cheap, and keeps eval single-host-identical).
+        p_eval = jax.device_get(params) if mh is not None else params
         for b in range(0, len(val_pairs), batch_size):
             n_real = min(batch_size, len(val_pairs) - b)
             idx = np.arange(b, b + batch_size) % len(val_pairs)
             images_u8, targets = _load_batch(idx, val_pairs)
-            lv, iv = eval_step(params, images_u8, targets)
+            lv, iv = eval_step(p_eval, images_u8, targets)
             losses_v.extend(np.asarray(lv)[:n_real].tolist())
             ious_v.extend(np.asarray(iv)[:n_real].tolist())
         return float(np.mean(losses_v)), float(np.mean(ious_v))

@@ -208,27 +208,37 @@ def run_preflight(
     """Validate every discoverable checkpoint; returns all result rows."""
     from atlaspatch_tpu.models.encoders.zoo import ENTRIES, _find_cached_weights
 
-    os.environ["ATLASPATCH_WEIGHTS_DIR"] = str(weights_dir)
     wanted = list(names) if names else sorted(ENTRIES)
     unknown = [n for n in wanted if n not in ENTRIES]
     if unknown:
         raise ValueError(f"unknown encoder name(s): {', '.join(unknown)}")
 
+    # Point weight discovery at the preflight dir only for the duration of
+    # the run — an in-process caller's own weight resolution must not stay
+    # silently redirected afterwards.
+    prev = os.environ.get("ATLASPATCH_WEIGHTS_DIR")
+    os.environ["ATLASPATCH_WEIGHTS_DIR"] = str(weights_dir)
     results: list[PreflightResult] = []
-    for name in wanted:
-        entry = ENTRIES[name]
-        path = _find_cached_weights(entry)
-        if path is None:
-            results.append(PreflightResult(name, "SKIP", "no checkpoint found"))
-        else:
-            results.append(verify_encoder(entry, path, smoke=smoke))
-        report(results[-1].line())
-
-    if include_sam2:
-        sam2_path = _find_sam2_checkpoint(weights_dir)
-        if sam2_path is not None:
-            results.append(verify_sam2(sam2_path, smoke=smoke))
+    try:
+        for name in wanted:
+            entry = ENTRIES[name]
+            path = _find_cached_weights(entry)
+            if path is None:
+                results.append(PreflightResult(name, "SKIP", "no checkpoint found"))
+            else:
+                results.append(verify_encoder(entry, path, smoke=smoke))
             report(results[-1].line())
+
+        if include_sam2:
+            sam2_path = _find_sam2_checkpoint(weights_dir)
+            if sam2_path is not None:
+                results.append(verify_sam2(sam2_path, smoke=smoke))
+                report(results[-1].line())
+    finally:
+        if prev is None:
+            os.environ.pop("ATLASPATCH_WEIGHTS_DIR", None)
+        else:
+            os.environ["ATLASPATCH_WEIGHTS_DIR"] = prev
 
     n_pass = sum(r.status == "PASS" for r in results)
     n_fail = sum(r.status == "FAIL" for r in results)

@@ -164,6 +164,30 @@ class TestHamamatsu:
             region = wsi.extract((0, 0), 1, (128, 64), mode="array")
             assert region.shape == (64, 128, 3)
 
+    def test_vms_window_fallback_crops(self, vms, monkeypatch):
+        """When the native windowed decode fails, the fallback must decode
+        whole and CROP to the window — regression: returning the full tile
+        pasted its top-left corner at the window position (silent pixel
+        corruption on any read with a nonzero tile-local offset)."""
+        import atlaspatch_tpu.io.native as native
+
+        path, img = vms
+
+        def _boom(*a, **k):
+            raise RuntimeError("simulated jpeg_decode_window failure")
+
+        monkeypatch.setattr(native, "jpeg_decode_window", _boom)
+        with WSIFactory.load(str(path)) as wsi:
+            wsi._ensure_loaded()
+            for level in wsi._levels:
+                level._window_threshold = 0  # every tile takes the window path
+                level.clear_cache()
+            # nonzero offsets within both source JPEGs (cols=2 of 128 px)
+            region = wsi.extract((96, 32), 0, (64, 64), mode="array")
+            assert_close_rgb(region, img[32:96, 96:160])
+            region = wsi.extract((200, 90), 0, (40, 30), mode="array")
+            assert_close_rgb(region, img[90:120, 200:240])
+
     def test_vmu_exact_roundtrip(self, tmp_path):
         img = smooth_rgb(128, 64)
         path = write_vmu(tmp_path / "case.vmu", img, column_width=32, mpp=0.3, lens=40)
@@ -236,6 +260,51 @@ class TestDicom:
                                  encapsulated=False)
         with pytest.raises(RuntimeError, match="LABEL"):
             WSIFactory.load(str(path))._ensure_loaded()
+
+    def test_handles_closed_on_cleanup_and_malformed(self, tmp_path):
+        """File handles/mmaps must be released: a malformed instance raises
+        the diagnostic _DicomError (regression: a missing close() turned it
+        into AttributeError) without leaking its fd, and cleanup() closes
+        every kept instance."""
+        import os
+
+        from atlaspatch_tpu.io.dicom_wsi import _DicomError, _DicomLevel
+
+        junk = tmp_path / "junk.dcm"
+        junk.write_bytes(b"\x00" * 200)
+        fds_before = len(os.listdir("/proc/self/fd"))
+        for _ in range(5):
+            with pytest.raises(_DicomError):
+                _DicomLevel(junk)
+        assert len(os.listdir("/proc/self/fd")) <= fds_before
+
+        img = smooth_rgb(64, 64)
+        path = write_dicom_level(tmp_path / "ok.dcm", img, tile=64,
+                                 encapsulated=False)
+        wsi = WSIFactory.load(str(path))
+        wsi._ensure_loaded()
+        instances = list(wsi._instances)
+        assert instances
+        wsi.cleanup()
+        for inst in instances:
+            assert inst.buf is None and inst._f is None
+
+
+def test_tiled_decode_window_none_falls_back():
+    """A decode_window returning None (documented 'caller falls back'
+    contract) must route to the full-tile decode — regression: the tile was
+    skipped entirely, silently reading as fill color."""
+    from atlaspatch_tpu.io.tiled import TiledLevel
+
+    rng = np.random.default_rng(5)
+    tile = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    lvl = TiledLevel(
+        32, 32, 1.0, [(0, 0, 32, 32, "k")],
+        lambda key: tile,
+        decode_window=lambda *a: None,
+        window_threshold_bytes=0,  # force the window path for every tile
+    )
+    np.testing.assert_array_equal(lvl.read_region(4, 6, 10, 12), tile[6:18, 4:14])
 
 
 # ------------------------------------------------------- pipeline integration

@@ -200,6 +200,22 @@ def test_finetune_resume_guards(tmp_path: Path):
             image_size=128, device="cpu", save_every=1, resume=True,
         )
 
+    # meta.json written by an older build (missing later-added keys) stays
+    # resumable: only RECORDED values are compared (regression: the strict
+    # dict equality rejected every checkpoint that predates a new key).
+    import json
+
+    meta_path = tmp_path / "run" / "checkpoints" / "meta.json"
+    saved = json.loads(meta_path.read_text())
+    for key in ("trainable", "learning_rate"):
+        saved.pop(key, None)
+    meta_path.write_text(json.dumps(saved))
+    again = finetune_sam2(
+        images, masks, tmp_path / "run", epochs=1, batch_size=2,
+        image_size=128, device="cpu", save_every=1, resume=True,
+    )
+    assert again["steps"] == 2 and again["first_loss"] is None
+
 
 def test_make_optimizer_schedules():
     """Warmup starts at LR 0 (near-zero first update) and ramps; cosine and

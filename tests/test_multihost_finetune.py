@@ -33,11 +33,13 @@ losses = []
 summary = finetune_sam2(
     images, masks, outdir,
     epochs=2, batch_size=2, image_size=64, device="cpu", seed=0,
-    learning_rate=1e-3, trainable="all", augment=True,
+    learning_rate=1e-3, trainable="all", augment=True, val_fraction=0.25,
     on_step=lambda step, loss: losses.append(loss),
 )
 tmp = out_json + ".tmp"
-json.dump({"losses": losses, "steps": summary["steps"]}, open(tmp, "w"))
+json.dump({"losses": losses, "steps": summary["steps"],
+           "val_loss": summary["val_loss"], "val_iou": summary["val_iou"]},
+          open(tmp, "w"))
 os.replace(tmp, out_json)  # artifact complete = the work is done
 if int(nproc) > 1:
     jax.distributed.shutdown()  # orderly barrier, not the atexit race
@@ -111,11 +113,17 @@ def test_two_host_finetune_matches_single_host(tmp_path: Path):
 
     mh0 = json.loads((tmp_path / "mh0.json").read_text())
     mh1 = json.loads((tmp_path / "mh1.json").read_text())
-    assert mh0["steps"] == mh1["steps"] == single["steps"] == 4
+    # 4 pairs − 1 holdout → 1 step/epoch × 2 epochs
+    assert mh0["steps"] == mh1["steps"] == single["steps"] == 2
     # both hosts observed the identical (replicated) loss
     np.testing.assert_allclose(mh0["losses"], mh1["losses"], rtol=1e-5)
     # and it matches the single-host trajectory
     np.testing.assert_allclose(mh0["losses"], single["losses"], rtol=2e-3)
+    # validation runs under multi-host too (each host scores the holdout
+    # from its local replica) and matches the single-host metrics
+    np.testing.assert_allclose(mh0["val_loss"], mh1["val_loss"], rtol=1e-5)
+    np.testing.assert_allclose(mh0["val_loss"], single["val_loss"], rtol=2e-3)
+    np.testing.assert_allclose(mh0["val_iou"], single["val_iou"], rtol=2e-3)
     # one writer: only host 0 published the final npz
     assert (tmp_path / "mh0" / "sam2_finetuned.npz").exists()
     assert not (tmp_path / "mh1" / "sam2_finetuned.npz").exists()

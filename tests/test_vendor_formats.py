@@ -341,6 +341,28 @@ def test_ndpi_striped_decode_420_chroma(tmp_path: Path):
     t.close()
 
 
+def test_ndpi_misaligned_restart_interval_sequential_fallback(tmp_path: Path):
+    """Restart markers present at an interval striping cannot use (neither a
+    whole number of MCU rows nor an even divisor of one): the sequential
+    fallback must re-insert the DRI segment into its rebuilt header and
+    decode bit-exactly. Regression: the DRI-less striped header made libjpeg
+    treat every RSTn as corrupt data — silent garbage pixels past the first
+    restart segment."""
+    rng = np.random.default_rng(24)
+    h, w = 96, 120  # 15 MCUs/row at 4:4:4; DRI=4 divides neither way
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    stream = _jpeg_with_restarts(img, blocks=4, subsampling=0)
+    ref = _decode_jpeg(stream)
+    path = tmp_path / "misaligned.ndpi"
+    _write_single_strip_ndpi(path, _zero_sof_dims(stream), w, h)
+    t = AtlasTiffFile(str(path))
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, w, h), ref)
+    np.testing.assert_array_equal(
+        t.read_region_level(0, 13, 41, 50, 20), ref[41:61, 13:63]
+    )
+    t.close()
+
+
 def test_ndpi_no_restart_markers_sequential_fallback(tmp_path: Path):
     """A mismatched-SOF single-strip JPEG without restart markers decodes via
     the sequential row-capped fallback, bit-exact vs a full libjpeg decode."""
