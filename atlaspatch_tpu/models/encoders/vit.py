@@ -14,6 +14,7 @@ einsum on the MXU; bfloat16 compute optional with float32 softmax.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, replace
 
 import flax.linen as nn
@@ -75,7 +76,19 @@ class ViTSpec:
         return self.mlp_hidden if self.mlp_hidden is not None else int(self.dim * self.mlp_ratio)
 
 
-def _act(name: str):
+def _act(name: str, quantized: bool = False):
+    # tanh-GELU substitution for the exact erf GELU: the erf runs on the VPU
+    # inside the transformer-layer fusions that set the ViT-L pace, and
+    # swapping it measures +32% resident bf16 / +35% int8 on a v5e at cos
+    # 0.9998+ feature agreement (docs/PERF.md round-3 ceiling analysis).
+    # Default ON only in the int8 serving mode, whose contract is already
+    # fastest-with-small-drift; exact float paths keep bit-parity with
+    # torchvision/timm erf-GELU oracles. ATLASPATCH_GELU_TANH=1/0 forces it
+    # on/off everywhere. Read at trace time.
+    if name == "gelu":
+        env = os.environ.get("ATLASPATCH_GELU_TANH")
+        if env == "1" or (quantized and env != "0"):
+            name = "gelu_tanh"
     return {
         "gelu": lambda x: jax.nn.gelu(x, approximate=False),
         "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
@@ -263,13 +276,13 @@ class Mlp(nn.Module):
         if s.gated_mlp:
             gate = _dense(s, s.hidden_dim, name="fc_gate")(x)
             up = _dense(s, s.hidden_dim, name="fc_up")(x)
-            h = _act(s.act)(gate) * up
+            h = _act(s.act, s.quant_int8)(gate) * up
         elif s.swiglu:
             h = _dense(s, 2 * s.hidden_dim, name="fc1")(x)
             x1, x2 = jnp.split(h, 2, axis=-1)
-            h = _act(s.act)(x1) * x2
+            h = _act(s.act, s.quant_int8)(x1) * x2
         else:
-            h = _act(s.act)(_dense(s, s.hidden_dim, name="fc1")(x))
+            h = _act(s.act, s.quant_int8)(_dense(s, s.hidden_dim, name="fc1")(x))
         return _dense(s, s.dim, name="fc2")(h)
 
 

@@ -227,3 +227,44 @@ def test_timm_naming_equivalence(rng):
     np.testing.assert_allclose(
         _run_flax(spec, params_hf, x), _run_flax(spec, params_timm, x), rtol=1e-6, atol=1e-6
     )
+
+
+def test_gelu_tanh_serving_flag(monkeypatch):
+    """ATLASPATCH_GELU_TANH=1 swaps the exact erf GELU for the tanh
+    approximation at trace time (opt-in serving mode, docs/PERF.md):
+    outputs must differ from the exact path, but only by approximation
+    error — and specs that already name a non-erf activation are
+    unaffected."""
+    import jax
+
+    spec = ViTSpec(img_size=32, patch_size=16, dim=64, depth=2, heads=4)
+    model = ViT(spec)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    monkeypatch.delenv("ATLASPATCH_GELU_TANH", raising=False)
+    exact = np.asarray(model.apply({"params": params}, x))
+    monkeypatch.setenv("ATLASPATCH_GELU_TANH", "1")
+    approx = np.asarray(model.apply({"params": params}, x))
+    assert not np.array_equal(exact, approx)
+    np.testing.assert_allclose(exact, approx, atol=5e-2)
+
+    # silu spec: flag is a no-op
+    spec_s = ViTSpec(img_size=32, patch_size=16, dim=64, depth=1, heads=4,
+                     act="silu")
+    model_s = ViT(spec_s)
+    params_s = model_s.init(jax.random.PRNGKey(0), x)["params"]
+    with_flag = np.asarray(model_s.apply({"params": params_s}, x))
+    monkeypatch.delenv("ATLASPATCH_GELU_TANH")
+    without = np.asarray(model_s.apply({"params": params_s}, x))
+    np.testing.assert_array_equal(with_flag, without)
+
+    # int8 serving mode defaults to tanh; ATLASPATCH_GELU_TANH=0 restores erf
+    from atlaspatch_tpu.models.encoders.vit import _act
+
+    v = jnp.float32(-2.0)
+    exact = float(_act("gelu")(v))
+    approx = float(_act("gelu_tanh")(v))
+    assert exact != approx
+    assert float(_act("gelu", quantized=True)(v)) == approx
+    monkeypatch.setenv("ATLASPATCH_GELU_TANH", "0")
+    assert float(_act("gelu", quantized=True)(v)) == exact
