@@ -14,11 +14,25 @@ for the 4096-token global blocks via ops/attention.py).
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from atlaspatch_tpu.models.sam2.config import SAM2Config
+
+
+def _gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Trunk GELU: exact erf by default (bit-parity with the torch oracle);
+    ATLASPATCH_GELU_TANH=1 opts into the tanh approximation for symmetry
+    with the ViT serving flag. Measured on a v5e at hiera-tiny 1024²
+    (trained weights, bf16, batch 32): a NO-OP — 101.1 thumbs/s resident
+    either way, binary masks bit-identical. Unlike ViT-L (+32%,
+    docs/PERF.md), this trunk's pace is set by windowed attention and
+    interpolation, not the MLP erf. Read at trace time."""
+    approx = os.environ.get("ATLASPATCH_GELU_TANH") == "1"
+    return jax.nn.gelu(x, approximate=approx)
 
 
 def window_partition(x: jnp.ndarray, window_size: int) -> tuple[jnp.ndarray, tuple[int, int]]:
@@ -97,7 +111,7 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Dense(self.hidden_dim, name="proj_in")(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = _gelu(x)
         return nn.Dense(self.out_dim, name="proj_out")(x)
 
 
