@@ -448,35 +448,45 @@ class DicomWSI(IWSI):
     def _setup(self) -> None:
         path = Path(self.path)
         primary = _DicomLevel(path)
-        if not primary.is_pyramid_instance():
-            raise RuntimeError(f"dicom: {path.name} is a {primary.image_type} instance")
+        # Until self._instances owns them (cleanup()/__del__ take over from
+        # there), every parsed instance must be closed on ANY exit path —
+        # batch runs probe many .dcm files and fds would otherwise pile up.
         instances = [primary]
-        for sib in sorted(path.parent.iterdir()):
-            if sib == path or sib.suffix.lower() not in (".dcm", ".dicom"):
-                continue
-            try:
-                inst = _DicomLevel(sib)
-            except Exception:
-                continue  # non-WSI DICOM or unreadable; not part of the pyramid
-            if (
-                inst.is_pyramid_instance()
-                and inst.series_uid == primary.series_uid
-                and inst.series_uid is not None
-            ):
-                instances.append(inst)
-            else:
+        try:
+            if not primary.is_pyramid_instance():
+                raise RuntimeError(
+                    f"dicom: {path.name} is a {primary.image_type} instance"
+                )
+            for sib in sorted(path.parent.iterdir()):
+                if sib == path or sib.suffix.lower() not in (".dcm", ".dicom"):
+                    continue
+                try:
+                    inst = _DicomLevel(sib)
+                except Exception:
+                    continue  # non-WSI DICOM or unreadable; not part of the pyramid
+                if (
+                    inst.is_pyramid_instance()
+                    and inst.series_uid == primary.series_uid
+                    and inst.series_uid is not None
+                ):
+                    instances.append(inst)
+                else:
+                    inst.close()
+            instances.sort(key=lambda m: -(m.total_cols * m.total_rows))
+            # Drop duplicate level sizes (multiple focal planes / optical paths).
+            seen_sizes: set[tuple[int, int]] = set()
+            uniq: list[_DicomLevel] = []
+            for inst in instances:
+                size = (inst.total_cols, inst.total_rows)
+                if size not in seen_sizes:
+                    seen_sizes.add(size)
+                    uniq.append(inst)
+                else:
+                    inst.close()  # idempotent; handler below may close again
+        except BaseException:
+            for inst in instances:
                 inst.close()
-        instances.sort(key=lambda m: -(m.total_cols * m.total_rows))
-        # Drop duplicate level sizes (multiple focal planes / optical paths).
-        seen_sizes: set[tuple[int, int]] = set()
-        uniq: list[_DicomLevel] = []
-        for inst in instances:
-            size = (inst.total_cols, inst.total_rows)
-            if size not in seen_sizes:
-                seen_sizes.add(size)
-                uniq.append(inst)
-            else:
-                inst.close()
+            raise
         self._instances = uniq
 
         w0, h0 = uniq[0].total_cols, uniq[0].total_rows

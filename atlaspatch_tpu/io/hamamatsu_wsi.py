@@ -30,6 +30,7 @@ from __future__ import annotations
 import configparser
 import struct
 from pathlib import Path
+from threading import Lock
 from typing import Any, Literal, Optional, Tuple, Union
 
 import numpy as np
@@ -113,6 +114,12 @@ class HamamatsuVMSWSI(IWSI):
         super().__init__(**kwargs)
         self._levels: list[TiledLevel] = []
         self._files: dict[tuple[int, int], Path] = {}
+        # One-slot cache for the window-decode FALLBACK (native windowed
+        # decode failed for a key): holds the one whole-decoded tile so the
+        # N patch reads that cluster inside it cost one full decode, not N,
+        # while memory stays bounded to a single tile.
+        self._fallback_full: tuple[tuple[tuple[int, int], int], np.ndarray] | None = None
+        self._fallback_lock = Lock()
 
     def _setup(self) -> None:
         vms = Path(self.path)
@@ -203,15 +210,23 @@ class HamamatsuVMSWSI(IWSI):
         pos, scale = key
         from atlaspatch_tpu.io.native import jpeg_decode_window
 
+        with self._fallback_lock:
+            if self._fallback_full is not None and self._fallback_full[0] == key:
+                return self._fallback_full[1][y : y + h, x : x + w]
         try:
             return jpeg_decode_window(self._files[pos].read_bytes(), scale, x, y, w, h)
         except RuntimeError:
-            # Fallback: decode whole and CROP to the requested window — the
-            # caller pastes the return value at the window position, so
-            # returning the full tile here would paste the wrong pixels.
+            # Fallback: decode whole ONCE (cached one-slot above — the
+            # failure is deterministic per stream, and re-decoding a
+            # multi-gigapixel JPEG per patch read would dominate the run)
+            # and CROP to the requested window — the caller pastes the
+            # return value at the window position, so returning the full
+            # tile here would paste the wrong pixels.
             full = self._decode_tile(key)
             if full is None:
                 return None
+            with self._fallback_lock:
+                self._fallback_full = (key, full)
             return full[y : y + h, x : x + w]
 
     # --- IWSI surface -----------------------------------------------------
@@ -253,6 +268,8 @@ class HamamatsuVMSWSI(IWSI):
     def cleanup(self) -> None:
         for level in self._levels:
             level.clear_cache()
+        with self._fallback_lock:
+            self._fallback_full = None
         self._loaded = False
 
 

@@ -1426,6 +1426,18 @@ static bool read_region_impl(const AtlasTiff* t, int level, int64_t x, int64_t y
     bool mismatch = si->sof_seen &&
                     (si->hdr_w != d.width || si->hdr_h != d.height);
     if (huge || mismatch) {
+      // Generic (non-NDPI) huge streams with trustworthy dims prefer the
+      // row-capped sequential decode: bit-identical to the whole-strip
+      // decode these files previously got (striping's standalone-segment
+      // 4:2:0 upsampling can differ by a few LSBs at segment boundaries)
+      // while keeping memory bounded to one scanline. NDPI keeps the
+      // striped path — its giant levels need the random access.
+      if (!t->ndpi && huge && !mismatch && si->seq_ok) {
+        std::string seq_err;
+        if (read_region_jpeg_sequential(t, d, *si, x, y, w, x0, y0, x1, y1, out,
+                                        &seq_err))
+          return true;
+      }
       bool ok;
       {
         std::lock_guard<std::mutex> g(t->stripe_mu);

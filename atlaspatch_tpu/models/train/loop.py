@@ -161,7 +161,7 @@ def finetune_sam2(
     # host_local_array_to_global_array — the gradient all-reduce is inserted
     # by XLA exactly as in the single-host sharded path.
     n_proc = jax.process_count()
-    mh: tuple[int, int] | None = None  # (process_index, rows per host)
+    mh: tuple[int, int] | None = None  # this host's (start row, row count)
     mesh = None
     if n_proc > 1:
         from jax.sharding import Mesh
@@ -181,7 +181,15 @@ def finetune_sam2(
                 f"{devices.size} devices of the global mesh ({n_proc} hosts)"
             )
         mesh = Mesh(devices, ("data",))
-        mh = (jax.process_index(), batch_size // n_proc)
+        # Each host contributes rows proportional to ITS device count (hosts
+        # may have unequal counts): host_local_array_to_global_array
+        # concatenates the per-process arrays in process order, and the
+        # result must land batch_size/devices.size rows on every device.
+        rows_per_dev = batch_size // devices.size
+        proc_of = np.asarray([d.process_index for d in devices.flat])
+        counts = np.bincount(proc_of, minlength=n_proc)
+        me = jax.process_index()
+        mh = (int(counts[:me].sum()) * rows_per_dev, int(counts[me]) * rows_per_dev)
         step = shard_train_step(sam2_cfg, optimizer, mesh, trainable=trainable)
     elif data_parallel > 1:
         from jax.sharding import Mesh
@@ -348,7 +356,7 @@ def finetune_sam2(
                 # Multi-host: this host loads only its contiguous batch slice;
                 # augmentation draws stay GLOBAL so host p applies the exact
                 # flips the single-host run would at rows [p*per, (p+1)*per).
-                sel = slice(mh[0] * mh[1], (mh[0] + 1) * mh[1]) if mh else slice(None)
+                sel = slice(mh[0], mh[0] + mh[1]) if mh else slice(None)
                 images_u8, targets = _load_batch(idx[sel])
                 if augment:
                     # Flips applied identically to image and mask. Seeded by

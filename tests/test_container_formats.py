@@ -254,12 +254,19 @@ class TestDicom:
             np.testing.assert_array_equal(got, img)
 
     def test_label_instance_rejected_as_primary(self, tmp_path):
+        import os
+
         img = np.full((32, 32, 3), 99, dtype=np.uint8)
         path = write_dicom_level(tmp_path / "lab.dcm", img, tile=32,
                                  image_type="ORIGINAL\\PRIMARY\\LABEL",
                                  encapsulated=False)
-        with pytest.raises(RuntimeError, match="LABEL"):
-            WSIFactory.load(str(path))._ensure_loaded()
+        # repeated rejected probes must not accumulate open handles (the
+        # primary is closed on the rejection path, not left to GC)
+        fds_before = len(os.listdir("/proc/self/fd"))
+        for _ in range(4):
+            with pytest.raises(RuntimeError, match="LABEL"):
+                WSIFactory.load(str(path))._ensure_loaded()
+        assert len(os.listdir("/proc/self/fd")) <= fds_before
 
     def test_handles_closed_on_cleanup_and_malformed(self, tmp_path):
         """File handles/mmaps must be released: a malformed instance raises
