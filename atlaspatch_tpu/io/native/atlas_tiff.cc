@@ -21,6 +21,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <map>
 #include <memory>
@@ -1418,7 +1419,14 @@ static bool read_region_impl(const AtlasTiff* t, int level, int64_t x, int64_t y
     // index is unusable we try the row-capped sequential decode, then fall
     // back to the whole-strip decode rather than failing files that used to
     // work.
-    bool huge = (uint64_t)W * (uint64_t)H * 3ull > (1ull << 30);
+    // Threshold overridable for tests (real trigger files are >1 GiB).
+    uint64_t huge_bytes = 1ull << 30;
+    if (const char* e = std::getenv("ATLASPATCH_TIFF_HUGE_BYTES")) {
+      char* end = nullptr;
+      unsigned long long v = std::strtoull(e, &end, 10);
+      if (end != e && v > 0) huge_bytes = (uint64_t)v;
+    }
+    bool huge = (uint64_t)W * (uint64_t)H * 3ull > huge_bytes;
     JpegStripeIndex* si = t->stripe_index(t->levels[level].ifd_index);
     // Evidence of mismatch requires an actually-parsed baseline SOF; zeroed
     // dims (what NDPI writers emit past 65,535 px) count as mismatching.

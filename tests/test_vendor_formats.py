@@ -463,6 +463,56 @@ def test_single_strip_with_restarts_and_correct_dims_normal_path(tmp_path: Path)
     t.close()
 
 
+def test_generic_huge_single_strip_bitexact_sequential(tmp_path: Path, monkeypatch):
+    """A generic (non-NDPI) single-strip JPEG past the 'huge' size trigger
+    with CORRECT SOF dims must decode bit-exactly: the row-capped sequential
+    path is preferred over striping (whose standalone 4:2:0 segments can
+    drift a few LSBs at boundaries) and over the whole-strip decode (which
+    allocates the full level). Threshold shrunk via env so a test-sized file
+    exercises the >1 GiB branch."""
+    monkeypatch.setenv("ATLASPATCH_TIFF_HUGE_BYTES", "1000")
+    h, w = 96, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            (xx * 255 / w).astype(np.uint8),
+            (yy * 255 / h).astype(np.uint8),
+            ((xx + yy) * 127 / (h + w)).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+    # 4:2:0 with per-row restarts: the regime where striping is NOT bit-exact
+    stream = _jpeg_with_restarts(img, rows=1, subsampling=2)
+    ref = _decode_jpeg(stream)
+    tw = TiffWriter()
+    tw.add_level_raw_strips([stream], width=w, height=h, rows_per_strip=h)
+    path = tmp_path / "big_plain.tif"
+    tw.save(path)
+    t = AtlasTiffFile(str(path))
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, w, h), ref)
+    np.testing.assert_array_equal(
+        t.read_region_level(0, 13, 41, 50, 20), ref[41:61, 13:63]
+    )
+    # no-restart-marker stream through the same size trigger: sequential too
+    import io
+
+    from PIL import Image as PILImage
+
+    buf = io.BytesIO()
+    PILImage.fromarray(img).save(buf, "JPEG", quality=90, subsampling=2)
+    plain = buf.getvalue()
+    tw2 = TiffWriter()
+    tw2.add_level_raw_strips([plain], width=w, height=h, rows_per_strip=h)
+    path2 = tmp_path / "big_plain_nodri.tif"
+    tw2.save(path2)
+    t2 = AtlasTiffFile(str(path2))
+    np.testing.assert_array_equal(
+        t2.read_region_level(0, 0, 0, w, h), _decode_jpeg(plain)
+    )
+    t2.close()
+    t.close()
+
+
 def test_striped_grayscale_min_is_white_inverts(tmp_path: Path):
     """Striped decode applies the MinIsWhite inversion like the generic
     chunk path."""
