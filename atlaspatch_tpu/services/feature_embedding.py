@@ -198,6 +198,21 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
         return result
 
     # --- embedding ------------------------------------------------------------------
+    def _make_writer(self, result: ExtractionResult, wsi: IWSI) -> H5PatchWriter:
+        return H5PatchWriter(
+            chunk_rows=self.cfg.write_batch,
+            patch_size=self.cfg.patch_size,
+            patch_size_level0=result.patch_size_level0 or 0,
+            level0_mag=int(wsi.mag) if wsi.mag is not None else 0,
+            target_mag=self.cfg.target_magnification,
+            level0_wh=wsi.get_size(lv=0),
+            overlap=max(
+                0, int(self.cfg.patch_size) - int(self.cfg.step_size or self.cfg.patch_size)
+            ),
+            slide_stem=result.slide.stem,
+            wsi_path=str(wsi.path),
+        )
+
     def _embed_with_extractor(
         self, *, result: ExtractionResult, wsi: IWSI, extractor, preloaded=None
     ) -> ExtractionResult:
@@ -261,19 +276,7 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
                     patches, batch_size=self.feature_cfg.batch_size
                 )
 
-            writer = H5PatchWriter(
-                chunk_rows=self.cfg.write_batch,
-                patch_size=self.cfg.patch_size,
-                patch_size_level0=result.patch_size_level0 or 0,
-                level0_mag=int(wsi.mag) if wsi.mag is not None else 0,
-                target_mag=self.cfg.target_magnification,
-                level0_wh=wsi.get_size(lv=0),
-                overlap=max(
-                    0, int(self.cfg.patch_size) - int(self.cfg.step_size or self.cfg.patch_size)
-                ),
-                slide_stem=result.slide.stem,
-                wsi_path=str(wsi.path),
-            )
+            writer = self._make_writer(result, wsi)
             try:
                 writer.append_features(
                     output_path=result.h5_path,
@@ -298,6 +301,116 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
 
         return self._update_metadata_feature_sets(result)
 
+    def _embed_with_extractors(
+        self, *, result: ExtractionResult, wsi: IWSI, extractors: dict, preloaded=None
+    ) -> tuple[set[str], dict[str, Exception]]:
+        """Slide-major: embed ALL missing features for one slide in ONE pass
+        over its patch pixels (the reference re-reads patches per extractor,
+        reference: atlas_patch/services/feature_embedding.py:81-96 — with N
+        extractors that is N full pixel reads per slide).
+
+        Returns (completed_names, per_extractor_errors). An extractor that
+        raises mid-slide is dropped from the remaining blocks; the survivors'
+        features still land atomically (append_features_multi drops the
+        failed tmp dataset). Skips — lock held elsewhere, features already
+        present — return empty sets without error.
+        """
+        lock_fd, lock_path = self._acquire_feature_lock(result.slide)
+        if lock_fd is None:
+            logger.info(
+                "Skipping feature embedding for %s (locked by another process).",
+                result.slide.path.name,
+            )
+            self._update_metadata_feature_sets(result)
+            return set(), {}
+        try:
+            # Re-probe under the lock: another process may have completed some
+            # features since the pending set was computed.
+            self._feature_cache.pop(Path(result.h5_path).resolve(), None)
+            existing = self._existing_features(
+                result.h5_path, expected_total=result.num_patches
+            )
+            todo = {
+                name: ext
+                for name, ext in extractors.items()
+                if name.lower() not in existing
+            }
+            if not todo:
+                self._update_metadata_feature_sets(result)
+                return set(), {}
+
+            if preloaded is not None:
+                coords, first_block = preloaded
+            else:
+                with h5py.File(result.h5_path, "r") as f:
+                    coords = f["coords"][:]
+                first_block = None
+
+            batch = max(1, int(self.feature_cfg.batch_size))
+            total_rows = int(coords.shape[0])
+            prefetcher = ThreadPoolExecutor(max_workers=1, thread_name_prefix="block-read")
+            pending: dict[int, object] = {}
+            if first_block is not None:
+                from concurrent.futures import Future
+
+                seeded: Future = Future()
+                seeded.set_result(first_block)
+                pending[0] = seeded
+
+            def read_block(start: int) -> list:
+                stop = min(start + batch, total_rows)
+                return self._read_patch_block(wsi, coords[start:stop])
+
+            errors: dict[str, Exception] = {}
+
+            def block_fn(start: int, stop: int) -> dict[str, np.ndarray]:
+                fut = pending.pop(start, None)
+                patches = fut.result() if fut is not None else read_block(start)
+                if stop < total_rows and stop not in pending:
+                    pending[stop] = prefetcher.submit(read_block, stop)
+                out: dict[str, np.ndarray] = {}
+                for name, ext in todo.items():
+                    if name in errors:
+                        continue
+                    try:
+                        out[name] = ext.extract_batch(
+                            patches, batch_size=self.feature_cfg.batch_size
+                        )
+                    except Exception as e:  # noqa: BLE001
+                        errors[name] = e
+                        logger.warning(
+                            "Extractor '%s' failed on %s; continuing with the rest: %s",
+                            name,
+                            result.slide.path.name,
+                            e,
+                        )
+                return out
+
+            writer = self._make_writer(result, wsi)
+            try:
+                done = writer.append_features_multi(
+                    output_path=result.h5_path,
+                    feature_names=list(todo),
+                    block_fn=block_fn,
+                    num_rows=total_rows,
+                    feature_batch=self.feature_cfg.batch_size,
+                    feature_attrs={
+                        name: {"name": name, "embedding_dim": ext.embedding_dim}
+                        for name, ext in todo.items()
+                    },
+                    expected_total=result.num_patches,
+                )
+            finally:
+                prefetcher.shutdown(wait=True)
+            for name in done:
+                self._add_feature_to_cache(
+                    result.h5_path, name, expected_total=result.num_patches
+                )
+            self._update_metadata_feature_sets(result)
+            return set(done), errors
+        finally:
+            self._release_feature_lock(lock_fd, lock_path)
+
     def embed_features(self, result: ExtractionResult, *, wsi: IWSI) -> ExtractionResult:
         """Embed with the first configured extractor (single-slide path)."""
         if not self.extractor_names:
@@ -312,9 +425,32 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
                 pass
 
     def embed_all(self, results: list[ExtractionResult], *, wsi_loader, progress=None) -> list:
-        """Per-extractor outer loop over all slides; each model loads once."""
-        failures: list = []
+        """Embed all configured extractors over all slides.
 
+        With >1 extractor the default is the slide-major pass: every model is
+        loaded once up front and each slide's patch pixels are read ONCE and
+        fanned out to all encoders (halves patch-read host work for two
+        extractors; the reference reads pixels per (slide, extractor)).
+        `ATLASPATCH_SLIDE_MAJOR=0` restores the extractor-major loop — use it
+        when the requested models do not fit on the device together, since
+        slide-major keeps all of them resident.
+        """
+        slide_major = (
+            len(self.extractor_names) > 1
+            and os.environ.get("ATLASPATCH_SLIDE_MAJOR", "1") != "0"
+        )
+        if slide_major:
+            return self._embed_all_slide_major(
+                results, wsi_loader=wsi_loader, progress=progress
+            )
+        return self._embed_all_extractor_major(
+            results, wsi_loader=wsi_loader, progress=progress
+        )
+
+    def _pending_by_slide(
+        self, results: list[ExtractionResult], progress
+    ) -> dict[Path, set[str]]:
+        """Probe existing features per slide; advance progress for done units."""
         pending: dict[Path, set[str]] = {}
         completed_units = 0
         for res in results:
@@ -327,6 +463,105 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
             completed_units += len(self.extractor_names) - len(missing)
         if progress and completed_units:
             progress.update(completed_units)
+        return pending
+
+    def _embed_all_slide_major(
+        self, results: list[ExtractionResult], *, wsi_loader, progress=None
+    ) -> list:
+        failures: list = []
+        pending = self._pending_by_slide(results, progress)
+
+        # Load every requested model once, up front; a model that fails to
+        # build fails only its own (slide, extractor) units.
+        needed = sorted({n for names in pending.values() for n in names})
+        extractors: dict[str, object] = {}
+        create_errors: dict[str, Exception] = {}
+        for name in needed:
+            try:
+                extractors[name] = self.registry.create(name)
+            except Exception as e:  # noqa: BLE001
+                create_errors[name] = e
+        if create_errors:
+            for res in results:
+                for name in sorted(pending.get(res.h5_path, set()) & set(create_errors)):
+                    failures.append((res.slide, create_errors[name]))
+                    if progress:
+                        progress.update(1)
+            for h5p in list(pending):
+                pending[h5p] -= set(create_errors)
+
+        todo = [r for r in results if pending.get(r.h5_path)]
+        prefetch_on = os.environ.get("ATLASPATCH_SLIDE_PREFETCH", "1") != "0"
+        prep_pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="slide-prep")
+
+        def _submit(index: int):
+            if index >= len(todo):
+                return None
+            if prefetch_on:
+                return prep_pool.submit(self._prepare_slide, todo[index], wsi_loader)
+            from concurrent.futures import Future
+
+            f: Future = Future()
+            try:
+                f.set_result(self._prepare_slide(todo[index], wsi_loader))
+            except Exception as e:  # noqa: BLE001
+                f.set_exception(e)
+            return f
+
+        prep_fut = _submit(0) if todo else None
+        try:
+            for i, res in enumerate(todo):
+                next_fut = _submit(i + 1) if prefetch_on else None
+                names = sorted(pending.get(res.h5_path, set()))
+                wsi = None
+                try:
+                    if prep_fut is None:  # serial baseline: prep inline now
+                        prep_fut = _submit(i)
+                    wsi, coords, first = prep_fut.result()
+                    _done, errors = self._embed_with_extractors(
+                        result=res,
+                        wsi=wsi,
+                        extractors={n: extractors[n] for n in names},
+                        preloaded=(coords, first),
+                    )
+                    for name in names:
+                        if name in errors:
+                            failures.append((res.slide, errors[name]))
+                except Exception as e:  # noqa: BLE001
+                    # Whole-slide failure (prep or writer): every missing
+                    # extractor unit for this slide failed, mirroring the
+                    # extractor-major loop's one-entry-per-unit accounting.
+                    failures.extend((res.slide, e) for _ in names)
+                finally:
+                    if wsi is not None:
+                        try:
+                            wsi.cleanup()
+                        except Exception:
+                            pass
+                if progress:
+                    progress.update(len(names))
+                prep_fut = next_fut
+        finally:
+            if prep_fut is not None:
+                try:
+                    leftover_wsi, _c, _f = prep_fut.result()
+                    leftover_wsi.cleanup()
+                except Exception:
+                    pass
+            prep_pool.shutdown(wait=True)
+            for ext in extractors.values():
+                try:
+                    ext.cleanup()
+                except Exception:
+                    pass
+        return failures
+
+    def _embed_all_extractor_major(
+        self, results: list[ExtractionResult], *, wsi_loader, progress=None
+    ) -> list:
+        """Per-extractor outer loop over all slides; each model loads once."""
+        failures: list = []
+        pending = self._pending_by_slide(results, progress)
 
         for name in self.extractor_names:
             try:

@@ -298,3 +298,134 @@ class H5PatchWriter:
                 raise
 
         return int(total_written)
+
+    def append_features_multi(
+        self,
+        *,
+        output_path: Path,
+        feature_names: Iterable[str],
+        block_fn: Callable[[int, int], Mapping[str, np.ndarray]],
+        num_rows: int,
+        feature_batch: int,
+        feature_attrs: Mapping[str, Mapping[str, int | str]] | None = None,
+        expected_total: int | None = None,
+    ) -> dict[str, int]:
+        """Append several `features/<name>` datasets from ONE pass over the rows.
+
+        Slide-major companion to `append_features`: `block_fn(start, stop)`
+        returns `{name: rows}` for every extractor still active, so the caller
+        reads each pixel block from the slide exactly once and fans it out to
+        all encoders (the reference re-reads patches per extractor,
+        reference: atlas_patch/services/feature_embedding.py:81-96).
+
+        Fault isolation: `block_fn` may DROP a name from later blocks (e.g. an
+        encoder raised on this slide). A dropped name's tmp dataset is deleted
+        and it is excluded from the result; the surviving features still land
+        atomically. The key set must never grow mid-stream. Each surviving
+        feature keeps the single-feature contract — rows accumulate in a
+        `__tmp_<name>` dataset that is renamed into place only when the count
+        matches `expected_total`.
+        """
+        names = [str(n) for n in feature_names]
+        if len(set(names)) != len(names):
+            raise ValueError(f"Duplicate feature names requested: {names}")
+        if not names:
+            return {}
+        batch_size = max(1, int(feature_batch))
+        tmp_of = {name: f"__tmp_{name}" for name in names}
+        written: dict[str, int] = {name: 0 for name in names}
+        datasets: dict[str, h5py.Dataset] = {}
+        active = list(names)
+
+        with h5py.File(output_path, "a") as f:
+            grp = f.require_group("features")
+            for name in names:
+                if name in grp:
+                    raise ValueError(
+                        f"Feature dataset '{name}' already exists in {output_path}."
+                    )
+                if tmp_of[name] in grp:
+                    del grp[tmp_of[name]]
+
+            try:
+                for start in range(0, int(num_rows), batch_size):
+                    stop = min(start + batch_size, int(num_rows))
+                    block = block_fn(start, stop)
+                    unknown = set(block) - set(active)
+                    if unknown:
+                        raise ValueError(
+                            f"block_fn returned rows for unknown/dropped features "
+                            f"{sorted(unknown)} (active: {active})"
+                        )
+                    dropped = [n for n in active if n not in block]
+                    for name in dropped:
+                        active.remove(name)
+                        written.pop(name, None)
+                        datasets.pop(name, None)
+                        if tmp_of[name] in grp:
+                            del grp[tmp_of[name]]
+                    if not active:
+                        break
+                    for name in active:
+                        arr = np.asarray(block[name], dtype=np.float32)
+                        if arr.ndim != 2:
+                            raise ValueError(
+                                f"Feature extractor '{name}' must return a 2D array, "
+                                f"got shape {arr.shape}"
+                            )
+                        if arr.shape[0] != stop - start:
+                            raise ValueError(
+                                f"Feature extractor '{name}' returned {arr.shape[0]} "
+                                f"rows for request of {stop - start}."
+                            )
+                        ds = datasets.get(name)
+                        if ds is None:
+                            ds = grp.create_dataset(
+                                tmp_of[name],
+                                shape=(0, arr.shape[1]),
+                                maxshape=(None, arr.shape[1]),
+                                chunks=(batch_size, arr.shape[1]),
+                                dtype=np.float32,
+                            )
+                            datasets[name] = ds
+                        elif ds.shape[1] != arr.shape[1]:
+                            raise ValueError(
+                                f"Feature dim mismatch for '{name}': "
+                                f"existing {ds.shape[1]}, new {arr.shape[1]}"
+                            )
+                        ds.resize((written[name] + arr.shape[0], ds.shape[1]))
+                        ds[written[name] : written[name] + arr.shape[0], :] = arr
+                        written[name] += int(arr.shape[0])
+
+                for name in active:
+                    if name not in datasets:
+                        emb_dim = int(
+                            ((feature_attrs or {}).get(name) or {}).get("embedding_dim", 0)
+                        )
+                        if emb_dim <= 0:
+                            raise ValueError(
+                                f"Feature extractor '{name}' missing valid embedding_dim "
+                                "to create dataset."
+                            )
+                        datasets[name] = grp.create_dataset(
+                            tmp_of[name],
+                            shape=(0, emb_dim),
+                            maxshape=(None, emb_dim),
+                            chunks=(batch_size, emb_dim),
+                            dtype=np.float32,
+                        )
+                    if expected_total is not None and written[name] != int(expected_total):
+                        raise ValueError(
+                            f"Feature rows written for '{name}' ({written[name]}) do not "
+                            f"match expected coords ({expected_total})"
+                        )
+
+                for name in active:
+                    grp.move(tmp_of[name], name)
+            except Exception:
+                for tmp in tmp_of.values():
+                    if tmp in grp:
+                        del grp[tmp]
+                raise
+
+        return {name: int(written[name]) for name in active}
