@@ -145,6 +145,13 @@ class FeatureExtractionConfig:
     def validated(self) -> "FeatureExtractionConfig":
         if not self.extractors:
             raise ValueError("At least one feature extractor must be provided.")
+        # Case-insensitive dedupe, order-preserving: a repeated name is one
+        # unit of work everywhere (progress totals, embed loops).
+        seen: set[str] = set()
+        self.extractors = [
+            n for n in self.extractors
+            if str(n).lower() not in seen and not seen.add(str(n).lower())
+        ]
         _ensure_positive(self.batch_size, "feature batch_size")
         _ensure_non_negative(self.num_workers, "feature num_workers")
         self.device = normalize_device(str(self.device))

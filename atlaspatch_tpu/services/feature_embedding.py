@@ -20,6 +20,7 @@ import logging
 import os
 import time
 from concurrent.futures import ThreadPoolExecutor
+from contextlib import contextmanager
 from pathlib import Path
 
 import h5py
@@ -138,6 +139,87 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
                 pass
             raise
 
+    def _block_pipeline(self, wsi: IWSI, coords: np.ndarray, first_block):
+        """One-block-ahead pixel reader shared by both embed modes.
+
+        Returns (get_block, shutdown): get_block(start, stop) yields the
+        pixels for [start, stop) and kicks off the NEXT block's read on a
+        background thread, so the device computes block i while the host
+        reads block i+1. `first_block`, when given, seeds block 0 (it was
+        pre-read by the cross-slide prep thread).
+        """
+        batch = max(1, int(self.feature_cfg.batch_size))
+        total_rows = int(coords.shape[0])
+        prefetcher = ThreadPoolExecutor(max_workers=1, thread_name_prefix="block-read")
+        pending: dict[int, object] = {}
+        if first_block is not None:
+            from concurrent.futures import Future
+
+            seeded: Future = Future()
+            seeded.set_result(first_block)
+            pending[0] = seeded
+
+        def read_block(start: int) -> list:
+            stop = min(start + batch, total_rows)
+            return self._read_patch_block(wsi, coords[start:stop])
+
+        def get_block(start: int, stop: int) -> list:
+            fut = pending.pop(start, None)
+            patches = fut.result() if fut is not None else read_block(start)
+            if stop < total_rows and stop not in pending:
+                pending[stop] = prefetcher.submit(read_block, stop)
+            return patches
+
+        return get_block, lambda: prefetcher.shutdown(wait=True)
+
+    @contextmanager
+    def _prepped_slides(self, todo: list, wsi_loader):
+        """Cross-slide prep pipeline shared by both embed modes: yields an
+        iterator of (result, prep_future) where the prep for slide i+1 runs
+        on a background thread while slide i embeds
+        (`ATLASPATCH_SLIDE_PREFETCH=0` forces inline/serial prep for A/B).
+        The context drains an unconsumed prep on exit so its WSI handle is
+        not leaked."""
+        prefetch_on = os.environ.get("ATLASPATCH_SLIDE_PREFETCH", "1") != "0"
+        prep_pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="slide-prep")
+        state: dict[str, object] = {"fut": None}
+
+        def _submit(index: int):
+            if index >= len(todo):
+                return None
+            if prefetch_on:
+                return prep_pool.submit(self._prepare_slide, todo[index], wsi_loader)
+            from concurrent.futures import Future
+
+            f: Future = Future()  # serial baseline: prep runs inline, lazily
+            try:
+                f.set_result(self._prepare_slide(todo[index], wsi_loader))
+            except Exception as e:  # noqa: BLE001
+                f.set_exception(e)
+            return f
+
+        def iterate():
+            fut = _submit(0) if (todo and prefetch_on) else None
+            for i, res in enumerate(todo):
+                next_fut = _submit(i + 1) if prefetch_on else None
+                if fut is None:
+                    fut = _submit(i)
+                state["fut"] = fut  # current prep: drained if never consumed
+                yield res, fut
+                state["fut"] = next_fut
+                fut = next_fut
+
+        try:
+            yield iterate()
+        finally:
+            if state["fut"] is not None:
+                try:
+                    leftover_wsi, _c, _f = state["fut"].result()
+                    leftover_wsi.cleanup()
+                except Exception:
+                    pass
+            prep_pool.shutdown(wait=True)
+
     # --- locks ----------------------------------------------------------------------
     def _acquire_feature_lock(self, slide) -> tuple[int | None, Path]:
         lock_path = patch_lock_path(slide, self.output_cfg, self.cfg)
@@ -249,31 +331,11 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
                     coords = f["coords"][:]
                 first_block = None
 
-            # One-block-ahead read pipeline: while the device embeds block i,
-            # a background thread reads block i+1's pixels from the slide.
-            batch = max(1, int(self.feature_cfg.batch_size))
-            total_rows = int(coords.shape[0])
-            prefetcher = ThreadPoolExecutor(max_workers=1, thread_name_prefix="block-read")
-            pending: dict[int, object] = {}
-            if first_block is not None:
-                from concurrent.futures import Future
-
-                seeded: Future = Future()
-                seeded.set_result(first_block)
-                pending[0] = seeded
-
-            def read_block(start: int) -> list:
-                stop = min(start + batch, total_rows)
-                return self._read_patch_block(wsi, coords[start:stop])
+            get_block, shutdown_reader = self._block_pipeline(wsi, coords, first_block)
 
             def feature_fn(start: int, stop: int) -> np.ndarray:
-                fut = pending.pop(start, None)
-                patches = fut.result() if fut is not None else read_block(start)
-                next_start = stop
-                if next_start < total_rows and next_start not in pending:
-                    pending[next_start] = prefetcher.submit(read_block, next_start)
                 return extractor.extract_batch(
-                    patches, batch_size=self.feature_cfg.batch_size
+                    get_block(start, stop), batch_size=self.feature_cfg.batch_size
                 )
 
             writer = self._make_writer(result, wsi)
@@ -291,7 +353,7 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
                     expected_total=result.num_patches,
                 )
             finally:
-                prefetcher.shutdown(wait=True)
+                shutdown_reader()
             self._add_feature_to_cache(
                 result.h5_path, extractor.name, expected_total=result.num_patches
             )
@@ -330,52 +392,60 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
             existing = self._existing_features(
                 result.h5_path, expected_total=result.num_patches
             )
+            # Key by the extractor's own (case-preserved) name — the dataset
+            # name the single-extractor path writes — not the lowercased
+            # registry key, so features/<name> casing is mode-independent.
             todo = {
-                name: ext
-                for name, ext in extractors.items()
-                if name.lower() not in existing
+                ext.name: ext
+                for ext in extractors.values()
+                if str(ext.name).lower() not in existing
             }
-            if not todo:
-                self._update_metadata_feature_sets(result)
-                return set(), {}
-
-            if preloaded is not None:
-                coords, first_block = preloaded
-            else:
-                with h5py.File(result.h5_path, "r") as f:
-                    coords = f["coords"][:]
-                first_block = None
-
-            batch = max(1, int(self.feature_cfg.batch_size))
-            total_rows = int(coords.shape[0])
-            prefetcher = ThreadPoolExecutor(max_workers=1, thread_name_prefix="block-read")
-            pending: dict[int, object] = {}
-            if first_block is not None:
-                from concurrent.futures import Future
-
-                seeded: Future = Future()
-                seeded.set_result(first_block)
-                pending[0] = seeded
-
-            def read_block(start: int) -> list:
-                stop = min(start + batch, total_rows)
-                return self._read_patch_block(wsi, coords[start:stop])
-
             errors: dict[str, Exception] = {}
 
+            with h5py.File(result.h5_path, "r") as f:
+                if preloaded is None:
+                    coords = f["coords"][:]
+                    first_block = None
+                else:
+                    coords, first_block = preloaded
+                # A dataset that exists but was not counted complete is a
+                # stale/partial leftover; fail ONLY that extractor (like the
+                # extractor-major loop does) instead of the whole slide.
+                present_keys = set(f["features"].keys()) if "features" in f else set()
+            for ds_name in [n for n in todo if n in present_keys]:
+                errors[ds_name] = ValueError(
+                    f"Feature dataset '{ds_name}' already exists in "
+                    f"{result.h5_path} (partial/stale rows; delete it to regenerate)."
+                )
+                del todo[ds_name]
+            if not todo:
+                self._update_metadata_feature_sets(result)
+                return set(), errors
+
+            total_rows = int(coords.shape[0])
+            get_block, shutdown_reader = self._block_pipeline(wsi, coords, first_block)
+
             def block_fn(start: int, stop: int) -> dict[str, np.ndarray]:
-                fut = pending.pop(start, None)
-                patches = fut.result() if fut is not None else read_block(start)
-                if stop < total_rows and stop not in pending:
-                    pending[stop] = prefetcher.submit(read_block, stop)
+                patches = get_block(start, stop)
                 out: dict[str, np.ndarray] = {}
                 for name, ext in todo.items():
                     if name in errors:
                         continue
                     try:
-                        out[name] = ext.extract_batch(
-                            patches, batch_size=self.feature_cfg.batch_size
+                        rows = np.asarray(
+                            ext.extract_batch(
+                                patches, batch_size=self.feature_cfg.batch_size
+                            )
                         )
+                        # Malformed output (buggy plugin) must fail THIS
+                        # extractor, not reach the writer where it would
+                        # abort every extractor's tmp dataset.
+                        if rows.ndim != 2 or rows.shape[0] != stop - start:
+                            raise ValueError(
+                                f"extractor returned shape {rows.shape} for a "
+                                f"request of {stop - start} rows"
+                            )
+                        out[name] = rows
                     except Exception as e:  # noqa: BLE001
                         errors[name] = e
                         logger.warning(
@@ -401,7 +471,7 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
                     expected_total=result.num_patches,
                 )
             finally:
-                prefetcher.shutdown(wait=True)
+                shutdown_reader()
             for name in done:
                 self._add_feature_to_cache(
                     result.h5_path, name, expected_total=result.num_patches
@@ -491,64 +561,37 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
                 pending[h5p] -= set(create_errors)
 
         todo = [r for r in results if pending.get(r.h5_path)]
-        prefetch_on = os.environ.get("ATLASPATCH_SLIDE_PREFETCH", "1") != "0"
-        prep_pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="slide-prep")
-
-        def _submit(index: int):
-            if index >= len(todo):
-                return None
-            if prefetch_on:
-                return prep_pool.submit(self._prepare_slide, todo[index], wsi_loader)
-            from concurrent.futures import Future
-
-            f: Future = Future()
-            try:
-                f.set_result(self._prepare_slide(todo[index], wsi_loader))
-            except Exception as e:  # noqa: BLE001
-                f.set_exception(e)
-            return f
-
-        prep_fut = _submit(0) if todo else None
         try:
-            for i, res in enumerate(todo):
-                next_fut = _submit(i + 1) if prefetch_on else None
-                names = sorted(pending.get(res.h5_path, set()))
-                wsi = None
-                try:
-                    if prep_fut is None:  # serial baseline: prep inline now
-                        prep_fut = _submit(i)
-                    wsi, coords, first = prep_fut.result()
-                    _done, errors = self._embed_with_extractors(
-                        result=res,
-                        wsi=wsi,
-                        extractors={n: extractors[n] for n in names},
-                        preloaded=(coords, first),
-                    )
-                    for name in names:
-                        if name in errors:
-                            failures.append((res.slide, errors[name]))
-                except Exception as e:  # noqa: BLE001
-                    # Whole-slide failure (prep or writer): every missing
-                    # extractor unit for this slide failed, mirroring the
-                    # extractor-major loop's one-entry-per-unit accounting.
-                    failures.extend((res.slide, e) for _ in names)
-                finally:
-                    if wsi is not None:
-                        try:
-                            wsi.cleanup()
-                        except Exception:
-                            pass
-                if progress:
-                    progress.update(len(names))
-                prep_fut = next_fut
+            with self._prepped_slides(todo, wsi_loader) as slides:
+                for res, prep_fut in slides:
+                    names = sorted(pending.get(res.h5_path, set()))
+                    wsi = None
+                    try:
+                        wsi, coords, first = prep_fut.result()
+                        _done, errors = self._embed_with_extractors(
+                            result=res,
+                            wsi=wsi,
+                            extractors={n: extractors[n] for n in names},
+                            preloaded=(coords, first),
+                        )
+                        # errors is keyed by the extractor's dataset name
+                        # (case-preserved), not the registry key — record by
+                        # value.
+                        failures.extend((res.slide, err) for err in errors.values())
+                    except Exception as e:  # noqa: BLE001
+                        # Whole-slide failure (prep or writer): every missing
+                        # extractor unit for this slide failed, mirroring the
+                        # extractor-major loop's one-entry-per-unit accounting.
+                        failures.extend((res.slide, e) for _ in names)
+                    finally:
+                        if wsi is not None:
+                            try:
+                                wsi.cleanup()
+                            except Exception:
+                                pass
+                    if progress:
+                        progress.update(len(names))
         finally:
-            if prep_fut is not None:
-                try:
-                    leftover_wsi, _c, _f = prep_fut.result()
-                    leftover_wsi.cleanup()
-                except Exception:
-                    pass
-            prep_pool.shutdown(wait=True)
             for ext in extractors.values():
                 try:
                     ext.cleanup()
@@ -574,71 +617,35 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
                             progress.update(1)
                 continue
 
-            # Cross-slide pipeline: a producer thread opens slide i+1, reads
-            # its coords, and pre-reads its first pixel block while slide i's
-            # batches are on the device. With the per-slide one-block-ahead
-            # reader this removes the remaining between-slide host stall.
-            # ATLASPATCH_SLIDE_PREFETCH=0 disables it (serial A/B baseline).
-            prefetch_on = os.environ.get("ATLASPATCH_SLIDE_PREFETCH", "1") != "0"
+            # Cross-slide pipeline (shared _prepped_slides): a producer thread
+            # opens slide i+1, reads its coords, and pre-reads its first pixel
+            # block while slide i's batches are on the device.
             todo = [r for r in results if name in pending.get(r.h5_path, set())]
-            prep_pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="slide-prep")
-
-            def _submit(index: int):
-                if index >= len(todo):
-                    return None
-                if prefetch_on:
-                    return prep_pool.submit(self._prepare_slide, todo[index], wsi_loader)
-                from concurrent.futures import Future
-
-                f: Future = Future()  # serial baseline: prep runs inline, lazily
-                try:
-                    f.set_result(self._prepare_slide(todo[index], wsi_loader))
-                except Exception as e:  # noqa: BLE001
-                    f.set_exception(e)
-                return f
-
-            prep_fut = (
-                prep_pool.submit(self._prepare_slide, todo[0], wsi_loader)
-                if (todo and prefetch_on)
-                else (_submit(0) if todo else None)
-            )
             try:
-                for i, res in enumerate(todo):
-                    next_fut = _submit(i + 1) if prefetch_on else None
-                    wsi = None
-                    try:
-                        if prep_fut is None:  # serial baseline: prep inline now
-                            prep_fut = _submit(i)
-                        wsi, coords, first = prep_fut.result()
-                        if not self._feature_present(res, extractor.name):
-                            self._embed_with_extractor(
-                                result=res,
-                                wsi=wsi,
-                                extractor=extractor,
-                                preloaded=(coords, first),
-                            )
-                        self._update_metadata_feature_sets(res)
-                    except Exception as e:  # noqa: BLE001
-                        failures.append((res.slide, e))
-                    finally:
-                        if wsi is not None:
-                            try:
-                                wsi.cleanup()
-                            except Exception:
-                                pass
-                    if progress:
-                        progress.update(1)
-                    prep_fut = next_fut
+                with self._prepped_slides(todo, wsi_loader) as slides:
+                    for res, prep_fut in slides:
+                        wsi = None
+                        try:
+                            wsi, coords, first = prep_fut.result()
+                            if not self._feature_present(res, extractor.name):
+                                self._embed_with_extractor(
+                                    result=res,
+                                    wsi=wsi,
+                                    extractor=extractor,
+                                    preloaded=(coords, first),
+                                )
+                            self._update_metadata_feature_sets(res)
+                        except Exception as e:  # noqa: BLE001
+                            failures.append((res.slide, e))
+                        finally:
+                            if wsi is not None:
+                                try:
+                                    wsi.cleanup()
+                                except Exception:
+                                    pass
+                        if progress:
+                            progress.update(1)
             finally:
-                # Drain an outstanding prep (early exit paths) so its WSI
-                # handle is not leaked.
-                if prep_fut is not None:
-                    try:
-                        leftover_wsi, _c, _f = prep_fut.result()
-                        leftover_wsi.cleanup()
-                    except Exception:
-                        pass
-                prep_pool.shutdown(wait=True)
                 try:
                     extractor.cleanup()
                 except Exception:

@@ -223,81 +223,20 @@ class H5PatchWriter:
         Rows land in a `__tmp_<name>` dataset that is atomically renamed into
         place only when all rows were produced and the count matches
         expected_total, preserving the reference's crash/resume safety
-        (reference: services/storage.py:250-337).
+        (reference: services/storage.py:250-337). One-name delegate to
+        `append_features_multi` so the tmp-commit protocol has a single
+        implementation.
         """
-        batch_size = max(1, int(feature_batch))
-        tmp_name = f"__tmp_{feature_name}"
-        total_written = 0
-
-        with h5py.File(output_path, "a") as f:
-            grp = f.require_group("features")
-            if feature_name in grp:
-                raise ValueError(
-                    f"Feature dataset '{feature_name}' already exists in {output_path}."
-                )
-            if tmp_name in grp:
-                del grp[tmp_name]
-
-            dataset = None
-            try:
-                for start in range(0, int(num_rows), batch_size):
-                    stop = min(start + batch_size, int(num_rows))
-                    arr = np.asarray(feature_fn(start, stop), dtype=np.float32)
-                    if arr.ndim != 2:
-                        raise ValueError(
-                            f"Feature extractor '{feature_name}' must return a 2D array, "
-                            f"got shape {arr.shape}"
-                        )
-                    if arr.shape[0] != stop - start:
-                        raise ValueError(
-                            f"Feature extractor '{feature_name}' returned {arr.shape[0]} rows "
-                            f"for request of {stop - start}."
-                        )
-                    if dataset is None:
-                        dataset = grp.create_dataset(
-                            tmp_name,
-                            shape=(0, arr.shape[1]),
-                            maxshape=(None, arr.shape[1]),
-                            chunks=(batch_size, arr.shape[1]),
-                            dtype=np.float32,
-                        )
-                    elif dataset.shape[1] != arr.shape[1]:
-                        raise ValueError(
-                            f"Feature dim mismatch for '{feature_name}': "
-                            f"existing {dataset.shape[1]}, new {arr.shape[1]}"
-                        )
-                    dataset.resize((total_written + arr.shape[0], dataset.shape[1]))
-                    dataset[total_written : total_written + arr.shape[0], :] = arr
-                    total_written += int(arr.shape[0])
-
-                if dataset is None:
-                    emb_dim = int((feature_attrs or {}).get("embedding_dim", 0))
-                    if emb_dim <= 0:
-                        raise ValueError(
-                            f"Feature extractor '{feature_name}' missing valid embedding_dim "
-                            "to create dataset."
-                        )
-                    dataset = grp.create_dataset(
-                        tmp_name,
-                        shape=(0, emb_dim),
-                        maxshape=(None, emb_dim),
-                        chunks=(batch_size, emb_dim),
-                        dtype=np.float32,
-                    )
-
-                if expected_total is not None and total_written != int(expected_total):
-                    raise ValueError(
-                        f"Feature rows written ({total_written}) do not match expected "
-                        f"coords ({expected_total})"
-                    )
-
-                grp.move(tmp_name, feature_name)
-            except Exception:
-                if tmp_name in grp:
-                    del grp[tmp_name]
-                raise
-
-        return int(total_written)
+        written = self.append_features_multi(
+            output_path=output_path,
+            feature_names=[feature_name],
+            block_fn=lambda start, stop: {feature_name: feature_fn(start, stop)},
+            num_rows=num_rows,
+            feature_batch=feature_batch,
+            feature_attrs={feature_name: feature_attrs or {}},
+            expected_total=expected_total,
+        )
+        return int(written.get(feature_name, 0))
 
     def append_features_multi(
         self,

@@ -84,11 +84,15 @@ def slide_dir(tmp_path: Path) -> Path:
 
 def _count_patch_reads(monkeypatch):
     """Wrap _read_patch_block to tally how many patch pixels are read."""
+    import threading
+
     counter = {"patches": 0}
+    lock = threading.Lock()  # reads happen on prep + block threads
     orig = PatchFeatureEmbeddingService._read_patch_block
 
     def counting(self, wsi, coords):
-        counter["patches"] += len(coords)
+        with lock:
+            counter["patches"] += len(coords)
         return orig(self, wsi, coords)
 
     monkeypatch.setattr(PatchFeatureEmbeddingService, "_read_patch_block", counting)
@@ -187,6 +191,84 @@ def test_slide_major_model_creation_failure_isolated(slide_dir, tmp_path):
     for res in results:
         with h5py.File(res.h5_path) as f:
             assert "toy" in f["features"]
+
+
+class MalformedEncoder(ToyEncoder):
+    """Returns the wrong row count after the first call — malformed, not raising."""
+
+    name = "malformed"
+    embedding_dim = 8
+    calls = 0
+
+    def extract_batch(self, patches, *, batch_size=None):
+        MalformedEncoder.calls += 1
+        rows = super().extract_batch(patches, batch_size=batch_size)
+        return rows[:-1] if MalformedEncoder.calls > 1 and len(rows) > 1 else rows
+
+
+class CasedEncoder(ToyEncoder):
+    """Case-preserving dataset name (custom plugins may register these)."""
+
+    name = "MyEnc"
+    embedding_dim = 8
+
+
+def test_slide_major_isolates_malformed_extractor_output(slide_dir, tmp_path):
+    MalformedEncoder.calls = 0
+    feat_cfg = _feat_cfg(["toy", "malformed"], batch=4)
+    cfg, results = _extract_slides(slide_dir, tmp_path / "out", feat_cfg)
+    svc = PatchFeatureEmbeddingService(
+        cfg.extraction, cfg.output, feat_cfg, registry=_registry(ToyEncoder, MalformedEncoder)
+    )
+    fails = svc.embed_all(results, wsi_loader=DefaultWSILoader())
+    assert len(fails) == 2  # malformed failed on both slides; toy survived
+    for res in results:
+        with h5py.File(res.h5_path) as f:
+            assert f["features/toy"].shape == (res.num_patches, 8)
+            assert "malformed" not in f["features"]
+
+
+def test_slide_major_preserves_dataset_name_case(slide_dir, tmp_path):
+    feat_cfg = _feat_cfg(["myenc", "toy"])
+    cfg, results = _extract_slides(slide_dir, tmp_path / "out", feat_cfg)
+    svc = PatchFeatureEmbeddingService(
+        cfg.extraction, cfg.output, feat_cfg, registry=_registry(ToyEncoder, CasedEncoder)
+    )
+    assert svc.embed_all(results, wsi_loader=DefaultWSILoader()) == []
+    for res in results:
+        with h5py.File(res.h5_path) as f:
+            # Dataset key matches extractor.name verbatim, like the
+            # single-extractor path writes it.
+            assert set(f["features"]) == {"MyEnc", "toy"}
+
+
+def test_slide_major_partial_dataset_fails_only_collider(slide_dir, tmp_path):
+    feat_cfg = _feat_cfg(["toy", "toy2"])
+    cfg, results = _extract_slides(slide_dir, tmp_path / "out", feat_cfg)
+    bad = sorted(results, key=lambda r: r.slide.stem)[0]
+    with h5py.File(bad.h5_path, "a") as f:  # stale partial rows for 'toy'
+        f.require_group("features").create_dataset(
+            "toy", data=np.zeros((1, 8), np.float32), maxshape=(None, 8)
+        )
+    svc = PatchFeatureEmbeddingService(
+        cfg.extraction, cfg.output, feat_cfg, registry=_registry(ToyEncoder, ToyEncoder2)
+    )
+    fails = svc.embed_all(results, wsi_loader=DefaultWSILoader())
+    assert len(fails) == 1 and "already exists" in str(fails[0][1])
+    with h5py.File(bad.h5_path) as f:
+        assert f["features/toy2"].shape == (bad.num_patches, 4)  # survivor landed
+    for res in results:
+        if res is not bad:
+            with h5py.File(res.h5_path) as f:
+                assert set(f["features"]) == {"toy", "toy2"}
+
+
+def test_duplicate_extractor_names_deduped_by_config():
+    cfg = FeatureExtractionConfig(
+        extractors=["toy", "TOY", "toy2"], batch_size=4, device="cpu",
+        precision="float32",
+    ).validated()
+    assert cfg.extractors == ["toy", "toy2"]
 
 
 # --- storage-level contract ---------------------------------------------------------
