@@ -47,7 +47,7 @@ SEG_BATCH = int(os.environ.get("ATLASPATCH_BENCH_SEG_BATCH", "32"))
 # bfloat16 is the TPU-native precision for the MXU; the CLI default stays
 # float32 for users who want the reference's exact numeric chain.
 SEG_PRECISION = os.environ.get("ATLASPATCH_BENCH_SEG_PRECISION", "bfloat16")
-PASSES = max(1, int(os.environ.get("ATLASPATCH_BENCH_PASSES", "3")))
+PASSES = max(1, int(os.environ.get("ATLASPATCH_BENCH_PASSES", "5")))  # passes are ~1-2 s each (startup dominates); 5 damps tunnel variance in the median
 SKIP = set(os.environ.get("ATLASPATCH_BENCH_SKIP", "").split(","))
 SLIDE_W, SLIDE_H = 4096, 3072
 BASELINE_SLIDES_PER_HOUR = 100 / 19 * 3600  # reference: 100 WSIs / ~19 s
