@@ -19,7 +19,7 @@ Layout (mirrors reference capability map in SURVEY.md §2):
   cli.py          click CLI: segment-and-get-coords, detect-tissue, process, info
 """
 
-from atlaspatch_tpu import core  # noqa: F401  (package interface parity)
+from atlaspatch_tpu import core, services  # noqa: F401  (package interface parity: reference __init__.py exports core + services)
 
 __version__ = "0.1.0"
-__all__ = ["core", "__version__"]
+__all__ = ["core", "services", "__version__"]
