@@ -378,6 +378,53 @@ def test_append_features_multi_rejects_growth_and_duplicates(tmp_path):
         )
 
 
+@pytest.mark.parametrize("seed", range(20))
+def test_append_features_multi_randomized_drop_patterns(tmp_path, seed):
+    """Property test: random feature counts/dims/drop-blocks. Invariants:
+    survivors land complete and bit-exact, dropped features (and their tmps)
+    vanish, and the returned row counts match what landed."""
+    rng = np.random.default_rng(seed)
+    num_rows = int(rng.integers(0, 40))
+    batch = int(rng.integers(1, 8))
+    n_feats = int(rng.integers(1, 5))
+    n_blocks = -(-num_rows // batch) if num_rows else 0
+    dims = {f"f{i}": int(rng.integers(1, 9)) for i in range(n_feats)}
+    # Block index at which each feature stops appearing (>= n_blocks → survives)
+    drop_at = {
+        name: (int(rng.integers(0, n_blocks)) if n_blocks and rng.random() < 0.4
+               else n_blocks)
+        for name in dims
+    }
+
+    def fill(name, start, stop):
+        return np.full((stop - start, dims[name]), start + hash(name) % 7, np.float32)
+
+    def block_fn(start, stop):
+        b = start // batch
+        return {n: fill(n, start, stop) for n in dims if b < drop_at[n]}
+
+    p = _h5_with_coords(tmp_path, n=num_rows)
+    written = _writer().append_features_multi(
+        output_path=p, feature_names=list(dims), block_fn=block_fn,
+        num_rows=num_rows, feature_batch=batch,
+        feature_attrs={n: {"embedding_dim": d} for n, d in dims.items()},
+        expected_total=num_rows,
+    )
+    survivors = {n for n in dims if drop_at[n] >= n_blocks}
+    assert set(written) == survivors
+    with h5py.File(p) as f:
+        grp = f["features"] if "features" in f else {}
+        assert set(grp) == survivors
+        for n in survivors:
+            assert written[n] == num_rows
+            ds = grp[n][:]
+            assert ds.shape == (num_rows, dims[n])
+            expected = np.concatenate(
+                [fill(n, s, min(s + batch, num_rows)) for s in range(0, num_rows, batch)]
+            ) if num_rows else np.empty((0, dims[n]), np.float32)
+            np.testing.assert_array_equal(ds, expected)
+
+
 def test_append_features_multi_zero_rows_uses_attr_dim(tmp_path):
     p = _h5_with_coords(tmp_path, n=0)
     written = _writer().append_features_multi(
