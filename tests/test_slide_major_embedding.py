@@ -271,6 +271,39 @@ def test_duplicate_extractor_names_deduped_by_config():
     assert cfg.extractors == ["toy", "toy2"]
 
 
+def test_slide_major_concurrent_writers_dedupe_via_locks(slide_dir, tmp_path):
+    """Two services racing slide-major on the same corpus: the per-slide
+    features lock makes one writer per slide; the loser skips without error
+    and every feature lands exactly once."""
+    import threading
+
+    feat_cfg = _feat_cfg(["toy", "toy2"], batch=4)
+    cfg, results = _extract_slides(slide_dir, tmp_path / "out", feat_cfg)
+
+    fails: dict[int, list] = {}
+    barrier = threading.Barrier(2)
+
+    def run(idx):
+        svc = PatchFeatureEmbeddingService(
+            cfg.extraction, cfg.output, feat_cfg,
+            registry=_registry(ToyEncoder, ToyEncoder2),
+        )
+        barrier.wait()
+        fails[idx] = svc.embed_all(results, wsi_loader=DefaultWSILoader())
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert fails[0] == [] and fails[1] == []
+    for res in results:
+        with h5py.File(res.h5_path) as f:
+            assert set(f["features"]) == {"toy", "toy2"}
+            assert f["features/toy"].shape == (res.num_patches, 8)
+            assert f["features/toy2"].shape == (res.num_patches, 4)
+
+
 # --- storage-level contract ---------------------------------------------------------
 
 
