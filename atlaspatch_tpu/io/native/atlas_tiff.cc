@@ -23,6 +23,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <list>
 #include <map>
 #include <memory>
 #include <mutex>
@@ -715,6 +716,31 @@ struct AtlasTiff {
   mutable std::mutex stripe_mu;
   mutable std::map<size_t, std::unique_ptr<JpegStripeIndex>> stripe_cache;
 
+  // Decoded-chunk LRU cache, byte-capped. OpenSlide keeps an equivalent
+  // (32 MB default) and the reference pipeline leans on it: patch-grid
+  // region reads at unaligned offsets cover up to 4 tiles each, so without
+  // a cache every JPEG tile is entropy-decoded up to ~4x per slide.
+  // ATLASPATCH_TIFF_CACHE_MB overrides the cap (0 disables).
+  struct ChunkCache {
+    std::mutex mu;
+    std::list<uint64_t> lru;  // front = most recently used
+    struct Entry {
+      std::vector<uint8_t> data;
+      std::list<uint64_t>::iterator pos;
+    };
+    std::map<uint64_t, Entry> map;
+    size_t bytes = 0;
+    size_t cap = []() -> size_t {
+      if (const char* e = std::getenv("ATLASPATCH_TIFF_CACHE_MB")) {
+        char* end = nullptr;
+        unsigned long long v = std::strtoull(e, &end, 10);
+        if (end != e) return (size_t)v << 20;
+      }
+      return (size_t)32 << 20;
+    }();
+  };
+  mutable ChunkCache chunk_cache;
+
   const IFD& level_ifd(int level) const { return ifds[levels[level].ifd_index]; }
 
   // Lazily built, cached per IFD; thread-safe (region reads come from the
@@ -801,6 +827,46 @@ struct AtlasTiff {
     }
     if (d.predictor == 2)
       for (uint64_t y = 0; y < ch; ++y) apply_predictor2(out + y * cw * d.spp, cw, d.spp);
+    return true;
+  }
+
+  // decode_chunk with the LRU cache in front. `ifd_index` keys the cache
+  // (chunk indices repeat across IFDs). Concurrent misses on the same chunk
+  // may both decode (no per-chunk latch); the second insert is a no-op.
+  bool decode_chunk_cached(const IFD& d, size_t ifd_index, uint64_t idx,
+                           uint8_t* out, uint64_t cw, uint64_t ch,
+                           std::string* err) const {
+    const size_t sz = (size_t)(cw * ch * d.spp);
+    if (chunk_cache.cap == 0 || sz == 0 || sz > chunk_cache.cap / 2)
+      return decode_chunk(d, idx, out, cw, ch, err);
+    const uint64_t key = ((uint64_t)ifd_index << 40) | idx;
+    {
+      std::lock_guard<std::mutex> g(chunk_cache.mu);
+      auto it = chunk_cache.map.find(key);
+      if (it != chunk_cache.map.end()) {
+        std::memcpy(out, it->second.data.data(), sz);
+        chunk_cache.lru.splice(chunk_cache.lru.begin(), chunk_cache.lru,
+                               it->second.pos);
+        return true;
+      }
+    }
+    if (!decode_chunk(d, idx, out, cw, ch, err)) return false;
+    std::lock_guard<std::mutex> g(chunk_cache.mu);
+    if (chunk_cache.map.find(key) != chunk_cache.map.end()) return true;
+    while (chunk_cache.bytes + sz > chunk_cache.cap && !chunk_cache.lru.empty()) {
+      uint64_t victim = chunk_cache.lru.back();
+      chunk_cache.lru.pop_back();
+      auto vit = chunk_cache.map.find(victim);
+      if (vit != chunk_cache.map.end()) {
+        chunk_cache.bytes -= vit->second.data.size();
+        chunk_cache.map.erase(vit);
+      }
+    }
+    chunk_cache.lru.push_front(key);
+    auto& e = chunk_cache.map[key];
+    e.data.assign(out, out + sz);
+    e.pos = chunk_cache.lru.begin();
+    chunk_cache.bytes += sz;
     return true;
   }
 
@@ -1477,7 +1543,8 @@ whole_strip:
       // strip height may be clamped at image bottom; decode into full box anyway
       int64_t this_ch = chh;
       if (!d.tiled) this_ch = std::min<int64_t>(chh, H - ty * chh);
-      if (!t->decode_chunk(d, idx, chunk.data(), (uint64_t)cw, (uint64_t)this_ch, err))
+      if (!t->decode_chunk_cached(d, t->levels[level].ifd_index, idx, chunk.data(),
+                                  (uint64_t)cw, (uint64_t)this_ch, err))
         return false;
       int64_t cx0 = std::max<int64_t>(x0, tx * cw);
       int64_t cx1 = std::min<int64_t>(x1, d.tiled ? (tx + 1) * cw : W);
