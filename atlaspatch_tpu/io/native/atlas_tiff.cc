@@ -19,6 +19,7 @@
 //        -o libatlas_native.so -ljpeg -lz -ldl
 
 #include <algorithm>
+#include <cctype>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -116,6 +117,8 @@ enum Tag : uint16_t {
   kTileOffsets = 324,
   kTileByteCounts = 325,
   kJPEGTables = 347,
+  kSoftware = 305,
+  kXMP = 700,  // XML packet; Ventana BIF stores the iScan element here
 };
 
 // Vendor private tags (Hamamatsu NDPI; see openslide.org/formats/hamamatsu
@@ -149,6 +152,8 @@ struct IFD {
   uint64_t tile_w = 0, tile_h = 0, rows_per_strip = 0;
   std::vector<uint64_t> chunk_offsets, chunk_counts;
   std::string description;
+  std::string software;
+  std::string xmp;
   bool tiled = false;
   std::vector<uint8_t> jpeg_tables;
   double x_resolution = 0.0, y_resolution = 0.0;
@@ -713,6 +718,11 @@ struct AtlasTiff {
   double ndpi_lens0 = 0.0;     // SourceLens of the base level (objective power)
   bool scn = false;            // Leica SCN container (XML collection on IFD0)
   double scn_objective = 0.0;  // <objective> of the selected main image
+  bool ventana = false;        // Ventana/Roche BIF (iScan element in XMP)
+  double ventana_mag = 0.0;    // iScan Magnification attribute
+  double ventana_scanres = 0.0;  // iScan ScanRes attribute (µm/pixel)
+  bool philips = false;        // Philips TIFF (Software tag "Philips …")
+  double philips_mpp = 0.0;    // DICOM_PIXEL_SPACING from the UFS XML (µm)
   mutable std::mutex stripe_mu;
   mutable std::map<size_t, std::unique_ptr<JpegStripeIndex>> stripe_cache;
 
@@ -1104,6 +1114,20 @@ static bool parse_ifds(AtlasTiff* t) {
                                    e.data.size()));
     }
     if (d.has(kJPEGTables)) d.jpeg_tables = d.entries[kJPEGTables].data;
+    if (d.has(kSoftware)) {
+      const Entry& e = d.entries[kSoftware];
+      d.software.assign(reinterpret_cast<const char*>(e.data.data()),
+                        strnlen(reinterpret_cast<const char*>(e.data.data()),
+                                e.data.size()));
+    }
+    if (d.has(kXMP)) {
+      // XMP is BYTE/UNDEFINED (sometimes ASCII); treat as a text blob.
+      const Entry& e = d.entries[kXMP];
+      if (e.type == 1 || e.type == 2 || e.type == 7)
+        d.xmp.assign(reinterpret_cast<const char*>(e.data.data()),
+                     strnlen(reinterpret_cast<const char*>(e.data.data()),
+                             e.data.size()));
+    }
     t->ifds.push_back(std::move(d));
 
     const uint8_t* np = raw.data() + count * entry_size;
@@ -1249,33 +1273,127 @@ static void build_levels_ndpi(AtlasTiff* t) {
   }
 }
 
+static bool associated_ifd(const IFD& d) {
+  std::string desc = to_lower(d.description);
+  return desc.find("label") != std::string::npos ||
+         desc.find("macro") != std::string::npos ||
+         desc.find("thumbnail") != std::string::npos ||
+         desc.find("probability") != std::string::npos ||
+         desc.find("overview") != std::string::npos;
+}
+
 static void build_levels_generic(AtlasTiff* t) {
-  // Pyramid levels: IFD0 always. Other IFDs qualify when they are reductions
-  // of IFD0 (same aspect ratio), decodable, and not label/macro/thumbnail
-  // associated images. Aperio SVS stores the pyramid as tiled IFDs with a
-  // striped thumbnail at IFD1 — for Aperio files only tiled IFDs count.
+  // Pyramid levels: the base is IFD0 (TIFF convention: full resolution
+  // first), unless a strictly larger tiled non-associated directory exists —
+  // Ventana/Roche BIF places a striped overview at directory 0 with the
+  // full-resolution tiled image later (openslide.org/formats/ventana).
+  // Other IFDs qualify when they are reductions of the base (same aspect
+  // ratio), decodable, and not label/macro/thumbnail associated images.
+  // Aperio SVS stores the pyramid as tiled IFDs with a striped thumbnail at
+  // IFD1 — for Aperio files only tiled IFDs count.
   bool aperio = t->ifds[0].description.rfind("Aperio", 0) == 0;
+  size_t base = 0;
+  uint64_t base_area =
+      plausible_dims(t->ifds[0]) ? t->ifds[0].width * t->ifds[0].height : 0;
+  for (size_t i = 1; i < t->ifds.size(); ++i) {
+    const IFD& d = t->ifds[i];
+    if (!plausible_dims(d) || !d.tiled || associated_ifd(d)) continue;
+    if (d.width * d.height > base_area) {
+      base = i;
+      base_area = d.width * d.height;
+    }
+  }
   double aspect0 = 0.0;
+  if (base != 0 || plausible_dims(t->ifds[0])) {
+    const IFD& b = t->ifds[base];
+    aspect0 = (double)b.width / (double)b.height;
+    t->levels.push_back({base, b.width, b.height, 1.0});
+  }
   for (size_t i = 0; i < t->ifds.size(); ++i) {
+    if (i == base) continue;
     const IFD& d = t->ifds[i];
     if (!plausible_dims(d)) continue;
-    std::string desc = to_lower(d.description);
-    bool associated = desc.find("label") != std::string::npos ||
-                      desc.find("macro") != std::string::npos ||
-                      desc.find("thumbnail") != std::string::npos ||
-                      desc.find("probability") != std::string::npos ||
-                      desc.find("overview") != std::string::npos;
-    if (i == 0) {
-      aspect0 = (double)d.width / (double)d.height;
-      t->levels.push_back({i, d.width, d.height, 1.0});
-      continue;
-    }
-    if (associated) continue;
+    if (associated_ifd(d)) continue;
     if (aperio && !d.tiled) continue;  // SVS striped IFD1 = thumbnail image
+    if (base != 0 && !d.tiled) continue;  // BIF-style: striped dirs are overviews
+    if (base_area > 0 && d.width * d.height > base_area) continue;
     double aspect = (double)d.width / (double)d.height;
     if (aspect0 > 0 && std::abs(aspect - aspect0) / aspect0 > 0.05) continue;
     t->levels.push_back({i, d.width, d.height, 1.0});
   }
+}
+
+// --- Ventana/Roche BIF + Philips TIFF vendor metadata -----------------------
+// Re-derived from the public openslide.org format notes (formats/ventana,
+// formats/philips) — no vendor files available offline, so both are
+// validated on spec-conformant synthetic slides (tests/test_vendor_formats
+// .py). Ventana AOI join-overlap correction (XMP JoinInfo) is NOT
+// implemented; stitched level-0 reads assume the tile grid is already
+// seamless (documented residual).
+
+// Find `name="value"` (or '…') in an XML fragment, requiring a whitespace
+// separator before the attribute name so e.g. Magnification never matches
+// ObjectiveMagnification.
+static bool find_xml_attr(const std::string& s, const char* name,
+                          std::string* out) {
+  std::string pat = std::string(name) + "=";
+  size_t p = 0;
+  while ((p = s.find(pat, p)) != std::string::npos) {
+    if (p > 0 && !std::isspace((unsigned char)s[p - 1])) {
+      p += pat.size();
+      continue;
+    }
+    size_t v = p + pat.size();
+    if (v >= s.size() || (s[v] != '"' && s[v] != '\'')) return false;
+    char q = s[v++];
+    size_t e = s.find(q, v);
+    if (e == std::string::npos) return false;
+    *out = s.substr(v, e - v);
+    return true;
+  }
+  return false;
+}
+
+// Ventana BIF: any directory's XMP packet (tag 700) carrying an <iScan …>
+// element marks the file; Magnification and ScanRes (µm/pixel) are iScan
+// attributes.
+static void detect_ventana(AtlasTiff* t) {
+  for (const IFD& d : t->ifds) {
+    size_t p = d.xmp.find("<iScan");
+    if (p == std::string::npos) continue;
+    size_t end = d.xmp.find('>', p);
+    std::string el =
+        d.xmp.substr(p, end == std::string::npos ? std::string::npos : end - p);
+    t->ventana = true;
+    std::string v;
+    if (find_xml_attr(el, "Magnification", &v)) t->ventana_mag = std::atof(v.c_str());
+    if (find_xml_attr(el, "ScanRes", &v)) t->ventana_scanres = std::atof(v.c_str());
+    return;
+  }
+}
+
+// Philips TIFF: Software tag starts with "Philips"; IFD0's ImageDescription
+// is the UFS DataObject XML. Pixel spacing (mm, quoted pair, possibly
+// &quot;-escaped) comes from the DICOM_PIXEL_SPACING attribute element;
+// missing tiles have zero offset/bytecount and already render white in
+// decode_chunk.
+static void detect_philips(AtlasTiff* t) {
+  if (t->ifds[0].software.rfind("Philips", 0) != 0) return;
+  t->philips = true;
+  const std::string& x = t->ifds[0].description;
+  size_t p = x.find("\"DICOM_PIXEL_SPACING\"");
+  if (p == std::string::npos) return;
+  size_t close = x.find('>', p);
+  if (close == std::string::npos) return;
+  size_t i = close + 1;
+  while (i < x.size() && x[i] != '<' &&
+         !(std::isdigit((unsigned char)x[i]) ||
+           (x[i] == '.' && i + 1 < x.size() &&
+            std::isdigit((unsigned char)x[i + 1]))))
+    ++i;
+  if (i >= x.size() || x[i] == '<') return;
+  double mm = std::atof(x.c_str() + i);
+  if (mm > 0) t->philips_mpp = mm * 1000.0;
 }
 
 static void build_levels(AtlasTiff* t) {
@@ -1286,6 +1404,8 @@ static void build_levels(AtlasTiff* t) {
     t->scn = !t->levels.empty();
   }
   if (t->levels.empty()) build_levels_generic(t);
+  detect_ventana(t);
+  detect_philips(t);
   std::sort(t->levels.begin(), t->levels.end(),
             [](const Level& a, const Level& b) { return a.width > b.width; });
   if (!t->levels.empty()) {
@@ -1372,6 +1492,24 @@ static void build_properties(AtlasTiff* t) {
       char buf[32];
       snprintf(buf, sizeof buf, "%g", t->scn_objective);
       add("leica.objective", buf);
+    }
+  } else if (t->ventana) {
+    add("atlas.vendor", "ventana");
+    char buf[32];
+    if (t->ventana_mag > 0) {
+      snprintf(buf, sizeof buf, "%g", t->ventana_mag);
+      add("ventana.Magnification", buf);
+    }
+    if (t->ventana_scanres > 0) {
+      snprintf(buf, sizeof buf, "%g", t->ventana_scanres);
+      add("ventana.ScanRes", buf);
+    }
+  } else if (t->philips) {
+    add("atlas.vendor", "philips");
+    if (t->philips_mpp > 0) {
+      char buf[32];
+      snprintf(buf, sizeof buf, "%.10g", t->philips_mpp);
+      add("philips.PixelSpacing", buf);
     }
   }
   {

@@ -25,13 +25,20 @@ from atlaspatch_tpu.io.iwsi import IWSI
 class TiffWSI(IWSI):
     """Native pyramid backend for .svs/.tif/.tiff and compatible containers."""
 
-    _MPP_KEYS = ("aperio.MPP", "atlas.mpp", "hamamatsu.XResolution")
+    _MPP_KEYS = (
+        "aperio.MPP",
+        "atlas.mpp",
+        "hamamatsu.XResolution",
+        "ventana.ScanRes",  # iScan µm/pixel (openslide.org/formats/ventana)
+        "philips.PixelSpacing",  # DICOM_PIXEL_SPACING converted to µm
+    )
     _MPP_TEXT_KEYS = ("tiff.ImageDescription",)
     _MAG_KEYS = (
         "aperio.AppMag",
         "atlas.objective-power",
         "hamamatsu.SourceLens",
         "leica.objective",
+        "ventana.Magnification",
     )
 
     def __init__(self, **kwargs: Any) -> None:

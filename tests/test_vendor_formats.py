@@ -568,3 +568,114 @@ def test_striped_decode_rescans_on_wrapped_byte_count(tmp_path: Path):
     t = AtlasTiffFile(str(path))
     np.testing.assert_array_equal(t.read_region_level(0, 0, 0, w, h), ref)
     t.close()
+
+
+# ------------------------------------------------- Ventana BIF / Philips TIFF
+
+TYPE_ASCII = 2
+
+BIF_XMP = (
+    '<?xpacket begin="" id="W5M0MpCehiHzreSzNTczkc9d"?>'
+    '<x:xmpmeta xmlns:x="adobe:ns:meta/"><rdf:RDF>'
+    '<iScan xmlns="http://ventana.com/iscan/1.0" UnitNumber="1" '
+    'CoarseMagnification="4" Magnification="40" ScanRes="0.25" />'
+    "</rdf:RDF></x:xmpmeta><?xpacket end=\"w\"?>"
+)
+
+
+def test_ventana_bif_levels_and_metadata(tmp_path: Path):
+    """Ventana/Roche BIF (openslide.org/formats/ventana): directory 0 is a
+    striped overview; the full-resolution image is the largest TILED
+    directory. Magnification/ScanRes come from the iScan element in XMP
+    (tag 700). The decoy CoarseMagnification attribute must not match."""
+    rng = np.random.default_rng(51)
+    overview = _rand_rgb(rng, 48, 64)
+    main = _rand_rgb(rng, 192, 256)
+    low = main[::2, ::2].copy()
+    label = _rand_rgb(rng, 40, 100)
+
+    w = TiffWriter()
+    w.add_level(overview, extra_tags=[(700, TYPE_ASCII, [BIF_XMP])])
+    w.add_level(main, tile=128)
+    w.add_level(low, tile=128)
+    w.add_level(label, description="Label Image")
+    path = tmp_path / "slide.bif"
+    w.save(path)
+
+    t = AtlasTiffFile(str(path))
+    assert t.level_count == 2
+    assert t.level_dimensions == [(256, 192), (128, 96)]
+    assert t.properties["atlas.vendor"] == "ventana"
+    assert t.properties["ventana.Magnification"] == "40"
+    assert t.properties["ventana.ScanRes"] == "0.25"
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, 256, 192), main)
+    np.testing.assert_array_equal(t.read_region_level(1, 0, 0, 128, 96), low)
+    t.close()
+
+    wsi = TiffWSI(path=str(path))
+    wsi._ensure_loaded()
+    assert wsi.mag == 40
+    assert wsi.mpp == 0.25
+
+
+def test_ventana_bif_without_overview_keeps_ifd0_base(tmp_path: Path):
+    """A BIF whose first directory IS the tiled full-res image must behave
+    exactly like a generic pyramid (base selection is a no-op)."""
+    rng = np.random.default_rng(52)
+    main = _rand_rgb(rng, 128, 192)
+    low = main[::2, ::2].copy()
+    w = TiffWriter()
+    w.add_level(main, tile=64, extra_tags=[(700, TYPE_ASCII, [BIF_XMP])])
+    w.add_level(low, tile=64)
+    path = tmp_path / "flat.bif"
+    w.save(path)
+
+    t = AtlasTiffFile(str(path))
+    assert t.level_dimensions == [(192, 128), (96, 64)]
+    assert t.properties["atlas.vendor"] == "ventana"
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, 192, 128), main)
+    t.close()
+
+
+PHILIPS_XML = (
+    '<DataObject ObjectType="DPUfsImport">'
+    '<Attribute Name="PIM_DP_IMAGE_TYPE" PMSVR="IString">WSI</Attribute>'
+    '<Attribute Name="DICOM_PIXEL_SPACING" Group="0x0028" Element="0x0030" '
+    'PMSVR="IDoubleArray">&quot;0.00025&quot; &quot;0.00025&quot;</Attribute>'
+    "</DataObject>"
+)
+
+
+def test_philips_tiff_mpp_and_levels(tmp_path: Path):
+    """Philips TIFF (openslide.org/formats/philips): Software tag starts with
+    "Philips"; pixel spacing comes from the DICOM_PIXEL_SPACING attribute in
+    IFD0's UFS XML (mm → µm). Label/macro directories are excluded."""
+    rng = np.random.default_rng(53)
+    main = _rand_rgb(rng, 192, 256)
+    low = main[::2, ::2].copy()
+    label = _rand_rgb(rng, 40, 100)
+
+    w = TiffWriter()
+    w.add_level(
+        main,
+        tile=128,
+        description=PHILIPS_XML,
+        extra_tags=[(305, TYPE_ASCII, ["Philips DP v1.0"])],
+    )
+    w.add_level(low, tile=128)
+    w.add_level(label, description="Philips label image LABELIMAGE")
+    path = tmp_path / "slide.tiff"
+    w.save(path)
+
+    t = AtlasTiffFile(str(path))
+    assert t.level_count == 2
+    assert t.level_dimensions == [(256, 192), (128, 96)]
+    assert t.properties["atlas.vendor"] == "philips"
+    assert t.properties["philips.PixelSpacing"] == "0.25"
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, 256, 192), main)
+    t.close()
+
+    wsi = TiffWSI(path=str(path))
+    wsi._ensure_loaded()
+    assert wsi.mpp == 0.25
+    assert wsi.metadata_attrs().get("vendor") == "philips"
