@@ -1385,12 +1385,18 @@ static void detect_philips(AtlasTiff* t) {
   if (p == std::string::npos) return;
   size_t close = x.find('>', p);
   if (close == std::string::npos) return;
+  // Scan to the first (possibly signed) number in the element body; a
+  // negative spacing parses but is rejected by the mm > 0 guard below.
   size_t i = close + 1;
-  while (i < x.size() && x[i] != '<' &&
-         !(std::isdigit((unsigned char)x[i]) ||
-           (x[i] == '.' && i + 1 < x.size() &&
-            std::isdigit((unsigned char)x[i + 1]))))
-    ++i;
+  auto num_start = [&](size_t j) {
+    if (std::isdigit((unsigned char)x[j])) return true;
+    if ((x[j] == '.' || x[j] == '-') && j + 1 < x.size())
+      return std::isdigit((unsigned char)x[j + 1]) ||
+             (x[j] == '-' && x[j + 1] == '.' && j + 2 < x.size() &&
+              std::isdigit((unsigned char)x[j + 2]));
+    return false;
+  };
+  while (i < x.size() && x[i] != '<' && !num_start(i)) ++i;
   if (i >= x.size() || x[i] == '<') return;
   double mm = std::atof(x.c_str() + i);
   if (mm > 0) t->philips_mpp = mm * 1000.0;

@@ -4,7 +4,9 @@ The reference feeds whatever OpenSlide opens through one pipeline
 (reference: atlas_patch/core/wsi/wsi_factory.py:20-39); this proves our
 factory + native decoders do the same in a single cohort: tiled-JPEG SVS,
 NDPI (SourceLens levels; plus a striped giant-JPEG variant), Leica SCN,
-MIRAX, Hamamatsu VMS and VMU, DICOM WSI, and a plain PNG with CSV MPP."""
+MIRAX, Hamamatsu VMS and VMU, DICOM WSI, Ventana BIF (striped overview
+before the tiled pyramid), Philips TIFF (UFS XML pixel spacing), and a
+plain PNG with CSV MPP."""
 
 from __future__ import annotations
 
@@ -18,7 +20,14 @@ from PIL import Image
 
 from atlaspatch_tpu.io.synthetic_wsi import make_tissue_canvas
 from tests.container_builders import write_dicom_level, write_mirax, write_vms, write_vmu
-from tests.test_vendor_formats import _ndpi_tags, _scn_xml, _zero_sof_dims
+from tests.test_vendor_formats import (
+    BIF_XMP,
+    PHILIPS_XML,
+    TYPE_ASCII,
+    _ndpi_tags,
+    _scn_xml,
+    _zero_sof_dims,
+)
 from tests.tiff_builder import TiffWriter, write_pyramid
 
 
@@ -83,11 +92,36 @@ def _build_cohort(root: Path) -> list[str]:
     write_vmu(sdir / "g.vmu", small, column_width=32, mpp=0.5, lens=20)
     write_dicom_level(sdir / "h.dcm", small, tile=64, mpp=0.5, objective=20.0)
 
+    # Ventana/Roche BIF: striped overview at directory 0, tiled full-res
+    # after it, iScan mag/MPP in the overview's XMP packet
+    bif_xmp = BIF_XMP.replace('Magnification="40"', 'Magnification="20"').replace(
+        'ScanRes="0.25"', 'ScanRes="0.5"'
+    )
+    w4 = TiffWriter()
+    w4.add_level(
+        canvas[::8, ::8].copy(), extra_tags=[(700, TYPE_ASCII, [bif_xmp])]
+    )
+    w4.add_level(canvas, tile=64)
+    w4.add_level(canvas[::4, ::4].copy(), tile=64)
+    w4.save(sdir / "j.bif")
+
+    # Philips TIFF: Software tag + UFS XML pixel spacing in IFD0
+    philips_xml = PHILIPS_XML.replace("0.00025", "0.0005")
+    w5 = TiffWriter()
+    w5.add_level(
+        canvas,
+        tile=64,
+        description=philips_xml,
+        extra_tags=[(305, TYPE_ASCII, ["Philips DP v1.0"])],
+    )
+    w5.add_level(canvas[::4, ::4].copy(), tile=64)
+    w5.save(sdir / "k.tiff")
+
     # Plain image with CSV-resolved MPP
     Image.fromarray(small).save(sdir / "i.png")
     (root / "mpp.csv").write_text("wsi,mpp\ni.png,0.5\n")
 
-    return ["a", "b", "c", "d", "e", "f", "g", "h", "i"]
+    return ["a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k"]
 
 
 def test_mixed_format_cohort_single_run(tmp_path: Path, tiny_sam2):

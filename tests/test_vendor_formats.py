@@ -679,3 +679,102 @@ def test_philips_tiff_mpp_and_levels(tmp_path: Path):
     wsi._ensure_loaded()
     assert wsi.mpp == 0.25
     assert wsi.metadata_attrs().get("vendor") == "philips"
+
+
+@pytest.mark.parametrize(
+    "xmp",
+    [
+        "<iScan",  # element open with nothing after it
+        '<iScan Magnification=',  # attribute with no quote at all
+        '<iScan Magnification="40',  # unterminated quoted value
+        '<iScan Magnification="" ScanRes="">',  # empty values
+        '<iScan CoarseMagnification="4">',  # decoy only — no real attrs
+        '<iScan Magnification="1e308" ScanRes="-0.25">',  # absurd numbers
+        "x" * 70000 + "<iScan " + 'Magnification="40">',  # attr past 64 KiB
+        '<iScan\x00Magnification="40">',  # NUL truncates the ASCII blob
+    ],
+)
+def test_ventana_xmp_adversarial_never_crashes(tmp_path: Path, xmp: str):
+    """Malformed iScan XMP packets must never crash or hang the parser —
+    the file still opens as a generic pyramid and reads correctly."""
+    rng = np.random.default_rng(54)
+    main = _rand_rgb(rng, 64, 96)
+    w = TiffWriter()
+    w.add_level(main, tile=64, extra_tags=[(700, TYPE_ASCII, [xmp])])
+    path = tmp_path / "weird.bif"
+    w.save(path)
+
+    t = AtlasTiffFile(str(path))
+    assert t.level_count == 1
+    t.properties  # property build must not crash either
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, 96, 64), main)
+    t.close()
+
+
+@pytest.mark.parametrize(
+    "xml",
+    [
+        '"DICOM_PIXEL_SPACING"',  # attribute name with nothing after it
+        '<Attribute Name="DICOM_PIXEL_SPACING"',  # element never closed
+        '<Attribute Name="DICOM_PIXEL_SPACING"></Attribute>',  # empty value
+        '<Attribute Name="DICOM_PIXEL_SPACING">no digits here</Attribute>',
+        '<Attribute Name="DICOM_PIXEL_SPACING">&quot;-3&quot;</Attribute>',
+        '<Attribute Name="DICOM_PIXEL_SPACING">' + "." * 5000 + "</Attribute>",
+    ],
+)
+def test_philips_xml_adversarial_never_crashes(tmp_path: Path, xml: str):
+    """Malformed Philips UFS XML must never crash: the slide opens, is
+    detected as Philips (Software tag), and simply reports no MPP."""
+    rng = np.random.default_rng(55)
+    main = _rand_rgb(rng, 64, 96)
+    w = TiffWriter()
+    w.add_level(
+        main,
+        tile=64,
+        description=xml,
+        extra_tags=[(305, TYPE_ASCII, ["Philips DP v1.0"])],
+    )
+    path = tmp_path / "weird.tiff"
+    w.save(path)
+
+    t = AtlasTiffFile(str(path))
+    assert t.properties["atlas.vendor"] == "philips"
+    assert "philips.PixelSpacing" not in t.properties
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, 96, 64), main)
+    t.close()
+
+
+def test_bif_random_corruption_never_hangs(tmp_path: Path):
+    """Byte-level corruption of a BIF (striped overview + tiled base + XMP)
+    must either decode or raise a clean Python exception."""
+    rng = np.random.default_rng(56)
+    overview = _rand_rgb(rng, 24, 32)
+    main = _rand_rgb(rng, 96, 128)
+    w = TiffWriter()
+    w.add_level(overview, extra_tags=[(700, TYPE_ASCII, [BIF_XMP])])
+    w.add_level(main, tile=64)
+    path = tmp_path / "fuzz.bif"
+    w.save(path)
+    original = path.read_bytes()
+
+    for _ in range(40):
+        raw = bytearray(original)
+        for _ in range(int(rng.integers(1, 12))):
+            raw[int(rng.integers(0, len(raw)))] = int(rng.integers(0, 256))
+        path.write_bytes(bytes(raw))
+        try:
+            t = AtlasTiffFile(str(path))
+            t.properties
+            t.read_region_level(0, 0, 0, 32, 32)
+            t.close()
+        except Exception:
+            pass  # clean rejection is the contract
+
+    for cut in (len(original) * 3 // 4, len(original) // 2, 64):
+        path.write_bytes(original[:cut])
+        try:
+            t = AtlasTiffFile(str(path))
+            t.properties
+            t.close()
+        except Exception:
+            pass
