@@ -8,19 +8,23 @@ from pathlib import Path
 from typing import Sequence
 
 import numpy as np
-from PIL import ImageDraw
+from PIL import Image, ImageDraw
 
 from atlaspatch_tpu.io.iwsi import IWSI
 from atlaspatch_tpu.ops.contours import scale_contours
 
+_TISSUE_STYLE = ((255, 0, 0), 2)  # red, thick
+_HOLE_STYLE = ((0, 0, 255), 1)  # blue, thin
 
-def _draw_polylines(
-    draw: ImageDraw.ImageDraw, contours: Sequence[np.ndarray], color, width: int
-) -> None:
-    for c in contours:
-        pts = [tuple(p) for p in c.reshape(-1, 2).tolist()]
-        if len(pts) >= 2:
-            draw.line(pts + [pts[0]], fill=color, width=width)
+
+def _overlay(thumb: Image.Image, scaled: Sequence[np.ndarray], style) -> None:
+    color, width = style
+    draw = ImageDraw.Draw(thumb)
+    for contour in scaled:
+        ring = [tuple(p) for p in contour.reshape(-1, 2).tolist()]
+        if len(ring) < 2:
+            continue
+        draw.line(ring + ring[:1], fill=color, width=width)
 
 
 def visualize_contours_on_thumbnail(
@@ -32,23 +36,28 @@ def visualize_contours_on_thumbnail(
     thumbnail_size: int,
     mask_shape: tuple[int, int] | None = None,
 ) -> Path:
-    thumb = wsi.get_thumb((thumbnail_size, thumbnail_size)).convert("RGB")
-    tw, th = thumb.width, thumb.height
-    if mask_shape is not None:
-        mh, mw = mask_shape[:2]
-        sx, sy = tw / float(mw), th / float(mh)
-    else:
-        W0, H0 = wsi.get_size(lv=0)
-        sx, sy = tw / float(W0), th / float(H0)
+    """Draw tissue (red) and hole (blue) outlines over the slide thumbnail.
 
-    tcs = scale_contours(list(tissue_contours), sx, sy)
-    hcs = scale_contours([h for hs in holes_contours for h in hs], sx, sy)
-
-    draw = ImageDraw.Draw(thumb)
-    _draw_polylines(draw, tcs, (255, 0, 0), 2)
-    _draw_polylines(draw, hcs, (0, 0, 255), 1)
-
+    Contour coordinates live in mask space when ``mask_shape`` is given,
+    otherwise in level-0 pixel space; either way they are rescaled to the
+    thumbnail before drawing. Output name/layout matches the reference
+    (`<stem>_contours.png` under ``output_dir``).
+    """
     output_dir.mkdir(parents=True, exist_ok=True)
+    thumb = wsi.get_thumb((thumbnail_size, thumbnail_size)).convert("RGB")
+
+    # Source space the contours are expressed in → scale to thumbnail pixels.
+    if mask_shape is not None:
+        src_w, src_h = float(mask_shape[1]), float(mask_shape[0])
+    else:
+        level0 = wsi.get_size(lv=0)
+        src_w, src_h = float(level0[0]), float(level0[1])
+    sx, sy = thumb.width / src_w, thumb.height / src_h
+
+    _overlay(thumb, scale_contours(list(tissue_contours), sx, sy), _TISSUE_STYLE)
+    flat_holes = [hole for per_tissue in holes_contours for hole in per_tissue]
+    _overlay(thumb, scale_contours(flat_holes, sx, sy), _HOLE_STYLE)
+
     out_path = output_dir / f"{Path(wsi.path).stem}_contours.png"
     thumb.save(out_path, quality=95)
     return out_path
