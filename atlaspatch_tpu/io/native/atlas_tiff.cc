@@ -735,7 +735,9 @@ struct AtlasTiff {
     std::mutex mu;
     std::list<uint64_t> lru;  // front = most recently used
     struct Entry {
-      std::vector<uint8_t> data;
+      // shared_ptr so hits can copy OUTSIDE the lock (readers keep evicted
+      // buffers alive); the mutex guards only map/list/bytes bookkeeping.
+      std::shared_ptr<const std::vector<uint8_t>> data;
       std::list<uint64_t>::iterator pos;
     };
     std::map<uint64_t, Entry> map;
@@ -847,20 +849,29 @@ struct AtlasTiff {
                            uint8_t* out, uint64_t cw, uint64_t ch,
                            std::string* err) const {
     const size_t sz = (size_t)(cw * ch * d.spp);
-    if (chunk_cache.cap == 0 || sz == 0 || sz > chunk_cache.cap / 2)
+    // Bypass: disabled cache, whole-image chunks that would thrash it, and
+    // missing/sparse tiles (zero byte count — e.g. Philips empty regions),
+    // whose solid-white fill is cheaper to re-memset than to cache.
+    if (chunk_cache.cap == 0 || sz == 0 || sz > chunk_cache.cap / 2 ||
+        idx >= d.chunk_counts.size() || d.chunk_counts[idx] == 0)
       return decode_chunk(d, idx, out, cw, ch, err);
     const uint64_t key = ((uint64_t)ifd_index << 40) | idx;
+    std::shared_ptr<const std::vector<uint8_t>> hit;
     {
       std::lock_guard<std::mutex> g(chunk_cache.mu);
       auto it = chunk_cache.map.find(key);
       if (it != chunk_cache.map.end()) {
-        std::memcpy(out, it->second.data.data(), sz);
+        hit = it->second.data;
         chunk_cache.lru.splice(chunk_cache.lru.begin(), chunk_cache.lru,
                                it->second.pos);
-        return true;
       }
     }
+    if (hit) {  // copy outside the lock — hits don't serialize reader pools
+      std::memcpy(out, hit->data(), sz);
+      return true;
+    }
     if (!decode_chunk(d, idx, out, cw, ch, err)) return false;
+    auto fresh = std::make_shared<const std::vector<uint8_t>>(out, out + sz);
     std::lock_guard<std::mutex> g(chunk_cache.mu);
     if (chunk_cache.map.find(key) != chunk_cache.map.end()) return true;
     while (chunk_cache.bytes + sz > chunk_cache.cap && !chunk_cache.lru.empty()) {
@@ -868,13 +879,13 @@ struct AtlasTiff {
       chunk_cache.lru.pop_back();
       auto vit = chunk_cache.map.find(victim);
       if (vit != chunk_cache.map.end()) {
-        chunk_cache.bytes -= vit->second.data.size();
+        chunk_cache.bytes -= vit->second.data->size();
         chunk_cache.map.erase(vit);
       }
     }
     chunk_cache.lru.push_front(key);
     auto& e = chunk_cache.map[key];
-    e.data.assign(out, out + sz);
+    e.data = std::move(fresh);
     e.pos = chunk_cache.lru.begin();
     chunk_cache.bytes += sz;
     return true;
@@ -1284,23 +1295,28 @@ static bool associated_ifd(const IFD& d) {
 
 static void build_levels_generic(AtlasTiff* t) {
   // Pyramid levels: the base is IFD0 (TIFF convention: full resolution
-  // first), unless a strictly larger tiled non-associated directory exists —
-  // Ventana/Roche BIF places a striped overview at directory 0 with the
-  // full-resolution tiled image later (openslide.org/formats/ventana).
-  // Other IFDs qualify when they are reductions of the base (same aspect
-  // ratio), decodable, and not label/macro/thumbnail associated images.
-  // Aperio SVS stores the pyramid as tiled IFDs with a striped thumbnail at
-  // IFD1 — for Aperio files only tiled IFDs count.
+  // first). Ventana/Roche BIF is the exception — it places a striped
+  // overview at directory 0 with the full-resolution tiled image later
+  // (openslide.org/formats/ventana) — so ONLY for detected Ventana files
+  // (iScan XMP, classified before level building) the largest tiled
+  // non-associated directory becomes the base. An ungated rescan would let
+  // any generic multi-image TIFF with a larger tiled secondary image hijack
+  // the pyramid. Other IFDs qualify when they are reductions of the base
+  // (same aspect ratio), decodable, and not label/macro/thumbnail associated
+  // images. Aperio SVS stores the pyramid as tiled IFDs with a striped
+  // thumbnail at IFD1 — for Aperio files only tiled IFDs count.
   bool aperio = t->ifds[0].description.rfind("Aperio", 0) == 0;
   size_t base = 0;
   uint64_t base_area =
       plausible_dims(t->ifds[0]) ? t->ifds[0].width * t->ifds[0].height : 0;
-  for (size_t i = 1; i < t->ifds.size(); ++i) {
-    const IFD& d = t->ifds[i];
-    if (!plausible_dims(d) || !d.tiled || associated_ifd(d)) continue;
-    if (d.width * d.height > base_area) {
-      base = i;
-      base_area = d.width * d.height;
+  if (t->ventana) {
+    for (size_t i = 1; i < t->ifds.size(); ++i) {
+      const IFD& d = t->ifds[i];
+      if (!plausible_dims(d) || !d.tiled || associated_ifd(d)) continue;
+      if (d.width * d.height > base_area) {
+        base = i;
+        base_area = d.width * d.height;
+      }
     }
   }
   double aspect0 = 0.0;
@@ -1315,8 +1331,12 @@ static void build_levels_generic(AtlasTiff* t) {
     if (!plausible_dims(d)) continue;
     if (associated_ifd(d)) continue;
     if (aperio && !d.tiled) continue;  // SVS striped IFD1 = thumbnail image
-    if (base != 0 && !d.tiled) continue;  // BIF-style: striped dirs are overviews
-    if (base_area > 0 && d.width * d.height > base_area) continue;
+    if (base != 0) {
+      // BIF-style base rescue: striped dirs are overviews, and nothing
+      // larger than the chosen base belongs to its pyramid.
+      if (!d.tiled) continue;
+      if (d.width * d.height > base_area) continue;
+    }
     double aspect = (double)d.width / (double)d.height;
     if (aspect0 > 0 && std::abs(aspect - aspect0) / aspect0 > 0.05) continue;
     t->levels.push_back({i, d.width, d.height, 1.0});
@@ -1359,7 +1379,17 @@ static bool find_xml_attr(const std::string& s, const char* name,
 // attributes.
 static void detect_ventana(AtlasTiff* t) {
   for (const IFD& d : t->ifds) {
-    size_t p = d.xmp.find("<iScan");
+    // Require an element delimiter after the name so <iScanList> or
+    // <iScanSettings> in third-party XMP never misclassifies the file.
+    size_t p = 0;
+    while ((p = d.xmp.find("<iScan", p)) != std::string::npos) {
+      size_t after = p + 6;
+      if (after < d.xmp.size() &&
+          (std::isspace((unsigned char)d.xmp[after]) || d.xmp[after] == '/' ||
+           d.xmp[after] == '>'))
+        break;
+      p = after;
+    }
     if (p == std::string::npos) continue;
     size_t end = d.xmp.find('>', p);
     std::string el =
@@ -1403,6 +1433,10 @@ static void detect_philips(AtlasTiff* t) {
 }
 
 static void build_levels(AtlasTiff* t) {
+  // Vendor classification first: build_levels_generic gates its BIF-style
+  // base rescan on t->ventana.
+  detect_ventana(t);
+  detect_philips(t);
   if (t->ndpi) build_levels_ndpi(t);
   if (t->levels.empty() &&
       t->ifds[0].description.find("<scn") != std::string::npos) {
@@ -1410,8 +1444,6 @@ static void build_levels(AtlasTiff* t) {
     t->scn = !t->levels.empty();
   }
   if (t->levels.empty()) build_levels_generic(t);
-  detect_ventana(t);
-  detect_philips(t);
   std::sort(t->levels.begin(), t->levels.end(),
             [](const Level& a, const Level& b) { return a.width > b.width; });
   if (!t->levels.empty()) {

@@ -6,6 +6,7 @@ swapping the package name.
 """
 
 from atlaspatch_tpu.services.extraction import PatchExtractionService
+from atlaspatch_tpu.services.feature_embedding import PatchFeatureEmbeddingService
 from atlaspatch_tpu.services.mpp import CSVMPPResolver
 from atlaspatch_tpu.services.segmentation import SAM2SegmentationService
 from atlaspatch_tpu.services.visualization import DefaultVisualizationService
@@ -13,6 +14,7 @@ from atlaspatch_tpu.services.wsi_loader import DefaultWSILoader
 
 __all__ = [
     "PatchExtractionService",
+    "PatchFeatureEmbeddingService",
     "CSVMPPResolver",
     "SAM2SegmentationService",
     "DefaultVisualizationService",

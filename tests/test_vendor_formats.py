@@ -778,3 +778,58 @@ def test_bif_random_corruption_never_hangs(tmp_path: Path):
             t.close()
         except Exception:
             pass
+
+
+def test_generic_tiff_base_stays_ifd0_without_iscan(tmp_path: Path):
+    """The BIF base rescan is gated on iScan detection: a generic multi-image
+    TIFF whose SECOND directory is a larger tiled image (different aspect,
+    e.g. an unrelated series) must still open IFD0 as the slide."""
+    rng = np.random.default_rng(57)
+    main = _rand_rgb(rng, 96, 128)
+    intruder = _rand_rgb(rng, 256, 160)  # larger area, different aspect
+    w = TiffWriter()
+    w.add_level(main)  # striped full-res at IFD0, TIFF convention
+    w.add_level(intruder, tile=64)
+    path = tmp_path / "generic.tiff"
+    w.save(path)
+
+    t = AtlasTiffFile(str(path))
+    assert t.level_dimensions[0] == (128, 96)
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, 128, 96), main)
+    t.close()
+
+
+def test_thumbnail_first_striped_pyramid_still_opens_full_res(tmp_path: Path):
+    """A non-Aperio TIFF with a small thumbnail at IFD0 and the striped
+    full-resolution image after it (same aspect) must open at full
+    resolution — the width-descending sort promotes the larger directory."""
+    rng = np.random.default_rng(58)
+    full = _rand_rgb(rng, 128, 192)
+    thumb = full[::4, ::4].copy()
+    w = TiffWriter()
+    w.add_level(thumb)
+    w.add_level(full)  # striped, larger, same aspect
+    path = tmp_path / "thumbfirst.tiff"
+    w.save(path)
+
+    t = AtlasTiffFile(str(path))
+    assert t.level_dimensions[0] == (192, 128)
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, 192, 128), full)
+    t.close()
+
+
+def test_iscan_prefix_needs_delimiter(tmp_path: Path):
+    """<iScanSettings …> (a name that merely starts with iScan) must not
+    classify the file as Ventana."""
+    rng = np.random.default_rng(59)
+    main = _rand_rgb(rng, 64, 96)
+    xmp = '<iScanSettings Magnification="4" ScanRes="9.9"/>'
+    w = TiffWriter()
+    w.add_level(main, tile=64, extra_tags=[(700, TYPE_ASCII, [xmp])])
+    path = tmp_path / "notventana.tiff"
+    w.save(path)
+
+    t = AtlasTiffFile(str(path))
+    assert "atlas.vendor" not in t.properties or t.properties["atlas.vendor"] != "ventana"
+    assert "ventana.Magnification" not in t.properties
+    t.close()
