@@ -466,7 +466,9 @@ def build_entries() -> list[EncoderEntry]:
             "h_optimus_0",
             "timm_vit",
             1536,
-            _pre(224, mode="square", interp="bicubic", norm=HOPTIMUS_NORM),
+            # Exact Resize((224,224)) torchvision-default bilinear
+            # (reference hoptimus.py:15-31)
+            _pre(224, mode="square", norm=HOPTIMUS_NORM),
             spec=_timm_giant(),
             source="bioptimus/H-optimus-0",
         )
@@ -476,7 +478,7 @@ def build_entries() -> list[EncoderEntry]:
             "h_optimus_1",
             "timm_vit",
             1536,
-            _pre(224, mode="square", interp="bicubic", norm=HOPTIMUS_NORM),
+            _pre(224, mode="square", norm=HOPTIMUS_NORM),
             spec=_timm_giant(),
             source="bioptimus/H-optimus-1",
         )
@@ -570,7 +572,9 @@ def build_entries() -> list[EncoderEntry]:
             "pathorchestra",
             "timm_vit",
             1024,
-            _pre(224, resize=256, interp="bicubic"),
+            # Resize(224) + Normalize only, NO center crop, torchvision
+            # default bilinear (reference pathorchestra.py:52-58)
+            _pre(224, mode="square"),
             spec=_vit(224, 16, 1024, 24, 16, layerscale=True, ln_eps=1e-6),
             source="AI4Pathology/PathOrchestra",
         )
@@ -580,7 +584,9 @@ def build_entries() -> list[EncoderEntry]:
             "openmidnight",
             "timm_vit",
             1536,
-            _pre(224, resize=256, interp="bicubic"),
+            # Exact Resize((224,224)) bilinear, no crop (reference
+            # openmidnight.py:15-28)
+            _pre(224, mode="square"),
             spec=_timm_giant(),
             source="torch.hub dinov2_vitg14_reg + OpenMidnight teacher ckpt",
         )

@@ -181,3 +181,32 @@ def test_bfloat16_params_reach_the_matmuls(monkeypatch):
     assert (num / den > 0.995).all()
     bf16.cleanup()
     f32.cleanup()
+
+
+def test_reference_pinned_preprocessing():
+    """Models whose transforms the reference HARDCODES (rather than resolving
+    from a downloaded timm/HF config) must match them field-for-field:
+    geometry (resize/crop), interpolation, and normalization. References:
+    chief_ctranspath.py:24-31, gigapath.py:20-24, hoptimus.py:15-31,
+    midnight.py:19-23, musk.py:21-25, openmidnight.py:15-28,
+    pathorchestra.py:52-58. torchvision's Resize default is bilinear;
+    `mode="square"` here reproduces Resize((S,S))/Resize(S) on the pipeline's
+    square patch inputs."""
+    IMNET = (0.485, 0.456, 0.406)
+    HOPT = (0.707223, 0.578729, 0.703617)
+    HALF = (0.5, 0.5, 0.5)
+    # name -> (crop, resize, mode, interpolation, mean)
+    pinned = {
+        "chief-ctranspath": (224, 224, "square", "bilinear", IMNET),
+        "prov_gigapath": (224, 256, "shortest", "bicubic", IMNET),
+        "h_optimus_0": (224, 224, "square", "bilinear", HOPT),
+        "h_optimus_1": (224, 224, "square", "bilinear", HOPT),
+        "midnight": (224, 224, "square", "bilinear", HALF),
+        "musk": (384, 384, "shortest", "bicubic", HALF),
+        "openmidnight": (224, 224, "square", "bilinear", IMNET),
+        "pathorchestra": (224, 224, "square", "bilinear", IMNET),
+    }
+    for name, (crop, resize, mode, interp, mean) in pinned.items():
+        p = ENTRIES[name].preprocess
+        got = (p.crop, p.resize, p.mode, p.interpolation, tuple(p.mean))
+        assert got == (crop, resize, mode, interp, mean), f"{name}: {got}"
