@@ -120,6 +120,7 @@ class HamamatsuVMSWSI(IWSI):
         # while memory stays bounded to a single tile.
         self._fallback_full: tuple[tuple[tuple[int, int], int], np.ndarray] | None = None
         self._fallback_lock = Lock()
+        self._source_mmaps: dict[tuple[int, int], Any] = {}
 
     def _setup(self) -> None:
         vms = Path(self.path)
@@ -214,7 +215,7 @@ class HamamatsuVMSWSI(IWSI):
             if self._fallback_full is not None and self._fallback_full[0] == key:
                 return self._fallback_full[1][y : y + h, x : x + w]
         try:
-            return jpeg_decode_window(self._files[pos].read_bytes(), scale, x, y, w, h)
+            return jpeg_decode_window(self._source_map(pos), scale, x, y, w, h)
         except RuntimeError:
             # Fallback: decode whole ONCE (cached one-slot above — the
             # failure is deterministic per stream, and re-decoding a
@@ -265,11 +266,33 @@ class HamamatsuVMSWSI(IWSI):
         img.thumbnail(max_hw, Image.Resampling.LANCZOS)
         return img.convert("RGB")
 
+    def _source_map(self, pos: tuple[int, int]):
+        """mmap of a source JPEG, cached per grid position: windowed decodes
+        touch only the header + the window's MCU rows, so paging beats
+        re-reading the (potentially multi-GB) compressed stream per patch."""
+        with self._fallback_lock:
+            m = self._source_mmaps.get(pos)
+            if m is None:
+                import mmap
+
+                with open(self._files[pos], "rb") as f:
+                    m = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+                self._source_mmaps[pos] = m
+            return m
+
     def cleanup(self) -> None:
         for level in self._levels:
             level.clear_cache()
         with self._fallback_lock:
             self._fallback_full = None
+            for m in self._source_mmaps.values():
+                try:
+                    m.close()
+                except BufferError:
+                    # a decode still holds a view; the map is freed when the
+                    # last view drops (better a deferred unmap than a crash)
+                    pass
+            self._source_mmaps.clear()
         self._loaded = False
 
 

@@ -939,6 +939,16 @@ static bool read_region_jpeg_sequential(const AtlasTiff* t, const IFD& d,
   hp = std::min<uint64_t>(hp, (((uint64_t)y1 + mcu_h - 1) / mcu_h) * mcu_h);
 
   std::vector<uint8_t> hdr = si.header;  // SOF patched to (W, hp)
+  // Patch only zeroed (NDPI "unrepresentable") or already-matching SOF
+  // dims. A real declared width that disagrees with the TIFF tags means the
+  // entropy stream unwraps at a different MCUs-per-row count — patching it
+  // over would silently return scrambled pixels.
+  const uint64_t decl_w = ((uint64_t)hdr[si.sof_dims_off + 2] << 8) |
+                          hdr[si.sof_dims_off + 3];
+  if (decl_w != 0 && (int64_t)decl_w != W) {
+    *err = "sequential decode width mismatch";
+    return false;
+  }
   hdr[si.sof_dims_off + 0] = (uint8_t)(hp >> 8);
   hdr[si.sof_dims_off + 1] = (uint8_t)(hp & 0xFF);
   hdr[si.sof_dims_off + 2] = (uint8_t)((uint64_t)W >> 8);

@@ -44,6 +44,11 @@ def point_polygon_test(polygon: np.ndarray, points: np.ndarray) -> np.ndarray:
     Prefers the native C++ scan (io/native/atlas_contours.cc) — the numpy
     path below is bit-identical and serves as both fallback and test oracle.
     """
+    if np.asarray(polygon).size == 0:
+        # degenerate polygon: everything is outside (the numpy path computes
+        # zero crossings; the native scan would reject the empty buffer)
+        m = np.asarray(points).reshape(-1, 2).shape[0]
+        return np.full(m, -1, dtype=np.int8)
     try:
         from atlaspatch_tpu.io.native import native_points_polygon_test
 

@@ -182,7 +182,11 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
         not leaked."""
         prefetch_on = os.environ.get("ATLASPATCH_SLIDE_PREFETCH", "1") != "0"
         prep_pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="slide-prep")
-        state: dict[str, object] = {"fut": None}
+        # All preps possibly unconsumed on abnormal exit: the one handed out
+        # by the last yield (the consumer may not have taken its WSI yet —
+        # cleanup() is idempotent if it did) AND the in-flight next-slide
+        # prep submitted before the yield.
+        state: dict[str, list] = {"futs": []}
 
         def _submit(index: int):
             if index >= len(todo):
@@ -204,17 +208,19 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
                 next_fut = _submit(i + 1) if prefetch_on else None
                 if fut is None:
                     fut = _submit(i)
-                state["fut"] = fut  # current prep: drained if never consumed
+                state["futs"] = [f for f in (fut, next_fut) if f is not None]
                 yield res, fut
-                state["fut"] = next_fut
+                # consumer finished slide i and owns its WSI; only the
+                # in-flight prep remains ours to drain
+                state["futs"] = [next_fut] if next_fut is not None else []
                 fut = next_fut
 
         try:
             yield iterate()
         finally:
-            if state["fut"] is not None:
+            for f in state["futs"]:
                 try:
-                    leftover_wsi, _c, _f = state["fut"].result()
+                    leftover_wsi, _c, _f = f.result()
                     leftover_wsi.cleanup()
                 except Exception:
                     pass

@@ -126,7 +126,6 @@ class H5PatchWriter:
         self,
         output_path: Path,
         all_coords: list[tuple[int, int, int, int, int]],
-        batch: int,
     ) -> int:
         """Write a fully collected coordinate list (total already known).
 
@@ -155,9 +154,13 @@ class H5PatchWriter:
         batch: int,
         collect_coords: bool = False,
     ) -> tuple[int, np.ndarray | None]:
-        """Two-pass coordinate write; returns (total, optional (N,2) xy array)."""
+        """Two-pass coordinate write; returns (total, optional (N,2) xy array).
+
+        `batch` is part of the writer interface (streamed writers chunk by
+        it); this collected implementation writes one-shot and ignores it."""
+        del batch
         all_coords = [(int(x), int(y), int(rw), int(rh), int(lv)) for x, y, rw, rh, lv, _ in entries]
-        total = self._write_collected(output_path, all_coords, batch)
+        total = self._write_collected(output_path, all_coords)
         coords_arr = (
             np.asarray([(c[0], c[1]) for c in all_coords], dtype=np.int32)
             if collect_coords
@@ -195,7 +198,7 @@ class H5PatchWriter:
                     )
                     if len(futures) >= max_pending:
                         self._drain_png_future(futures.popleft())
-            total = self._write_collected(output_path, all_coords, batch)
+            total = self._write_collected(output_path, all_coords)
             while futures:
                 self._drain_png_future(futures.popleft())
 

@@ -833,3 +833,37 @@ def test_iscan_prefix_needs_delimiter(tmp_path: Path):
     assert "atlas.vendor" not in t.properties or t.properties["atlas.vendor"] != "ventana"
     assert "ventana.Magnification" not in t.properties
     t.close()
+
+
+def test_sequential_decode_rejects_real_sof_width_mismatch(tmp_path: Path):
+    """A single-strip JPEG WITHOUT restart markers whose real (non-zero) SOF
+    width disagrees with the TIFF tags must raise — patching the SOF over a
+    genuinely different width would unwrap MCU rows at the wrong count and
+    return scrambled pixels."""
+    import io as _io
+
+    from PIL import Image as _Image
+
+    rng = np.random.default_rng(60)
+    img = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+    buf = _io.BytesIO()
+    _Image.fromarray(img).save(buf, "JPEG", quality=95, subsampling=0)  # no DRI
+    path = tmp_path / "mismatch.ndpi"
+    # TIFF tags claim 128 px wide; the JPEG's SOF says 96 and stays intact.
+    _write_single_strip_ndpi(path, buf.getvalue(), 128, 64)
+
+    t = AtlasTiffFile(str(path))
+    with pytest.raises(Exception):
+        t.read_region_level(0, 0, 0, 128, 64)
+    t.close()
+
+
+def test_point_polygon_test_empty_polygon_all_outside():
+    """Empty/degenerate polygons report every probe as outside (-1) on both
+    the native and numpy paths instead of raising."""
+    from atlaspatch_tpu.ops.polygon import point_polygon_test
+
+    pts = np.array([[0, 0], [5, 5]], dtype=np.int64)
+    for poly in (np.empty((0, 2), np.int64), np.empty((0, 1, 2), np.int32)):
+        out = point_polygon_test(poly, pts)
+        np.testing.assert_array_equal(out, np.array([-1, -1], np.int8))
