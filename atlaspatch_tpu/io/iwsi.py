@@ -249,6 +249,8 @@ class IWSI(ABC):
         power: float = 1.25,
         interpolation: str = "optimise",
         scaled_decode: bool = False,
+        quantize: int = 0,
+        max_px: int = 0,
     ) -> Image.Image:
         """Full-slide thumbnail at a fixed objective power (reference: iwsi.py:246-323).
 
@@ -299,6 +301,19 @@ class IWSI(ABC):
 
         out_w = max(1, int(round(W0 / ds_target)))
         out_h = max(1, int(round(H0 / ds_target)))
+
+        # Static-shape serving support: fold the size cap into the single
+        # resize and snap dims to multiples of `quantize`, so per-slide
+        # thumbnails land in a handful of shape buckets instead of a unique
+        # (h, w) each — under jit every distinct shape is a fresh multi-minute
+        # SAM2 compile. Off (0/0) preserves the reference-exact chain.
+        if max_px and (out_w > max_px or out_h > max_px):
+            scale = min(max_px / out_w, max_px / out_h)
+            out_w = max(1, int(out_w * scale))
+            out_h = max(1, int(out_h * scale))
+        if quantize > 0:
+            out_w = max(quantize, int(round(out_w / quantize)) * quantize)
+            out_h = max(quantize, int(round(out_h / quantize)) * quantize)
 
         if arr.shape[1] != out_w or arr.shape[0] != out_h:
             if interpolation == "optimise":

@@ -67,16 +67,21 @@ class PreprocessSpec:
             if img.size != (self.crop, self.crop):
                 img = img.resize((self.crop, self.crop), interp)
         elif self.mode == "shortest":
+            # torchvision-exact geometry: the long side TRUNCATES
+            # (int(size*long/short), _compute_resized_output_size) and the
+            # crop offset uses python round() (F.center_crop) — round()/floor
+            # here would shift non-square inputs by a pixel.
             w, h = img.size
-            short = min(w, h)
+            short, long = (w, h) if w <= h else (h, w)
             if short != self.resize:
-                scale = self.resize / short
-                img = img.resize(
-                    (max(1, round(w * scale)), max(1, round(h * scale))), interp
+                new_long = max(1, int(self.resize * long / short))
+                nw, nh = (
+                    (self.resize, new_long) if w <= h else (new_long, self.resize)
                 )
+                img = img.resize((nw, nh), interp)
             w, h = img.size
-            left = (w - self.crop) // 2
-            top = (h - self.crop) // 2
+            left = int(round((w - self.crop) / 2.0))
+            top = int(round((h - self.crop) / 2.0))
             img = img.crop((left, top, left + self.crop, top + self.crop))
         else:
             raise ValueError(f"unknown preprocess mode {self.mode}")

@@ -125,7 +125,7 @@ def hf_to_flax(sd: Mapping[str, Any], cfg) -> dict:
             "cross_attn_image_to_token": _decoder_attention(
                 sd, f"{p}.cross_attn_image_to_token"
             ),
-            "mlp": _feedforward(sd, f"{p}.mlp", cfg.decoder_num_layers),
+            "mlp": _feedforward(sd, f"{p}.mlp", 2),  # block MLP is always lin1/lin2
             "layer_norm1": _norm(sd, f"{p}.layer_norm1"),
             "layer_norm2": _norm(sd, f"{p}.layer_norm2"),
             "layer_norm3": _norm(sd, f"{p}.layer_norm3"),

@@ -178,8 +178,11 @@ class TwoWayAttentionBlock(nn.Module):
         )(q, k, keys)
         queries = nn.LayerNorm(name="layer_norm2")(queries)
 
+        # the per-block MLP is structurally lin1/lin2 (2 Dense layers) in
+        # SAM2's TwoWayAttentionBlock regardless of how many transformer
+        # layers the decoder stacks — decoder_num_layers is NOT its depth
         queries = queries + FeedForward(
-            cfg.decoder_mlp_dim, hs, num_layers=cfg.decoder_num_layers, name="mlp"
+            cfg.decoder_mlp_dim, hs, num_layers=2, name="mlp"
         )(queries)
         queries = nn.LayerNorm(name="layer_norm3")(queries)
 

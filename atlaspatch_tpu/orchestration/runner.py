@@ -194,21 +194,41 @@ class ProcessingRunner:
         thumbnails — overlapped with the device stage of the previous batch."""
         tracker.wait_until_at_most(limit=allow_inflight)
         opened: list[tuple[Slide, IWSI, int | None, Path]] = []
-        for slide in batch:
-            if self._handle_existing_slide(slide, results, progress):
-                continue
-            fd, lock_path = self._acquire_lock(slide)
-            if fd is None:
-                logger.info("Skipping %s (locked by another process).", slide.path.name)
-                progress.update(1)
-                continue
-            try:
-                opened.append((slide, self.wsi_loader.open(slide), fd, lock_path))
-            except Exception as e:  # noqa: BLE001
-                failures.append((slide, e))
-                logger.error("Failed to open %s: %s", slide.path.name, e)
+        try:
+            for slide in batch:
+                try:
+                    if self._handle_existing_slide(slide, results, progress):
+                        continue
+                    fd, lock_path = self._acquire_lock(slide)
+                except Exception as e:  # noqa: BLE001 — isolate per slide
+                    failures.append((slide, e))
+                    logger.error("Failed to prepare %s: %s", slide.path.name, e)
+                    progress.update(1)
+                    continue
+                if fd is None:
+                    logger.info(
+                        "Skipping %s (locked by another process).", slide.path.name
+                    )
+                    progress.update(1)
+                    continue
+                try:
+                    opened.append((slide, self.wsi_loader.open(slide), fd, lock_path))
+                except Exception as e:  # noqa: BLE001
+                    failures.append((slide, e))
+                    logger.error("Failed to open %s: %s", slide.path.name, e)
+                    self._release_lock(fd, lock_path)
+                    progress.update(1)
+        except BaseException:
+            # Anything escaping the per-slide isolation (MemoryError, ...):
+            # leaked O_EXCL lock files would make EVERY later run skip these
+            # slides as "locked by another process" — release before raising.
+            for _slide, wsi, fd, lock_path in opened:
+                try:
+                    wsi.cleanup()
+                except Exception:  # noqa: BLE001
+                    pass
                 self._release_lock(fd, lock_path)
-                progress.update(1)
+            raise
 
         thumbs = None
         prepare = getattr(self.segmentation, "prepare_thumbnails", None)
@@ -297,7 +317,9 @@ class ProcessingRunner:
         patch_workers = max(1, int(self.config.extraction.workers or os.cpu_count() or 4))
         batch_size = max(1, self.config.segmentation.batch_size)
         max_open_slides = max(1, int(self.config.extraction.max_open_slides or 200))
-        allow_inflight = max(0, max_open_slides - batch_size)
+        # TWO batches can be open outside the tracker at once: the dispatched
+        # `pending` batch plus the batch being prepared on the prefetch thread.
+        allow_inflight = max(0, max_open_slides - 2 * batch_size)
 
         batches = list(_chunked(slides, batch_size))
         prefetcher = ThreadPoolExecutor(max_workers=1, thread_name_prefix="batch-prep")
@@ -317,25 +339,50 @@ class ProcessingRunner:
             # (a) prepares batch i+1 (prefetch thread) and (b) fetches batch
             # i-1's masks and submits its extraction.
             pending: tuple[list, object] | None = None
-            for idx in range(len(batches)):
-                opened, thumbs = prep_fut.result()
-                if idx + 1 < len(batches):
-                    prep_fut = prefetcher.submit(
-                        self._prepare_batch, batches[idx + 1], *prep_args
-                    )
+            try:
+                for idx in range(len(batches)):
+                    opened, thumbs = prep_fut.result()
+                    if idx + 1 < len(batches):
+                        prep_fut = prefetcher.submit(
+                            self._prepare_batch, batches[idx + 1], *prep_args
+                        )
 
-                resolve = None
-                if opened:
-                    resolve = self._dispatch_segmentation(opened, thumbs, failures, progress)
+                    resolve = None
+                    if opened:
+                        resolve = self._dispatch_segmentation(
+                            opened, thumbs, failures, progress
+                        )
+
+                    if pending is not None:
+                        # hand off before calling: _finish_batch is exception-
+                        # safe for its own batch, so the except below must not
+                        # double-release slides it may have already submitted
+                        consumed, pending = pending, None
+                        self._finish_batch(consumed, executor, tracker, failures, progress)
+                        tracker.wait_until_at_most(limit=max_open_slides)
+                    pending = (opened, resolve) if resolve is not None else None
 
                 if pending is not None:
-                    self._finish_batch(pending, executor, tracker, failures, progress)
-                    tracker.wait_until_at_most(limit=max_open_slides)
-                pending = (opened, resolve) if resolve is not None else None
-
-            if pending is not None:
-                self._finish_batch(pending, executor, tracker, failures, progress)
-            tracker.wait_until_at_most(limit=0)
+                    consumed, pending = pending, None
+                    self._finish_batch(consumed, executor, tracker, failures, progress)
+                tracker.wait_until_at_most(limit=0)
+            except BaseException:
+                # Abnormal exit: release every slide the pipeline still holds
+                # (the dispatched batch and the in-flight prep), else their
+                # O_EXCL lock files survive and later runs skip those slides.
+                leftovers = list(pending[0]) if pending is not None else []
+                try:
+                    prep_opened, _ = prep_fut.result(timeout=60)
+                    leftovers.extend(prep_opened)
+                except Exception:  # noqa: BLE001 — prep itself failed/cleaned
+                    pass
+                for _slide, wsi, fd, lock_path in leftovers:
+                    try:
+                        wsi.cleanup()
+                    except Exception:  # noqa: BLE001
+                        pass
+                    self._release_lock(fd, lock_path)
+                raise
 
         prefetcher.shutdown(wait=True)
         progress.close()

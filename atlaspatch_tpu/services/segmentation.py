@@ -39,11 +39,12 @@ _ENV_CHECKPOINT = "ATLASPATCH_SAM2_CHECKPOINT"
 
 
 def _pad_to_pow2_batch(n: int, max_batch: int) -> int:
-    """Pad batch to a power of two (≤ max) so jit caches few batch shapes."""
+    """Pad batch to a power of two, capped at max_batch (callers guarantee
+    max_batch >= n), so jit caches few batch shapes."""
     b = 1
     while b < n and b < max_batch:
         b *= 2
-    return b
+    return min(max(b, n), max_batch)
 
 
 class SAM2Predictor:
@@ -67,6 +68,9 @@ class SAM2Predictor:
         self._data_axis = data_axis
         self._n_data = int(mesh.shape[data_axis]) if mesh is not None else 1
         self._sharded_steps: dict = {}
+        # device-resident PIL-NEAREST index tables keyed (n_out, n_in): the
+        # host loops + H2D upload run once per shape, not once per dispatch
+        self._resample_idx: dict = {}
         if sam2_cfg is not None:
             self.sam2_cfg = sam2_cfg
         elif cfg.config_path is not None:
@@ -107,7 +111,9 @@ class SAM2Predictor:
         ):
             matches = sorted(hf_home.glob(pattern))
             if matches:
-                return matches[-1]
+                # snapshot dirs are commit hashes — lexicographic order is
+                # arbitrary; prefer the most recently fetched revision
+                return max(matches, key=lambda p: p.stat().st_mtime)
         return None
 
     def _load_params(self):
@@ -284,10 +290,14 @@ class SAM2Predictor:
                     batch[j] = arrs[i]
                 if target is not None:
                     S = self.input_size
-                    idx_args = (
-                        jnp.asarray(pil_nearest_index(target[0], S), jnp.int32),
-                        jnp.asarray(pil_nearest_index(target[1], S), jnp.int32),
-                    )
+                    idx_args = []
+                    for n_out in (target[0], target[1]):
+                        cached = self._resample_idx.get((n_out, S))
+                        if cached is None:
+                            cached = jnp.asarray(pil_nearest_index(n_out, S), jnp.int32)
+                            self._resample_idx[(n_out, S)] = cached
+                        idx_args.append(cached)
+                    idx_args = tuple(idx_args)
                     step = (
                         self._sharded_step(True, to_shape=True)
                         if self._mesh is not None
@@ -386,18 +396,39 @@ class SAM2SegmentationService(SegmentationService):
         self.cfg = cfg.validated()
         self.predictor = SAM2Predictor(self.cfg, sam2_cfg, mesh=mesh, data_axis=data_axis)
 
+    def _thumb_quant(self) -> int:
+        """Shape-bucket quantum for thumbnails in the fast (non-float32,
+        device-resize) mode. Distinct thumbnail shapes each compile a fresh
+        SAM2 program under jit — multi-minute on TPU — so heterogeneous
+        corpora would otherwise recompile per slide. Snapping dims to
+        multiples of 32 (ATLASPATCH_THUMB_QUANT, 0 disables) collapses a
+        mixed corpus into a handful of compiled shapes at ≤ ~3% scale
+        perturbation; the reference-exact float32 / host-resize chains are
+        never quantized."""
+        if getattr(self.cfg, "precision", "float32") == "float32":
+            return 0
+        if os.environ.get("ATLASPATCH_HOST_RESIZE") == "1":
+            return 0
+        try:
+            return max(0, int(os.environ.get("ATLASPATCH_THUMB_QUANT", "32")))
+        except ValueError:
+            return 0
+
     def _prepare_thumbnail(self, wsi: IWSI):
         with perf.stage("thumbnail"):
             # bfloat16 runs already depart from the reference's exact numeric
             # chain, so let JPEG pyramids decode thumbnails at 1/2–1/8 scale
             # natively (IDCT scaling; ~5x fewer host cycles, few-LSB drift).
             # float32 keeps the reference-exact full-decode + AREA chain.
+            q = self._thumb_quant()
             thumb = wsi.get_thumbnail_at_power(
                 power=self.cfg.thumbnail_power,
                 interpolation="optimise",
                 scaled_decode=getattr(self.cfg, "precision", "float32") != "float32",
+                quantize=q,
+                max_px=self.cfg.thumbnail_max if q else 0,
             )
-            if self.cfg.thumbnail_max:
+            if not q and self.cfg.thumbnail_max:
                 thumb.thumbnail((self.cfg.thumbnail_max, self.cfg.thumbnail_max))
             return thumb
 

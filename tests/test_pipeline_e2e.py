@@ -227,3 +227,58 @@ def test_cli_help_and_info():
     assert result.exit_code == 0
     assert "resnet50" in result.output
     assert "uni_v2" in result.output
+
+
+def test_thumbnail_quantization_buckets_shapes(tmp_path, monkeypatch):
+    """Fast-mode (non-float32) thumbnails snap to multiples of the shape
+    quantum so heterogeneous corpora land in a handful of jit shapes; the
+    reference-exact float32 / host-resize chains stay unquantized."""
+    import numpy as np
+
+    from atlaspatch_tpu.core.config import SegmentationConfig
+    from atlaspatch_tpu.io.synthetic_wsi import SyntheticWSI
+    from atlaspatch_tpu.services.segmentation import SAM2SegmentationService
+
+    monkeypatch.setenv("ATLASPATCH_ALLOW_RANDOM_WEIGHTS", "1")
+    monkeypatch.delenv("ATLASPATCH_HOST_RESIZE", raising=False)
+
+    def make_service(precision):
+        from atlaspatch_tpu.models.sam2.config import SAM2Config
+
+        cfg = SegmentationConfig(device="cpu", precision=precision)
+        return SAM2SegmentationService(cfg, SAM2Config.test_tiny())
+
+    # odd, mutually different level-0 sizes -> distinct native thumb shapes
+    wsis = [
+        SyntheticWSI(size=(w, h), mag=20, seed=i)
+        for i, (w, h) in enumerate([(1013, 757), (991, 731), (1024, 768)])
+    ]
+
+    svc = make_service("bfloat16")
+    thumbs = svc.prepare_thumbnails(wsis)
+    q = svc._thumb_quant()
+    assert q > 0
+    for t in thumbs:
+        assert t.width % q == 0 and t.height % q == 0
+    # quantization collapses near-identical shapes into one bucket
+    assert len({(t.height, t.width) for t in thumbs}) < len(wsis)
+
+    svc32 = make_service("float32")
+    assert svc32._thumb_quant() == 0
+    t32 = svc32._prepare_thumbnail(wsis[0])
+    # float32 keeps the reference-exact size (1013x757 @ mag20, power 1.25
+    # -> ds 16 -> round(1013/16) x round(757/16), capped at 1024)
+    assert (t32.width, t32.height) == (round(1013 / 16), round(757 / 16))
+
+    monkeypatch.setenv("ATLASPATCH_HOST_RESIZE", "1")
+    assert make_service("bfloat16")._thumb_quant() == 0
+    monkeypatch.delenv("ATLASPATCH_HOST_RESIZE", raising=False)
+    monkeypatch.setenv("ATLASPATCH_THUMB_QUANT", "0")
+    assert make_service("bfloat16")._thumb_quant() == 0
+    monkeypatch.delenv("ATLASPATCH_THUMB_QUANT", raising=False)
+
+    # masks come back at the quantized thumbnail shapes and stay valid
+    masks = svc.segment_thumbnails(thumbs)
+    for m, t in zip(masks, thumbs):
+        assert m.data.shape == (t.height, t.width)
+        assert np.isfinite(m.data).all()

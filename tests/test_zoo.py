@@ -210,3 +210,65 @@ def test_reference_pinned_preprocessing():
         p = ENTRIES[name].preprocess
         got = (p.crop, p.resize, p.mode, p.interpolation, tuple(p.mean))
         assert got == (crop, resize, mode, interp, mean), f"{name}: {got}"
+
+
+def test_shortest_mode_geometry_matches_torchvision():
+    """mode='shortest' reproduces torchvision Resize+CenterCrop geometry
+    exactly: the long side TRUNCATES (int(size*long/short)) and the crop
+    offset uses python round() — checked against hand-computed values from
+    torchvision's _compute_resized_output_size / F.center_crop."""
+    from PIL import Image
+
+    from atlaspatch_tpu.models.encoders.engine import PreprocessSpec
+
+    spec = PreprocessSpec(crop=224, resize=256, mode="shortest")
+
+    # 300x437 input: torchvision resizes to short=256, long=int(437*256/300)
+    # = int(372.906) = 372 (round() would give 373)
+    img = Image.new("RGB", (300, 437), (10, 20, 30))
+    out = spec.apply_host(img)
+    assert out.shape == (224, 224, 3)
+    resized = img.resize((256, int(256 * 437 / 300)))
+    assert resized.size == (256, 372)
+
+    # odd crop margins: from a 256x373 intermediate the crop offset is
+    # int(round((373-224)/2.0)) = int(round(74.5)) = 74 (banker's rounding)
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, (373, 256, 3), dtype=np.uint8)
+    spec_noresize = PreprocessSpec(crop=224, resize=256, mode="shortest")
+    # short side is already 256 -> no resize, straight to the crop
+    out = spec_noresize.apply_host(arr)
+    top, left = int(round((373 - 224) / 2.0)), int(round((256 - 224) / 2.0))
+    np.testing.assert_array_equal(out, arr[top : top + 224, left : left + 224])
+
+
+def test_pad_to_pow2_batch_never_exceeds_max():
+    from atlaspatch_tpu.services.segmentation import _pad_to_pow2_batch
+
+    assert _pad_to_pow2_batch(33, 33) == 33
+    assert _pad_to_pow2_batch(5, 32) == 8
+    assert _pad_to_pow2_batch(32, 32) == 32
+    assert _pad_to_pow2_batch(1, 32) == 1
+
+
+def test_twoway_block_mlp_depth_independent_of_layer_count():
+    """The per-block decoder MLP is structurally lin1/lin2 (2 Dense layers)
+    in SAM2 no matter how many transformer layers are stacked."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from atlaspatch_tpu.models.sam2.config import SAM2Config
+    from atlaspatch_tpu.models.sam2.model import init_params
+
+    cfg = dataclasses.replace(SAM2Config.test_tiny(), decoder_num_layers=3)
+    params = init_params(cfg)
+    tf = params["mask_decoder"]["transformer"]
+    layers = [k for k in tf if k.startswith("layers_")]
+    assert len(layers) == 3
+    for k in layers:
+        mlp = tf[k]["mlp"]
+        # 2 Dense layers exactly: proj_in + proj_out, no hidden layers_i
+        assert sorted(mlp.keys()) == ["proj_in", "proj_out"], sorted(mlp)
