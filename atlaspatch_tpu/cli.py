@@ -35,12 +35,6 @@ logger = logging.getLogger("atlaspatch_tpu.cli")
 install_noise_filter()
 
 
-def _feature_extractor_choices() -> list[str]:
-    from atlaspatch_tpu.models.encoders.zoo import ENTRIES
-
-    return sorted(ENTRIES.keys())
-
-
 # Shared option sets -----------------------------------------------------------
 _COMMON_OPTIONS: list = [
     click.argument("wsi_path", type=click.Path(exists=True)),
@@ -501,7 +495,11 @@ def process(**kw):
     )
     for plugin in plugins:
         register_feature_extractors_from_module(
-            plugin, registry=registry, device=None, dtype=dtype, num_workers=num_workers
+            plugin,
+            registry=registry,
+            device=feat_device,  # plugins honor --feature-device like built-ins
+            dtype=dtype,
+            num_workers=num_workers,
         )
 
     try:

@@ -87,6 +87,9 @@ _IMPLICIT_SQ_TAGS = {
 }
 _US_TAGS = {TAG_ROWS, TAG_COLUMNS, TAG_SAMPLES_PER_PIXEL, TAG_BITS_ALLOCATED}
 _UL_TAGS = {TAG_TOTAL_COLS, TAG_TOTAL_ROWS}
+# SL-typed tags we consume (frame matrix positions) — needed so implicit-VR
+# LE datasets (1.2.840.10008.1.2, in _SUPPORTED_TS) decode TILED_SPARSE.
+_SL_TAGS = {(0x0048, 0x021E), (0x0048, 0x021F)}
 
 
 class _DicomError(RuntimeError):
@@ -122,7 +125,7 @@ def _decode_value(tag: tuple[int, int], vr: bytes, raw: bytes) -> Any:
         return struct.unpack("<H", raw[:2])[0] if len(raw) >= 2 else None
     if vr == b"UL" or (vr == b"??" and tag in _UL_TAGS):
         return struct.unpack("<I", raw[:4])[0] if len(raw) >= 4 else None
-    if vr == b"SL":
+    if vr == b"SL" or (vr == b"??" and tag in _SL_TAGS):
         return struct.unpack("<i", raw[:4])[0] if len(raw) >= 4 else None
     return raw
 
@@ -520,17 +523,26 @@ class DicomWSI(IWSI):
             meta["dicom.ObjectiveLensPower"] = str(primary.objective_power)
         self.meta = meta
 
+        base = uniq[0]
         if self._mpp_manual is not None:
             self.mpp = self.validate_mpp(self._mpp_manual, source="user-provided mpp")
         else:
-            mpp = primary.mpp_x
+            # mpp must describe the BASE level (w0/h0 come from it): opening a
+            # downsampled sibling would otherwise report that level's spacing
+            # and the patch grid would be computed at the wrong scale.
+            mpp = base.mpp_x if base.mpp_x is not None else primary.mpp_x
             self.mpp = (
                 self.validate_mpp(round(mpp, 4), source="slide metadata")
                 if mpp is not None
                 else None
             )
-        if primary.objective_power is not None:
-            self.mag = int(primary.objective_power)
+        power = (
+            base.objective_power
+            if base.objective_power is not None
+            else primary.objective_power
+        )
+        if power is not None:
+            self.mag = int(power)
         elif self.mpp is not None:
             try:
                 self.mag = self._infer_mag(self.mpp)
@@ -592,3 +604,21 @@ class DicomWSI(IWSI):
             self.cleanup()
         except Exception:
             pass
+
+
+def dicom_instance_info(path) -> tuple[Optional[str], int, bool]:
+    """(series_uid, total-pixel area, is_pyramid) for cohort discovery.
+
+    Lets slide discovery keep ONE entry per DICOM series — the base (largest
+    VOLUME) instance — instead of processing every level/LABEL/OVERVIEW file
+    of a multi-file pyramid as its own slide. Header-only: the pixel data is
+    recorded as spans, never read."""
+    inst = _DicomLevel(Path(path))
+    try:
+        return (
+            inst.series_uid,
+            int(inst.total_cols or 0) * int(inst.total_rows or 0),
+            inst.is_pyramid_instance(),
+        )
+    finally:
+        inst.close()

@@ -38,8 +38,10 @@ from __future__ import annotations
 
 import configparser
 import math
+import os
 import struct
 import zlib
+from threading import Lock
 from pathlib import Path
 from typing import Any, Literal, Optional, Tuple, Union
 
@@ -118,6 +120,7 @@ class MiraxWSI(IWSI):
         self._levels: list[TiledLevel] = []
         self._datafiles: list[Path] = []
         self._data_handles: dict[int, Any] = {}
+        self._handles_lock = Lock()
 
     # --- container parsing -------------------------------------------------
     def _setup(self) -> None:
@@ -285,12 +288,17 @@ class MiraxWSI(IWSI):
     def _read_payload(self, fileno: int, offset: int, length: int) -> bytes:
         if not 0 <= fileno < len(self._datafiles):
             raise RuntimeError(f"mirax: entry references unknown data file {fileno}")
+        # os.pread: positional, thread-safe — patch reads fan out over a
+        # thread pool on ONE WSI instance, and interleaved seek()+read() on a
+        # shared handle would return bytes at another thread's offset.
         fh = self._data_handles.get(fileno)
         if fh is None:
-            fh = open(self._datafiles[fileno], "rb")
-            self._data_handles[fileno] = fh
-        fh.seek(offset)
-        data = fh.read(length)
+            with self._handles_lock:
+                fh = self._data_handles.get(fileno)
+                if fh is None:
+                    fh = open(self._datafiles[fileno], "rb")
+                    self._data_handles[fileno] = fh
+        data = os.pread(fh.fileno(), length, offset)
         if len(data) != length:
             raise RuntimeError("mirax: truncated tile payload")
         return data

@@ -65,18 +65,37 @@ class TiledLevel:
         self._cache: OrderedDict[object, Optional[np.ndarray]] = OrderedDict()
         self._cache_cap = int(cache_tiles)
         self._lock = Lock()
+        # per-key in-flight latch: concurrent misses on one tile decode ONCE
+        # (adjacent patch reads share tiles; on a small host N redundant
+        # full-tile decodes would serialize on the CPU)
+        self._inflight: dict[object, object] = {}
 
     # --- decode cache ---------------------------------------------------
     def _tile_array(self, key: object) -> Optional[np.ndarray]:
-        with self._lock:
-            if key in self._cache:
-                self._cache.move_to_end(key)
-                return self._cache[key]
-        arr = self._decode(key)
+        from threading import Event
+
+        while True:
+            with self._lock:
+                if key in self._cache:
+                    self._cache.move_to_end(key)
+                    return self._cache[key]
+                ev = self._inflight.get(key)
+                if ev is None:
+                    self._inflight[key] = Event()
+                    break
+            ev.wait()  # another thread is decoding this tile; re-check cache
+
+        try:
+            arr = self._decode(key)
+        except BaseException:
+            with self._lock:
+                self._inflight.pop(key).set()  # wake waiters; they will retry
+            raise
         with self._lock:
             self._cache[key] = arr
             if len(self._cache) > self._cache_cap:
                 self._cache.popitem(last=False)
+            self._inflight.pop(key).set()
         return arr
 
     def clear_cache(self) -> None:

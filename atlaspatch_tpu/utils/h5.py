@@ -109,16 +109,27 @@ class AtomicH5:
         return self._stage_path is not None
 
     def publish(self) -> None:
-        """Close the staged file and rename it onto the target."""
+        """Close the staged file and rename it onto the target.
+
+        A failed close (disk full, flush error) DISCARDS the stage instead of
+        publishing: renaming a truncated H5 onto the target would break the
+        files-appear-only-complete contract and make skip-existing treat the
+        slide as done forever."""
         if self._stage_path is None:
             return
         try:
             if self.file is not None:
                 self.file.close()
                 self.file = None
-        finally:
-            os.replace(self._stage_path, self.target)
-            self._stage_path = None
+        except BaseException:
+            stage, self._stage_path = self._stage_path, None
+            try:
+                stage.unlink(missing_ok=True)
+            except OSError:
+                pass
+            raise
+        os.replace(self._stage_path, self.target)
+        self._stage_path = None
 
     def discard(self) -> None:
         """Close and delete the staged file; the target is never touched."""

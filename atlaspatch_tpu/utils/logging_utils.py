@@ -23,11 +23,14 @@ def install_noise_filter() -> None:
 
 
 def configure_logging(verbose: bool) -> None:
+    """-v drops ONLY the atlaspatch loggers to DEBUG. Third-party loggers
+    (jax's compiler/cache logging is extremely chatty at DEBUG) stay at the
+    root's default so pipeline debug lines remain readable."""
     root = logging.getLogger()
     target = logging.getLogger("atlaspatch_tpu")
     level = logging.DEBUG if verbose else logging.WARNING
 
-    root.setLevel(level)
+    root.setLevel(logging.INFO if verbose else level)
     target.setLevel(level)
 
     if not root.handlers:

@@ -10,10 +10,13 @@ the ``evaluate-masks`` CLI command and finetune validation metrics.
 
 from __future__ import annotations
 
+import logging
 from pathlib import Path
 from typing import Optional
 
 import numpy as np
+
+logger = logging.getLogger("atlaspatch_tpu.utils.maskeval")
 
 _MASK_SUFFIXES = ("_mask_bw", "_mask")
 _IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
@@ -95,13 +98,24 @@ def score_mask_dirs(
     pred_by_stem = _collect(pred_dir)
 
     rows: list[dict] = []
+    unmatched: list[str] = []
     for stem, p in sorted(pred_by_stem.items()):
         t = truth_by_stem.get(stem)
         if t is None:
+            unmatched.append(stem)
             continue
         pred = _load_mask(p, threshold)
         truth = _load_mask(t, threshold, size_wh=(pred.shape[1], pred.shape[0]))
         rows.append({"slide": stem, **binary_mask_metrics(pred, truth)})
+    if unmatched:
+        # a silent subset would make the headline mean misleading
+        logger.warning(
+            "evaluate-masks: %d/%d prediction(s) had no stem-matched truth "
+            "mask and were EXCLUDED from the summary: %s",
+            len(unmatched),
+            len(pred_by_stem),
+            ", ".join(unmatched[:10]) + ("..." if len(unmatched) > 10 else ""),
+        )
     if not rows:
         raise FileNotFoundError(
             f"no stem-matched (prediction, truth) mask pairs: pred={pred_dir} "

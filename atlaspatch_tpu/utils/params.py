@@ -83,6 +83,33 @@ def get_wsi_files(path: str, *, recursive: bool = False) -> list[str]:
                 ):
                     companions.add(f.parent / value)
 
+    # DICOM WSI pyramids are usually stored as one file PER LEVEL plus
+    # LABEL/OVERVIEW instances. Keep one entry per series — the base
+    # (largest VOLUME) instance — so the pyramid is processed once, not once
+    # per file; associated-image instances are companions like VMS maps.
+    # Unparseable .dcm files stay listed so opening them fails loudly.
+    dcm_files = [f for f in files_set if f.suffix.lower() in (".dcm", ".dicom")]
+    if len(dcm_files) > 1:
+        from atlaspatch_tpu.io.dicom_wsi import dicom_instance_info
+
+        info: dict[Path, tuple] = {}
+        for f in dcm_files:
+            try:
+                info[f] = dicom_instance_info(f)
+            except Exception:  # noqa: BLE001 — not a readable WSI instance
+                continue
+        best: dict[str, tuple[int, Path]] = {}
+        for f, (uid, area, pyramid) in info.items():
+            if pyramid and uid:
+                cur = best.get(uid)
+                if cur is None or (area, str(f)) > (cur[0], str(cur[1])):
+                    best[uid] = (area, f)
+        for f, (uid, area, pyramid) in info.items():
+            if not pyramid:
+                companions.add(f)
+            elif uid and best[uid][1] != f:
+                companions.add(f)
+
     files = sorted(files_set - companions)
     if not files:
         raise ValueError(

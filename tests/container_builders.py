@@ -305,8 +305,15 @@ def write_dicom_level(
     encapsulated: bool = True,
     image_type: str = "ORIGINAL\\PRIMARY\\VOLUME",
     sparse: bool = False,
+    implicit: bool = False,
 ) -> Path:
-    """One DICOM WSI instance (= one pyramid level), TILED_FULL or sparse."""
+    """One DICOM WSI instance (= one pyramid level), TILED_FULL or sparse.
+
+    implicit=True writes the dataset in implicit VR little endian
+    (1.2.840.10008.1.2, native pixel data only) — the file meta group stays
+    explicit per the standard."""
+    if implicit and encapsulated:
+        raise ValueError("implicit VR transfer syntax is native (unencapsulated) only")
     h0, w0 = level.shape[:2]
     across = -(-w0 // tile)
     down = -(-h0 // tile)
@@ -323,7 +330,23 @@ def write_dicom_level(
     def txt(s: str) -> bytes:
         return s.encode()
 
-    ts = "1.2.840.10008.1.2.4.50" if encapsulated else "1.2.840.10008.1.2.1"
+    def el(group: int, elem: int, vr: bytes, value: bytes) -> bytes:
+        if implicit:
+            if len(value) % 2:
+                value += b"\x00"
+            return struct.pack("<HHI", group, elem, len(value)) + value
+        return _dcm_element(group, elem, vr, value)
+
+    def sq(group: int, elem: int, items: list[bytes]) -> bytes:
+        body = b"".join(_dcm_item(i) for i in items)
+        return el(group, elem, b"SQ", body)
+
+    if implicit:
+        ts = "1.2.840.10008.1.2"
+    elif encapsulated:
+        ts = "1.2.840.10008.1.2.4.50"
+    else:
+        ts = "1.2.840.10008.1.2.1"
     meta_elems = (
         _dcm_element(0x0002, 0x0002, b"UI", txt("1.2.840.10008.5.1.4.1.1.77.1.6"))
         + _dcm_element(0x0002, 0x0003, b"UI", txt(sop_uid))
@@ -331,49 +354,49 @@ def write_dicom_level(
     )
     meta = _dcm_element(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_elems))) + meta_elems
 
-    shared_fg = _dcm_sq(
+    shared_fg = sq(
         0x5200,
         0x9229,
-        [_dcm_sq(0x0028, 0x9110, [
-            _dcm_element(0x0028, 0x0030, b"DS", txt(f"{mpp / 1000}\\{mpp / 1000}"))
+        [sq(0x0028, 0x9110, [
+            el(0x0028, 0x0030, b"DS", txt(f"{mpp / 1000}\\{mpp / 1000}"))
         ])],
     )
-    optical = _dcm_sq(
-        0x0048, 0x0105, [_dcm_element(0x0048, 0x0112, b"DS", txt(str(objective)))]
+    optical = sq(
+        0x0048, 0x0105, [el(0x0048, 0x0112, b"DS", txt(str(objective)))]
     )
 
     body = b""
-    body += _dcm_element(0x0008, 0x0008, b"CS", txt(image_type))
-    body += _dcm_element(0x0008, 0x0016, b"UI", txt("1.2.840.10008.5.1.4.1.1.77.1.6"))
-    body += _dcm_element(0x0008, 0x0018, b"UI", txt(sop_uid))
-    body += _dcm_element(0x0020, 0x000E, b"UI", txt(series_uid))
+    body += el(0x0008, 0x0008, b"CS", txt(image_type))
+    body += el(0x0008, 0x0016, b"UI", txt("1.2.840.10008.5.1.4.1.1.77.1.6"))
+    body += el(0x0008, 0x0018, b"UI", txt(sop_uid))
+    body += el(0x0020, 0x000E, b"UI", txt(series_uid))
     if sparse:
-        body += _dcm_element(0x0020, 0x9311, b"CS", txt("TILED_SPARSE"))
+        body += el(0x0020, 0x9311, b"CS", txt("TILED_SPARSE"))
     else:
-        body += _dcm_element(0x0020, 0x9311, b"CS", txt("TILED_FULL"))
-    body += _dcm_element(0x0028, 0x0002, b"US", struct.pack("<H", 3))
-    body += _dcm_element(0x0028, 0x0004, b"CS", txt("RGB" if not encapsulated else "YBR_FULL_422"))
-    body += _dcm_element(0x0028, 0x0008, b"IS", txt(str(len(frames))))
-    body += _dcm_element(0x0028, 0x0010, b"US", struct.pack("<H", tile))
-    body += _dcm_element(0x0028, 0x0011, b"US", struct.pack("<H", tile))
-    body += _dcm_element(0x0028, 0x0100, b"US", struct.pack("<H", 8))
-    body += _dcm_element(0x0048, 0x0006, b"UL", struct.pack("<I", w0))
-    body += _dcm_element(0x0048, 0x0007, b"UL", struct.pack("<I", h0))
+        body += el(0x0020, 0x9311, b"CS", txt("TILED_FULL"))
+    body += el(0x0028, 0x0002, b"US", struct.pack("<H", 3))
+    body += el(0x0028, 0x0004, b"CS", txt("RGB" if not encapsulated else "YBR_FULL_422"))
+    body += el(0x0028, 0x0008, b"IS", txt(str(len(frames))))
+    body += el(0x0028, 0x0010, b"US", struct.pack("<H", tile))
+    body += el(0x0028, 0x0011, b"US", struct.pack("<H", tile))
+    body += el(0x0028, 0x0100, b"US", struct.pack("<H", 8))
+    body += el(0x0048, 0x0006, b"UL", struct.pack("<I", w0))
+    body += el(0x0048, 0x0007, b"UL", struct.pack("<I", h0))
     body += optical
     body += shared_fg
     if sparse:
         per_frame_items = []
         for col, row in positions:
-            plane = _dcm_sq(
+            plane = sq(
                 0x0048,
                 0x021A,
                 [
-                    _dcm_element(0x0048, 0x021E, b"SL", struct.pack("<i", col))
-                    + _dcm_element(0x0048, 0x021F, b"SL", struct.pack("<i", row))
+                    el(0x0048, 0x021E, b"SL", struct.pack("<i", col))
+                    + el(0x0048, 0x021F, b"SL", struct.pack("<i", row))
                 ],
             )
             per_frame_items.append(plane)
-        body += _dcm_sq(0x5200, 0x9230, per_frame_items)
+        body += sq(0x5200, 0x9230, per_frame_items)
 
     if encapsulated:
         fragments = [_jpeg_bytes(f) for f in frames]
@@ -386,7 +409,10 @@ def write_dicom_level(
         pix += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
     else:
         raw = b"".join(f.tobytes() for f in frames)
-        pix = struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00" + struct.pack("<I", len(raw)) + raw
+        if implicit:
+            pix = struct.pack("<HHI", 0x7FE0, 0x0010, len(raw)) + raw
+        else:
+            pix = struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00" + struct.pack("<I", len(raw)) + raw
 
     Path(path).write_bytes(b"\x00" * 128 + b"DICM" + meta + body + pix)
     return Path(path)

@@ -392,3 +392,62 @@ class TestContainerFuzz:
         img = smooth_rgb(128, 64)
         path = write_vmu(tmp_path / "f.vmu", img, column_width=32)
         self._fuzz_open(path, path.parent / "f.ngr")
+
+
+def test_dicom_implicit_vr_tiled_sparse(tmp_path: Path):
+    """Implicit VR LE (1.2.840.10008.1.2) with TILED_SPARSE: the SL-typed
+    frame matrix positions carry no VR bytes and must decode by tag."""
+    rng = np.random.default_rng(70)
+    img = rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+    p = write_dicom_level(
+        tmp_path / "impl.dcm", img, tile=64, encapsulated=False,
+        implicit=True, sparse=True, mpp=0.5, objective=20.0,
+    )
+    from atlaspatch_tpu.io.dicom_wsi import DicomWSI
+
+    wsi = DicomWSI(path=str(p))
+    wsi._ensure_loaded()
+    assert wsi.get_size(lv=0) == (128, 96)
+    assert wsi.mpp == 0.5
+    out = wsi.extract((0, 0), 0, (128, 96))
+    np.testing.assert_array_equal(out, img)
+    wsi.cleanup()
+
+
+def test_dicom_nonbase_instance_reports_base_mpp(tmp_path: Path):
+    """Opening a downsampled sibling of a multi-file pyramid must report the
+    BASE level's MPP — dimensions come from the base, so taking the opened
+    instance's spacing would put the patch grid at the wrong scale."""
+    rng = np.random.default_rng(71)
+    level0 = rng.integers(0, 256, (128, 192, 3), dtype=np.uint8)
+    write_dicom_pyramid(tmp_path, level0, n_levels=2, tile=64, mpp=0.25,
+                        encapsulated=False)
+    from atlaspatch_tpu.io.dicom_wsi import DicomWSI
+
+    wsi = DicomWSI(path=str(tmp_path / "level1.dcm"))
+    wsi._ensure_loaded()
+    assert wsi.get_size(lv=0) == (192, 128)  # base dims
+    assert wsi.mpp == 0.25  # base spacing, not level1's 0.5
+    wsi.cleanup()
+
+
+def test_dicom_series_discovery_keeps_only_base(tmp_path: Path):
+    """Slide discovery returns ONE file per DICOM series (the base VOLUME
+    instance) — not every level/LABEL file of a multi-file pyramid."""
+    rng = np.random.default_rng(72)
+    level0 = rng.integers(0, 256, (128, 192, 3), dtype=np.uint8)
+    base = write_dicom_pyramid(tmp_path, level0, n_levels=3, tile=64,
+                               mpp=0.25, encapsulated=False, with_label=True)
+    from atlaspatch_tpu.utils.params import get_wsi_files
+
+    files = get_wsi_files(str(tmp_path))
+    assert files == [str(base)]
+
+    # a second, unrelated series in the same directory stays discoverable
+    other = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+    p2 = write_dicom_level(
+        tmp_path / "other.dcm", other, tile=32, encapsulated=False,
+        series_uid="9.9.9.9", sop_uid="9.9.9.9.1",
+    )
+    files = sorted(get_wsi_files(str(tmp_path)))
+    assert files == sorted([str(base), str(p2)])
