@@ -312,8 +312,18 @@ class IWSI(ABC):
             out_w = max(1, int(out_w * scale))
             out_h = max(1, int(out_h * scale))
         if quantize > 0:
-            out_w = max(quantize, int(round(out_w / quantize)) * quantize)
-            out_h = max(quantize, int(round(out_h / quantize)) * quantize)
+
+            def _snap(v: int) -> int:
+                snapped = max(quantize, int(round(v / quantize)) * quantize)
+                if max_px and snapped > max_px:
+                    # never exceed the caller's bound (it sizes memory and
+                    # compile shapes); floor to the largest multiple within
+                    snapped = max(quantize, (max_px // quantize) * quantize)
+                    snapped = min(snapped, max_px)
+                return snapped
+
+            out_w = _snap(out_w)
+            out_h = _snap(out_h)
 
         if arr.shape[1] != out_w or arr.shape[0] != out_h:
             if interpolation == "optimise":

@@ -73,27 +73,44 @@ class TiffWSI(IWSI):
         self.mag = self._extract_mag()
 
     # --- MPP ladder ----------------------------------------------------------------
+    def _plausible(self, mpp: float) -> Optional[float]:
+        """Round + range-gate one ladder candidate. An implausible value
+        (e.g. 352.8 µm from generic 72-dpi resolution tags on a re-saved
+        TIFF) means 'this tier is not really an MPP' — fall through to the
+        next tier instead of poisoning the open. OpenSlide never emits MPP
+        from bare resolution tags, so gating our extra tier is strictly
+        parity-improving."""
+        v = round(float(mpp), 4)
+        return v if self.MPP_MIN <= v <= self.MPP_MAX else None
+
     def _extract_mpp(self) -> Optional[float]:
         meta = self.meta or {}
         for key in self._MPP_KEYS:
             if key in meta:
                 try:
-                    return round(float(meta[key]), 4)
+                    v = self._plausible(float(meta[key]))
                 except (ValueError, TypeError):
                     continue
+                if v is not None:
+                    return v
         for key in self._MPP_TEXT_KEYS:
             parsed = self._parse_mpp_from_string(meta.get(key))
             if parsed is not None:
-                return round(parsed, 4)
+                v = self._plausible(parsed)
+                if v is not None:
+                    return v
         try:
             x_res = meta.get("tiff.XResolution")
             unit = meta.get("tiff.ResolutionUnit")
             if x_res and unit:
                 x_res_f = float(x_res)
+                v = None
                 if str(unit).lower() == "centimeter":
-                    return round(10000 / x_res_f, 4)
-                if str(unit).lower() == "inch":
-                    return round(25400 / x_res_f, 4)
+                    v = self._plausible(10000 / x_res_f)
+                elif str(unit).lower() == "inch":
+                    v = self._plausible(25400 / x_res_f)
+                if v is not None:
+                    return v
         except (ValueError, TypeError, ZeroDivisionError):
             pass
         for mag_key in self._MAG_KEYS:
@@ -101,10 +118,12 @@ class TiffWSI(IWSI):
             if mag_val is not None:
                 try:
                     mag = float(mag_val)
-                    if mag > 0:
-                        return round(10.0 / mag, 4)
                 except (ValueError, TypeError):
                     continue
+                if mag > 0:
+                    v = self._plausible(10.0 / mag)
+                    if v is not None:
+                        return v
         return None
 
     def _extract_mag(self) -> Optional[int]:

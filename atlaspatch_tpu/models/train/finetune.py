@@ -27,10 +27,11 @@ def norm_param_mask(params: Any) -> Any:
     """Pytree of bools: True only for LayerNorm scales/biases (trainable)."""
 
     def is_norm(path) -> bool:
+        # a param is a norm param iff one of its OWNING modules has "norm"
+        # in its name (layer_norm1, trunk_norm, ...); the leaf name itself
+        # ("scale"/"bias") is shared with convs and must not match
         names = [p.key for p in path if hasattr(p, "key")]
-        return any("norm" in n or n in ("scale",) for n in names[:-1]) or (
-            len(names) >= 2 and ("norm" in names[-2] or "layer_norm" in names[-2])
-        )
+        return any("norm" in n for n in names[:-1])
 
     return jax.tree_util.tree_map_with_path(lambda p, _: is_norm(p), params)
 

@@ -45,8 +45,8 @@ def sat_val_u8(batch_u8: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 def content_filter_mask(
     batch_u8: jnp.ndarray,
     *,
-    rgb_thresh: int = 50,
-    sat_thresh: int = 15,
+    rgb_thresh: int = 40,  # defaults mirror utils.image.is_black_patch /
+    sat_thresh: int = 5,  # is_white_patch so both paths decide identically
     value_thresh: int = 200,
     min_fraction: float = 0.7,
 ) -> jnp.ndarray:

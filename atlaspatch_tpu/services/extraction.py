@@ -26,7 +26,7 @@ import numpy as np
 
 from atlaspatch_tpu.core.config import ExtractionConfig, OutputConfig
 from atlaspatch_tpu.core.models import ExtractionResult, Slide
-from atlaspatch_tpu.core.paths import build_run_root, images_dir, patch_h5_path
+from atlaspatch_tpu.core.paths import RunLayout, build_run_root, images_dir, patch_h5_path
 from atlaspatch_tpu.io.iwsi import IWSI
 from atlaspatch_tpu.ops.contours import (
     containment_mask,
@@ -138,9 +138,16 @@ class PatchExtractionService(ExtractionService):
         holes_contours: Sequence[Sequence[np.ndarray]],
         *,
         include_patch: bool,
+        geometry: tuple | None = None,
     ) -> Iterable[Entry]:
-        """Yield (x, y, read_w, read_h, level, patch_or_none) per accepted anchor."""
-        level, (read_w, read_h), patch_size_src, step_src, _ = self._prepare_geometry(wsi)
+        """Yield (x, y, read_w, read_h, level, patch_or_none) per accepted anchor.
+
+        `geometry` is _prepare_geometry(wsi)'s tuple when the caller already
+        computed it — extract() derives the H5 attrs from the same values, so
+        sharing one derivation keeps them from ever disagreeing."""
+        if geometry is None:
+            geometry = self._prepare_geometry(wsi)
+        level, (read_w, read_h), patch_size_src, step_src, _ = geometry
         coords = self.compute_coords(
             tissue_contours,
             holes_contours,
@@ -174,7 +181,7 @@ class PatchExtractionService(ExtractionService):
         tissue_contours, holes_contours = self._prepare_contours(mask, wsi)
 
         run_root = build_run_root(self.output_cfg, self.cfg)
-        (run_root / "patches").mkdir(parents=True, exist_ok=True)
+        RunLayout(run_root).patches.mkdir(parents=True, exist_ok=True)
         out_h5 = patch_h5_path(slide, self.output_cfg, self.cfg)
 
         img_dir: Path | None = None
@@ -184,7 +191,8 @@ class PatchExtractionService(ExtractionService):
 
         logger.debug("Extracting patches for %s to %s", slide.path.name, out_h5)
 
-        level, _, _, _, patch_size_level0 = self._prepare_geometry(wsi)
+        geometry = self._prepare_geometry(wsi)
+        patch_size_level0 = geometry[4]
         level0_width, level0_height = wsi.get_size(lv=0)
         step = self.cfg.step_size or self.cfg.patch_size
         overlap = max(0, int(self.cfg.patch_size) - int(step))
@@ -210,18 +218,25 @@ class PatchExtractionService(ExtractionService):
             tissue_contours=tissue_contours,
             holes_contours=holes_contours,
             include_patch=bool(img_dir),
+            geometry=geometry,
         )
 
+        # collect the (N,2) xy array so grid visualization reuses it instead
+        # of re-opening the just-written H5 to read every coordinate back
         if img_dir is None:
-            total, _ = writer.write_coords(
-                output_path=out_h5, entries=entries, batch=self.cfg.write_batch
+            total, coords_xy = writer.write_coords(
+                output_path=out_h5,
+                entries=entries,
+                batch=self.cfg.write_batch,
+                collect_coords=True,
             )
         else:
-            total, _ = writer.write_coords_and_images(
+            total, coords_xy = writer.write_coords_and_images(
                 output_path=out_h5,
                 entries=entries,
                 image_dir=img_dir,
                 batch=self.cfg.write_batch,
+                collect_coords=True,
             )
 
         return ExtractionResult(
@@ -229,6 +244,6 @@ class PatchExtractionService(ExtractionService):
             h5_path=out_h5,
             num_patches=int(total),
             image_dir=img_dir,
-            coords=None,
+            coords=coords_xy,
             patch_size_level0=patch_size_level0,
         )

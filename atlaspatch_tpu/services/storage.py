@@ -110,7 +110,15 @@ class H5PatchWriter:
         s = np.char.add(head, cols[0].astype("U12"))
         for label, col in zip(("_y", "_rw", "_rh", "_lv"), cols[1:]):
             s = np.char.add(np.char.add(s, label), col.astype("U12"))
-        return np.char.add(s, tail).astype(_PASSPORT_DTYPE)
+        out = np.char.add(s, tail)
+        # S160 matches the reference's dtype, but a very long slide stem
+        # would silently truncate the _mag/_tmag/_total suffix — widen the
+        # row dtype (ascii: bytes == chars) instead of corrupting passports.
+        width = max(
+            _PASSPORT_DTYPE.itemsize,
+            int(np.char.str_len(out).max()) if out.size else 0,
+        )
+        return out.astype(np.dtype(f"S{width}"))
 
     @staticmethod
     def _drain_png_future(fut: _fut.Future) -> None:
@@ -362,8 +370,27 @@ class H5PatchWriter:
                             f"match expected coords ({expected_total})"
                         )
 
+                # Per-feature commit isolation: a failed move must not strand
+                # the OTHER features' completed tmp datasets (earlier commits
+                # are already durable; row-count resume handles a partial
+                # feature set). Errors aggregate and re-raise after the loop.
+                move_errors: list[str] = []
                 for name in active:
-                    grp.move(tmp_of[name], name)
+                    try:
+                        grp.move(tmp_of[name], name)
+                        for k, v in (((feature_attrs or {}).get(name)) or {}).items():
+                            grp[name].attrs[k] = v
+                    except Exception as e:  # noqa: BLE001
+                        move_errors.append(f"{name}: {e}")
+                        try:
+                            if tmp_of[name] in grp:
+                                del grp[tmp_of[name]]
+                        except Exception:  # noqa: BLE001
+                            pass
+                if move_errors:
+                    raise RuntimeError(
+                        "feature commit failed for: " + "; ".join(move_errors)
+                    )
             except Exception:
                 for tmp in tmp_of.values():
                     if tmp in grp:

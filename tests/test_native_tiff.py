@@ -480,3 +480,27 @@ def test_sequential_fallback_corruption_robustness(tmp_path: Path):
     finally:
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
+
+
+def test_implausible_resolution_tags_fall_through_ladder(tmp_path, canvas):
+    """Generic 72-dpi resolution tags (a re-saved TIFF) produce 352.8 µm/px —
+    not an MPP. The ladder must skip the implausible tier instead of aborting
+    the open: fall to the magnification tier when present, else mpp=None."""
+    # 72 dpi + Aperio AppMag: tier 3 implausible -> tier 4 (10/40 = 0.25)
+    p = tmp_path / "dpi_mag.svs"
+    write_pyramid(
+        p, canvas, tile=64,
+        resolution=(72.0, 72.0, 2),  # unit 2 = inch
+        description="Aperio Image Library\r\n256x192 | AppMag = 40",
+    )
+    w = TiffWSI(path=str(p))
+    w._ensure_loaded()
+    assert w.mpp == 0.25
+    assert w.mag == 40
+
+    # 72 dpi alone: nothing plausible anywhere -> open succeeds with mpp None
+    p2 = tmp_path / "dpi_only.tiff"
+    write_pyramid(p2, canvas, tile=64, resolution=(72.0, 72.0, 2))
+    w2 = TiffWSI(path=str(p2))
+    w2._ensure_loaded()
+    assert w2.mpp is None
