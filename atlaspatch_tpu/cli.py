@@ -227,10 +227,12 @@ def _run_pipeline_inner(
         from jax.sharding import Mesh
 
         platform = app_cfg.segmentation.device.split(":")[0]
+        # local_devices: under jax.distributed, jax.devices() spans hosts and
+        # device_put of this host's thumbnails to another host's chip raises
         try:
-            chips = jax.devices(platform)
+            chips = jax.local_devices(backend=platform)
         except RuntimeError:
-            chips = jax.devices()
+            chips = jax.local_devices()
         if len(chips) > 1:
             seg_mesh = Mesh(_np.asarray(chips), axis_names=("data",))
             logger.info("Segmentation data-parallel over %d %s chips", len(chips), platform)
@@ -475,9 +477,9 @@ def process(**kw):
         if platform in ("cuda", "gpu"):
             platform = "tpu"
         try:
-            chips = jax.devices(platform)
+            chips = jax.local_devices(backend=platform)
         except RuntimeError:
-            chips = jax.devices()
+            chips = jax.local_devices()
         if len(chips) > 1:
             feat_mesh = embedding_mesh(
                 model_parallel=len(chips) if feat_parallel == "tensor" else 1,

@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from atlaspatch_tpu.models.encoders.convert import _np
+
 
 @dataclass(frozen=True)
 class Beit3Spec:
@@ -151,8 +153,7 @@ def musk_beit3_to_flax(sd, spec: Beit3Spec) -> dict:
     ffn.A.{fc1,fc2,ffn_layernorm}, final_layer_norm.A}, beit3.encoder.layer_norm.A.
     """
 
-    def np_(t):
-        return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+    np_ = _np  # shared torch->numpy helper (convert.py)
 
     def pick(*keys):
         for k in keys:

@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from atlaspatch_tpu.models.encoders.convert import _np
+
 from atlaspatch_tpu.models.encoders.resnet import FrozenBatchNorm
 
 
@@ -143,8 +145,7 @@ class ClipModifiedResNet(nn.Module):
 def open_clip_resnet_to_flax(sd, spec: ClipResNetSpec, prefix: str = "visual.") -> dict:
     """open_clip/openai ModifiedResNet state dict → Flax params."""
 
-    def np_(t):
-        return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+    np_ = _np  # shared torch->numpy helper (convert.py)
 
     def conv(key):
         return {"kernel": np_(sd[f"{prefix}{key}.weight"]).transpose(2, 3, 1, 0)}

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from atlaspatch_tpu.models.encoders.convert import _np
+
 from atlaspatch_tpu.models.encoders.vit import ViT, ViTSpec
 from atlaspatch_tpu.models.encoders import convert as C
 
@@ -128,8 +130,7 @@ def conch_v1_to_flax(sd, spec: CoCaSpec) -> dict:
     trunk_sd = {k[len("visual.trunk."):]: v for k, v in sd.items() if k.startswith("visual.trunk.")}
     trunk = C.timm_vit_to_flax(trunk_sd, spec.trunk)
 
-    def np_(t):
-        return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+    np_ = _np  # shared torch->numpy helper (convert.py)
 
     g = lambda k: "visual.attn_pool_contrast." + k  # noqa: E731
     d = spec.output_dim
@@ -166,8 +167,7 @@ def open_clip_coca_to_flax(sd, spec: CoCaSpec, prefix: str = "visual.") -> dict:
     trunk.pop("norm", None)  # ln_post handled at the CoCa level
     proj = trunk.pop("proj", None)
 
-    def np_(t):
-        return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+    np_ = _np  # shared torch->numpy helper (convert.py)
 
     g = lambda k: prefix + "attn_pool." + k  # noqa: E731
     d = spec.output_dim

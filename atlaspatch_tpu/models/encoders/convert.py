@@ -16,8 +16,14 @@ import numpy as np
 
 
 def _np(t: Any) -> np.ndarray:
+    """torch tensor (any device/dtype, incl. bf16) or array-like -> numpy.
+
+    The one tensor->numpy helper for EVERY converter — keep fixes here."""
     if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
+        t = t.detach().cpu()
+        if str(getattr(t, "dtype", "")) == "torch.bfloat16":
+            t = t.float()  # numpy has no native bf16; converters store f32
+        t = t.numpy()
     return np.asarray(t)
 
 

@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from atlaspatch_tpu.models.encoders.convert import _np
+
 
 @dataclass(frozen=True)
 class ConvNeXtSpec:
@@ -82,8 +84,7 @@ def torchvision_convnext_to_flax(sd, spec: ConvNeXtSpec) -> dict:
     with block.{0 dwconv, 2 LN, 3 linear, 5 linear} and layer_scale.
     """
 
-    def np_(t):
-        return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+    np_ = _np  # shared torch->numpy helper (convert.py)
 
     def conv(key):
         return {

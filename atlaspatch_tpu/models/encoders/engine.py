@@ -251,10 +251,13 @@ class JaxFeatureExtractor(FeatureExtractor):
                     imgs = np.concatenate(
                         [imgs, np.zeros((padded - n, *imgs.shape[1:]), imgs.dtype)]
                     )
-                pending.append((dispatcher.submit(self._forward_async, imgs), n))
-                while len(pending) > depth:
+                # drain BEFORE submitting so at most `depth` dispatches are
+                # outstanding (draining after allowed depth+1, making the
+                # ATLASPATCH_H2D_DEPTH knob measure one more than configured)
+                while len(pending) >= depth:
                     fut, k = pending.popleft()
                     outputs.append(np.asarray(fut.result())[:k])
+                pending.append((dispatcher.submit(self._forward_async, imgs), n))
             while pending:
                 fut, k = pending.popleft()
                 outputs.append(np.asarray(fut.result())[:k])

@@ -14,6 +14,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
+from atlaspatch_tpu.models.encoders.convert import _np
+
 
 @dataclass(frozen=True)
 class ResNetSpec:
@@ -148,8 +150,7 @@ class ResNet(nn.Module):
 def torchvision_resnet_to_flax(sd, spec: ResNetSpec) -> dict:
     """torchvision resnet state dict → Flax params (fc head dropped)."""
 
-    def np_(t):
-        return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+    np_ = _np  # shared torch->numpy helper (convert.py)
 
     def conv(key):
         return {"kernel": np_(sd[f"{key}.weight"]).transpose(2, 3, 1, 0)}

@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from atlaspatch_tpu.models.encoders.convert import _np
+
 from atlaspatch_tpu.models.encoders.resnet import FrozenBatchNorm
 
 
@@ -200,10 +202,6 @@ class SwinNet(nn.Module):
 
 
 # --- converters ----------------------------------------------------------------------
-def _np(t):
-    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
-
-
 def _lin(sd, key, bias=True):
     out = {"kernel": _np(sd[f"{key}.weight"]).T}
     if bias and f"{key}.bias" in sd:

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import logging
 import os
+import re
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Any
@@ -687,38 +688,65 @@ def _find_cached_weights(entry: EncoderEntry) -> Path | None:
             cand = Path(wdir) / f"{entry.name}{ext}"
             if cand.exists():
                 return cand
-    hf_home = Path(os.environ.get("HF_HOME", Path.home() / ".cache" / "huggingface"))
+    hub = Path(
+        os.environ.get("HF_HUB_CACHE")
+        or Path(os.environ.get("HF_HOME", Path.home() / ".cache" / "huggingface")) / "hub"
+    )
     repo = entry.source.split()[0] if "/" in entry.source.split()[0] else None
     if repo:
         safe = repo.replace("/", "--")
-        for pattern in (
-            f"hub/models--{safe}/snapshots/*/*.safetensors",
-            f"hub/models--{safe}/snapshots/*/*.bin",
-            f"hub/models--{safe}/snapshots/*/*.pth",
-            f"hub/models--{safe}/snapshots/*/*.pt",
-        ):
-            matches = sorted(hf_home.glob(pattern))
+        for ext in ("safetensors", "bin", "pth", "pt"):
+            matches = sorted((hub / f"models--{safe}").glob(f"snapshots/*/*.{ext}"))
             if matches:
-                return matches[-1]
+                # snapshot dirs are commit hashes: lexicographic order is
+                # arbitrary, so prefer the most recently fetched revision;
+                # sharded checkpoints merge in _load_state_dict
+                snap = max({m.parent for m in matches}, key=lambda d: d.stat().st_mtime)
+                in_snap = sorted(m for m in matches if m.parent == snap)
+                if in_snap:
+                    return in_snap[0]
     return None
 
 
+def _shard_group(path: Path) -> list[Path]:
+    """All sibling files of a HF multi-shard checkpoint, else [path].
+
+    Large models ship as model-00001-of-000NN.<ext>; loading one shard would
+    produce a partial state dict (KeyError at convert time)."""
+    m = re.match(r"(.+-)\d{5}-of-(\d{5})(\..+)$", path.name)
+    if not m:
+        return [path]
+    total = int(m.group(2))
+    shards = [
+        path.parent / f"{m.group(1)}{i:05d}-of-{m.group(2)}{m.group(3)}"
+        for i in range(1, total + 1)
+    ]
+    missing = [s.name for s in shards if not s.exists()]
+    if missing:
+        raise RuntimeError(
+            f"sharded checkpoint {path.name}: missing shard(s) {missing}"
+        )
+    return shards
+
+
 def _load_state_dict(path: Path) -> dict:
-    if path.suffix == ".safetensors":
-        from safetensors import safe_open
+    out: dict = {}
+    for shard in _shard_group(path):
+        if shard.suffix == ".safetensors":
+            from safetensors import safe_open
 
-        out = {}
-        with safe_open(str(path), framework="np") as f:
-            for k in f.keys():
-                out[k] = f.get_tensor(k)
-        return out
-    import torch
+            with safe_open(str(shard), framework="np") as f:
+                for k in f.keys():
+                    out[k] = f.get_tensor(k)
+            continue
+        import torch
 
-    ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
-    for key in ("model", "state_dict", "teacher"):
-        if isinstance(ckpt, dict) and key in ckpt and isinstance(ckpt[key], dict):
-            ckpt = ckpt[key]
-    return {k: v for k, v in ckpt.items() if hasattr(v, "shape")}
+        ckpt = torch.load(str(shard), map_location="cpu", weights_only=False)
+        for key in ("model", "state_dict", "teacher"):
+            if isinstance(ckpt, dict) and key in ckpt and isinstance(ckpt[key], dict):
+                ckpt = ckpt[key]
+        out.update({k: v for k, v in ckpt.items() if hasattr(v, "shape")})
+    return out
 
 
 def _strip_prefixes(sd: dict, prefixes=("module.", "model.", "backbone.")) -> dict:
@@ -871,11 +899,15 @@ def build_extractor(
             params = unflatten(dict(np.load(weights_path)))
         else:
             params = _convert(entry, _load_state_dict(weights_path))
-        params = jax.tree.map(lambda a: jnp.asarray(np.asarray(a), jnp.float32), params)
+        # Stay on HOST here: the engine casts to the compute dtype before its
+        # device_put, so uploading f32 now would double the H2D bytes — and
+        # int8 quantization is host numpy, which would drag the f32 tree back
+        # D2H through the (slow) link just to quantize it.
+        params = jax.tree.map(lambda a: np.asarray(a, np.float32), params)
         if quant_int8:
             from atlaspatch_tpu.models.encoders.vit import quantize_vit_params
 
-            params = quantize_vit_params(jax.tree.map(np.asarray, params))
+            params = quantize_vit_params(params)
     elif os.environ.get("ATLASPATCH_ALLOW_RANDOM_WEIGHTS") == "1":
         logger.warning("No weights for %s; using deterministic random init.", entry.name)
         size = entry.preprocess.crop
@@ -969,7 +1001,16 @@ def build_default_registry(
                 platform = "tpu"
             try:
                 resolved_device = jax.local_devices(backend=platform)[0]
-            except RuntimeError:
+            except RuntimeError as e:
+                # NOT silent: a dropped TPU plugin (e.g. a PYTHONPATH override
+                # losing the sitecustomize) would otherwise run every encoder
+                # ~100x slower on CPU with no indication.
+                logger.warning(
+                    "Requested device '%s' unavailable (%s); falling back to "
+                    "CPU — expect drastically lower embedding throughput.",
+                    device,
+                    e,
+                )
                 resolved_device = jax.local_devices(backend="cpu")[0]
         return resolved_device
 

@@ -16,8 +16,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def embedding_mesh(model_parallel: int = 1, devices=None) -> Mesh:
-    """Mesh over all local/global devices: data axis × optional model axis."""
-    devs = np.asarray(devices if devices is not None else jax.devices())
+    """Mesh over the given devices (default: THIS HOST's — jax.devices() under
+    jax.distributed spans hosts, and device_put of host numpy batches to
+    non-addressable chips raises; per-host slides feed per-host chips)."""
+    devs = np.asarray(devices if devices is not None else jax.local_devices())
     if devs.size % model_parallel != 0:
         raise ValueError(
             f"model_parallel={model_parallel} must divide device count {devs.size}"

@@ -22,17 +22,28 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+# column-parallel (shard OUTPUT features): qkv and every MLP up-projection —
+# including DINOv3's gated pair, whose fc_gate/fc_up are the dominant params
+# on the 7B-class models this plan exists for. Row-parallel (shard INPUT):
+# attn proj and the MLP down-projection.
+_COL_PARALLEL = ("qkv", "fc1", "fc_gate", "fc_up")
+
+
 def _spec_for_path(path) -> P:
     names = [p.key for p in path if hasattr(p, "key")]
     joined = "/".join(names)
-    if joined.endswith("qkv/kernel") or joined.endswith("fc1/kernel"):
-        return P(None, "model")
-    if joined.endswith("qkv/bias") or joined.endswith("fc1/bias"):
-        return P("model")
-    if joined.endswith("proj/kernel") and "attn" in joined:
-        return P("model", None)
-    if joined.endswith("fc2/kernel"):
-        return P("model", None)
+    leaf = names[-1] if names else ""
+    owner = names[-2] if len(names) >= 2 else ""
+    if owner in _COL_PARALLEL:
+        if leaf in ("kernel", "kernel_q"):
+            return P(None, "model")
+        if leaf in ("bias", "qscale"):
+            return P("model")
+    if owner == "fc2" or (owner == "proj" and "attn" in joined):
+        if leaf in ("kernel", "kernel_q"):
+            return P("model", None)
+        # row-parallel bias/qscale apply to the un-sharded output dim
+        return P()
     return P()
 
 

@@ -26,7 +26,9 @@ def parse_feature_list(raw: str, *, choices: list[str]) -> list[str]:
     if not names:
         raise ValueError("At least one feature extractor name is required.")
 
-    known = set(choices)
+    # case-insensitive match, but return each choice's CANONICAL casing so
+    # registry lookups and dataset names stay exactly as registered
+    known = {c.lower(): c for c in choices}
     if unknown := [n for n in names if n not in known]:
         raise ValueError(
             f"Unknown extractor(s): {', '.join(unknown)}. Available: {', '.join(choices)}"
@@ -36,7 +38,7 @@ def parse_feature_list(raw: str, *, choices: list[str]) -> list[str]:
             f"Duplicate extractor(s) specified: {', '.join(dupes)}. "
             "Provide each extractor at most once."
         )
-    return names
+    return [known[n] for n in names]
 
 
 def _is_complete(dataset, expected_total: int | None) -> bool:

@@ -292,3 +292,48 @@ def test_sharded_segmentation_bfloat16():
     for g, w in zip(got, want):
         assert g.shape == w.shape
         assert (g == w).mean() >= 0.995
+
+
+def test_vit_tp_shardings_gated_mlp_and_int8():
+    """TP rules must cover DINOv3's gated MLP (fc_gate/fc_up are the dominant
+    params on the 7B-class models the plan exists for) and int8 layouts
+    (kernel_q + per-output qscale), and a gated TP forward must match the
+    replicated forward."""
+    from atlaspatch_tpu.models.encoders.vit import ViT, ViTSpec, quantize_vit_params
+    from atlaspatch_tpu.parallel.sharding import vit_tp_shardings
+
+    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, axis_names=("data", "model"))
+    spec = ViTSpec(
+        img_size=32, patch_size=8, dim=64, depth=1, heads=4,
+        mlp_hidden=128, gated_mlp=True, layerscale=True,
+    )
+    vit = ViT(spec)
+    params = vit.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    sh = vit_tp_shardings(params, mesh)
+    mlp = sh["blocks_0"]["mlp"]
+    assert mlp["fc_gate"]["kernel"].spec == P(None, "model")
+    assert mlp["fc_up"]["kernel"].spec == P(None, "model")
+    assert mlp["fc_gate"]["bias"].spec == P("model")
+    assert mlp["fc2"]["kernel"].spec == P("model", None)
+    assert mlp["fc2"]["bias"].spec == P()
+
+    imgs_np = np.random.default_rng(0).uniform(size=(8, 32, 32, 3)).astype(np.float32)
+    want = np.asarray(vit.apply({"params": params}, jnp.asarray(imgs_np)))
+    sp = jax.tree.map(jax.device_put, params, sh)
+    imgs = jax.device_put(jnp.asarray(imgs_np), NamedSharding(mesh, P("data")))
+    with mesh:
+        got = jax.jit(lambda p, x: vit.apply({"params": p}, x))(sp, imgs)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+    # int8 layouts: quantized kernels shard like their float counterparts
+    qparams = quantize_vit_params(jax.tree.map(np.asarray, params))
+    qsh = vit_tp_shardings(qparams, mesh)
+    qattn = qsh["blocks_0"]["attn"]
+    qmlp = qsh["blocks_0"]["mlp"]
+    assert qattn["qkv"]["kernel_q"].spec == P(None, "model")
+    assert qattn["qkv"]["qscale"].spec == P("model")
+    assert qattn["proj"]["kernel_q"].spec == P("model", None)
+    assert qattn["proj"]["qscale"].spec == P()
+    assert qmlp["fc_gate"]["kernel_q"].spec == P(None, "model")
+    assert qmlp["fc2"]["kernel_q"].spec == P("model", None)
