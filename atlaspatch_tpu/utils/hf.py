@@ -13,10 +13,19 @@ from types import ModuleType
 
 
 def _cached_hub_file(repo_id: str, filename: str) -> str | None:
-    hf_home = Path(os.environ.get("HF_HOME", Path.home() / ".cache" / "huggingface"))
+    # honor HF_HUB_CACHE (hf_hub_download does); snapshot dirs are commit
+    # hashes, so pick the most recently fetched revision, not the
+    # lexicographically-last hash — a stale module revision could otherwise
+    # be imported against newer weights
+    hub = Path(
+        os.environ.get("HF_HUB_CACHE")
+        or Path(os.environ.get("HF_HOME", Path.home() / ".cache" / "huggingface")) / "hub"
+    )
     safe = repo_id.replace("/", "--")
-    matches = sorted(hf_home.glob(f"hub/models--{safe}/snapshots/*/{filename}"))
-    return str(matches[-1]) if matches else None
+    matches = list((hub / f"models--{safe}").glob(f"snapshots/*/{filename}"))
+    if not matches:
+        return None
+    return str(max(matches, key=lambda p: p.parent.stat().st_mtime))
 
 
 def import_module_from_hf(repo_id: str, filename: str) -> ModuleType:
