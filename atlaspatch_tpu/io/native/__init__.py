@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import ctypes
 import json
+import os
 import logging
 import subprocess
 import threading
@@ -46,6 +47,10 @@ def _needs_build() -> bool:
 def build_library(force: bool = False) -> Path:
     with _BUILD_LOCK:
         if force or _needs_build():
+            # compile to a temp name + atomic rename: a concurrent process
+            # must never dlopen a partially written .so (the _BUILD_LOCK is
+            # per-process only)
+            tmp = _LIB_PATH.with_name(f".{_LIB_PATH.name}.{os.getpid()}.tmp")
             cmd = [
                 "g++",
                 "-O3",
@@ -53,14 +58,18 @@ def build_library(force: bool = False) -> Path:
                 "-shared",
                 "-fPIC",
                 "-o",
-                str(_LIB_PATH),
+                str(tmp),
                 *[str(s) for s in _SOURCES],
                 "-ljpeg",
                 "-lz",
                 "-ldl",
             ]
             logger.info("Building native library: %s", " ".join(cmd))
-            subprocess.run(cmd, check=True, capture_output=True, text=True)
+            try:
+                subprocess.run(cmd, check=True, capture_output=True, text=True)
+                os.replace(tmp, _LIB_PATH)
+            finally:
+                tmp.unlink(missing_ok=True)
     return _LIB_PATH
 
 

@@ -117,8 +117,11 @@ class SyntheticWSI(IWSI):
         level_arr = self._levels[lv]
         ds = self.ds[lv] if self.ds else 1.0
         # xy is in level-0 coordinates (OpenSlide read_region convention).
-        x = int(round(xy[0] / ds))
-        y = int(round(xy[1] / ds))
+        # TRUNCATE like the production TIFF backend (tiff_wsi.py extract):
+        # this backend is the geometry oracle, so the two must agree bit-
+        # exactly at odd level-0 offsets on lv>0.
+        x = int(xy[0] / ds)
+        y = int(xy[1] / ds)
         w, h = wh
         lh, lw = level_arr.shape[:2]
         # Out-of-bounds regions are white-padded (OpenSlide pads with transparent

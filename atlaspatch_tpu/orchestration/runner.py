@@ -77,6 +77,24 @@ class ProcessingRunner:
         files = get_wsi_files(
             str(self.config.processing.input_path), recursive=self.config.processing.recursive
         )
+        # Output paths key on the filename stem (patches/<stem>.h5, the
+        # reference layout), so duplicate stems from different directories —
+        # possible under --recursive — would silently overwrite or mislabel
+        # each other's features. Fail loudly instead.
+        by_stem: dict[str, str] = {}
+        collisions: list[str] = []
+        for f in files:
+            stem = Path(f).stem
+            if stem in by_stem:
+                collisions.append(f"{by_stem[stem]} <-> {f}")
+            else:
+                by_stem[stem] = f
+        if collisions:
+            raise ValueError(
+                "Slide filename stems collide in the flat output layout "
+                "(patches/<stem>.h5); rename the files or process the "
+                "directories separately:\n  " + "\n  ".join(collisions)
+            )
         slides = [Slide(path=Path(f)) for f in files]
         # Work stealing is only safe when finished slides are skipped.
         return host_shard(slides, steal=self.config.output.skip_existing)
@@ -277,6 +295,16 @@ class ProcessingRunner:
                 logger.error("Segmentation failed for %s: %s", slide.path.name, e)
                 progress.update(1)
         else:
+            if len(masks) < len(opened):
+                # a short mask list means an upstream segmentation bug — the
+                # unmatched slides must surface as failures, not vanish from
+                # results/progress (zip would silently drop them)
+                for slide, _w, _fd, _lp in opened[len(masks) :]:
+                    failures.append(
+                        (slide, RuntimeError("segmentation returned no mask"))
+                    )
+                    logger.error("No mask returned for %s", slide.path.name)
+                    progress.update(1)
             for (slide, wsi, lock_fd, lock_path), mask in zip(opened, masks):
                 fut = executor.submit(
                     ExtractionTask(
@@ -338,10 +366,20 @@ class ProcessingRunner:
             # Three-stage pipeline: while the device segments batch i, the host
             # (a) prepares batch i+1 (prefetch thread) and (b) fetches batch
             # i-1's masks and submits its extraction.
+            # Ownership tracking for abnormal-exit cleanup. Exactly one owner
+            # per open slide at any instant: `prep_fut` (in-flight, unfetched),
+            # `current` (fetched, not yet pending), `pending` (dispatched), or
+            # _finish_batch/ExtractionTask (which release their own). The
+            # except block must release ONLY pipeline-owned slides — a consumed
+            # future or finished batch must never be re-released (it would
+            # unlink lock files of in-flight extractions).
             pending: tuple[list, object] | None = None
+            current: list = []
             try:
                 for idx in range(len(batches)):
                     opened, thumbs = prep_fut.result()
+                    prep_fut = None  # consumed: never re-fetch for cleanup
+                    current = opened
                     if idx + 1 < len(batches):
                         prep_fut = prefetcher.submit(
                             self._prepare_batch, batches[idx + 1], *prep_args
@@ -352,30 +390,34 @@ class ProcessingRunner:
                         resolve = self._dispatch_segmentation(
                             opened, thumbs, failures, progress
                         )
+                    if resolve is None:
+                        current = []  # empty, or dispatch released them itself
 
                     if pending is not None:
-                        # hand off before calling: _finish_batch is exception-
-                        # safe for its own batch, so the except below must not
-                        # double-release slides it may have already submitted
                         consumed, pending = pending, None
                         self._finish_batch(consumed, executor, tracker, failures, progress)
                         tracker.wait_until_at_most(limit=max_open_slides)
-                    pending = (opened, resolve) if resolve is not None else None
+                    if resolve is not None:
+                        pending = (opened, resolve)
+                        current = []  # ownership moved to `pending`
 
                 if pending is not None:
                     consumed, pending = pending, None
                     self._finish_batch(consumed, executor, tracker, failures, progress)
                 tracker.wait_until_at_most(limit=0)
             except BaseException:
-                # Abnormal exit: release every slide the pipeline still holds
-                # (the dispatched batch and the in-flight prep), else their
-                # O_EXCL lock files survive and later runs skip those slides.
-                leftovers = list(pending[0]) if pending is not None else []
-                try:
-                    prep_opened, _ = prep_fut.result(timeout=60)
-                    leftovers.extend(prep_opened)
-                except Exception:  # noqa: BLE001 — prep itself failed/cleaned
-                    pass
+                # Abnormal exit: release every slide the pipeline still holds,
+                # else their O_EXCL lock files survive and later runs skip
+                # those slides as "locked by another process".
+                leftovers = list(current)
+                if pending is not None:
+                    leftovers.extend(pending[0])
+                if prep_fut is not None:
+                    try:
+                        prep_opened, _ = prep_fut.result(timeout=60)
+                        leftovers.extend(prep_opened)
+                    except Exception:  # noqa: BLE001 — prep failed/cleaned itself
+                        pass
                 for _slide, wsi, fd, lock_path in leftovers:
                     try:
                         wsi.cleanup()

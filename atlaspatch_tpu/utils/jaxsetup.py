@@ -30,5 +30,12 @@ def setup_jax_cache(cache_dir: str | None = None) -> None:
         jax.config.update("jax_compilation_cache_dir", str(path))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:  # noqa: BLE001  — cache is best-effort
-        pass
+    except Exception as e:  # noqa: BLE001  — cache is best-effort
+        import logging
+
+        logging.getLogger("atlaspatch_tpu.utils.jaxsetup").warning(
+            "Persistent JAX compile cache disabled (%s: %s) — expect the "
+            "multi-minute SAM2 recompile on every process start.",
+            path,
+            e,
+        )

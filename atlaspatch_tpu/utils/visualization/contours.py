@@ -59,5 +59,5 @@ def visualize_contours_on_thumbnail(
     _overlay(thumb, scale_contours(flat_holes, sx, sy), _HOLE_STYLE)
 
     out_path = output_dir / f"{Path(wsi.path).stem}_contours.png"
-    thumb.save(out_path, quality=95)
+    thumb.save(out_path)
     return out_path

@@ -86,5 +86,5 @@ def visualize_patches_on_thumbnail(
 
     output_dir.mkdir(parents=True, exist_ok=True)
     out_path = output_dir / f"{Path(wsi.path).stem}.png"
-    canvas.save(out_path, quality=95)
+    canvas.save(out_path)
     return out_path

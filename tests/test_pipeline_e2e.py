@@ -282,3 +282,29 @@ def test_thumbnail_quantization_buckets_shapes(tmp_path, monkeypatch):
     for m, t in zip(masks, thumbs):
         assert m.data.shape == (t.height, t.width)
         assert np.isfinite(m.data).all()
+
+
+def test_duplicate_stems_fail_loudly(tmp_path):
+    """Recursive discovery of two slides with the same filename stem must
+    raise (flat patches/<stem>.h5 layout would silently cross-label them)."""
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from atlaspatch_tpu.orchestration.runner import ProcessingRunner
+
+    for sub in ("a", "b"):
+        d = tmp_path / sub
+        d.mkdir()
+        Image.fromarray(np.full((64, 64, 3), 200, np.uint8)).save(d / "slide.png")
+
+    cfg = AppConfig(
+        processing=ProcessingConfig(input_path=tmp_path, recursive=True),
+        segmentation=SegmentationConfig(device="cpu"),
+        extraction=ExtractionConfig(patch_size=64, target_magnification=20),
+        output=OutputConfig(output_root=tmp_path / "out"),
+    )
+    runner = ProcessingRunner.__new__(ProcessingRunner)  # discovery needs only config
+    runner.config = cfg
+    with pytest.raises(ValueError, match="stems collide"):
+        runner.discover_slides()
