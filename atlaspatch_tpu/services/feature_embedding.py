@@ -21,6 +21,7 @@ import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 from contextlib import contextmanager
+from threading import Lock
 from pathlib import Path
 
 import h5py
@@ -84,12 +85,14 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
                 register_feature_extractors_from_module(
                     plugin_path,
                     registry=self.registry,
-                    device=None,
+                    device=self.feature_cfg.device,  # plugins honor the device too
                     dtype=self.compute_dtype,
                     num_workers=self.feature_cfg.num_workers,
                 )
         self.extractor_names = [n.lower() for n in self.feature_cfg.extractors]
         self._feature_cache: dict[Path, tuple[int | None, set[str]]] = {}
+        self._read_pool: ThreadPoolExecutor | None = None
+        self._read_pool_lock = Lock()
 
     # --- patch pixel loading --------------------------------------------------------
     def _read_patch_block(self, wsi: IWSI, coords: np.ndarray) -> list[np.ndarray]:
@@ -112,11 +115,28 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
             if workers == 1 or len(coords) <= 1:
                 patches = [read_one(row) for row in coords]
             else:
-                with ThreadPoolExecutor(
-                    max_workers=workers, thread_name_prefix="patch-read"
-                ) as ex:
-                    patches = list(ex.map(read_one, coords))
-        return [p for p in patches if p is not None]
+                # persistent pool: this runs once per BLOCK on the hot path,
+                # and per-block thread create/join is pure overhead on small
+                # hosts
+                if self._read_pool is None:
+                    with self._read_pool_lock:
+                        if self._read_pool is None:
+                            self._read_pool = ThreadPoolExecutor(
+                                max_workers=workers, thread_name_prefix="patch-read"
+                            )
+                patches = list(self._read_pool.map(read_one, coords))
+        kept = [p for p in patches if p is not None]
+        if len(kept) != len(patches):
+            # surface reader-side drops here — downstream they'd show up as a
+            # confusing per-extractor row-count mismatch charged to the models
+            bad = [tuple(int(v) for v in coords[i]) for i, p in enumerate(patches) if p is None]
+            logger.error(
+                "patch read dropped %d/%d patches (non-array reads) at %s",
+                len(bad),
+                len(patches),
+                bad[:5],
+            )
+        return kept
 
     def _prepare_slide(self, res: ExtractionResult, wsi_loader):
         """Producer stage for the cross-slide pipeline: open the slide, read

@@ -65,7 +65,10 @@ def _seg_service(cfg_seg):
     from atlaspatch_tpu.services.segmentation import SAM2SegmentationService
 
     class BenchSegmentation(SAM2SegmentationService):
-        _tissue_by_id: dict = {}
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self._tissue_by_id: dict = {}  # instance-level: no cross-instance
+            # sharing, and dropped (never-dispatched) batches die with the run
 
         @staticmethod
         def _tissue_of(thumb):
@@ -185,10 +188,16 @@ def bench_seg_coords_synthetic(seg, tmp: Path) -> tuple[float, float]:
         (in_dir / f"{stem}.svs").touch()  # discovery placeholders
     cfg = _make_app_cfg(in_dir, tmp / "syn_out")
 
-    # Warmup compiles the SAM2 step for the exact thumb shapes/batch used.
-    warm = [slides[f"slide{i:03d}"] for i in range(min(SEG_BATCH, N_SLIDES))]
-    seg.segment_thumbnails(seg.prepare_thumbnails(warm))
-    seg.segment_thumbnails(seg.prepare_thumbnails(warm))
+    # Warmup compiles the SAM2 step for the exact thumb shapes/batches used —
+    # including the run's REMAINDER batch, which pow2-pads to its own shape
+    # and would otherwise compile inside the first timed pass.
+    warm_sizes = {min(SEG_BATCH, N_SLIDES)}
+    if N_SLIDES % SEG_BATCH:
+        warm_sizes.add(N_SLIDES % SEG_BATCH)
+    for size in sorted(warm_sizes):
+        warm = [slides[f"slide{i:03d}"] for i in range(size)]
+        seg.segment_thumbnails(seg.prepare_thumbnails(warm))
+        seg.segment_thumbnails(seg.prepare_thumbnails(warm))
 
     def make_runner(p):
         cfg_p = _clone_cfg_with_output(cfg, tmp / f"syn_out/pass{p}")
@@ -260,7 +269,7 @@ def bench_seg_coords_real_tiff(seg, tmp: Path) -> tuple[float, float]:
     return _run_passes(make_runner, N_TIFF_SLIDES, "real-tiff")
 
 
-def bench_embed_vitl(tmp: Path) -> tuple[float, float, float]:
+def bench_embed_vitl(tmp: Path) -> tuple[float, float, float, float]:
     """Stage 3: ViT-L patches/sec through the full engine path (host prep
     threads → uint8 H2D → fused preprocess+forward on device)."""
     from atlaspatch_tpu.models.encoders.zoo import build_default_registry
@@ -270,9 +279,12 @@ def bench_embed_vitl(tmp: Path) -> tuple[float, float, float]:
     rng = np.random.default_rng(0)
     patches = list(rng.integers(0, 255, (N_EMBED_PATCHES, 256, 256, 3), dtype=np.uint8))
 
-    # Warmup: compile every bucket the measured call will hit.
+    # Warmup: compile every bucket the measured call will hit — the full
+    # 32-patch chunks AND the remainder chunk's pow2 bucket.
     warm = extractor.extract_batch(patches[: min(64, len(patches))], batch_size=32)
     assert np.isfinite(warm).all()
+    if N_EMBED_PATCHES % 32:
+        extractor.extract_batch(patches[: N_EMBED_PATCHES % 32], batch_size=32)
 
     rates = []
     for p in range(PASSES):
@@ -314,6 +326,13 @@ def bench_embed_vitl(tmp: Path) -> tuple[float, float, float]:
         from atlaspatch_tpu.models.encoders.zoo import ENTRIES, build_extractor
 
         ex8 = build_extractor(ENTRIES[EMBED_ENCODER], compute_dtype="int8")
+        if ex8.compute_dtype != "int8":
+            # no int8 plan for this family (zoo fell back to bf16): reporting
+            # that rate under the int8 key would corrupt round-over-round
+            # int8 tracking
+            _log(f"embed {EMBED_ENCODER}: no int8 plan; skipping int8 metric")
+            ex8.cleanup()
+            return max(rates), statistics.median(rates), max(resident), 0.0
         out = ex8._forward_async(imgs)
         np.asarray(out)
         fn8 = ex8._jitted[imgs.shape]

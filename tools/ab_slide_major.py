@@ -135,13 +135,19 @@ def main() -> None:
     warm_patches = list(
         np.random.default_rng(0).integers(0, 255, (64, 256, 256, 3), dtype=np.uint8)
     )
+    if len(EXTRACTORS) < 2:
+        raise SystemExit(
+            "AB_EXTRACTORS needs >= 2 names: with one extractor the service "
+            "runs extractor-major in BOTH modes, so the A/B ratio is noise."
+        )
     extractors = {}
     for name in EXTRACTORS:
         log(f"building + warming {name} ...")
         ext = real_reg.create(name)
         out = ext.extract_batch(warm_patches, batch_size=32)
         assert np.isfinite(out).all()
-        extractors[name] = ext
+        # the embedding service lowercases names before create()
+        extractors[name.lower()] = ext
     registry = WarmRegistry(extractors)
 
     feat_cfg = FeatureExtractionConfig(
