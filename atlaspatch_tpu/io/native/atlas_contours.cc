@@ -101,7 +101,9 @@ extern "C" {
 // the two-pass protocol: first call with points=nullptr to get counts, then
 // with buffers sized accordingly.
 //
-// Returns the number of contours (>= 0) or -1 on error.
+// Returns the number of contours (>= 0), -2 when a caller buffer/limit is
+// too small (retry with larger capacity), or -3 on internal/allocation
+// failure.
 //   n_points[i]    — number of points of contour i
 //   parents[i]     — index of parent contour (-1 for outer)
 //   is_hole[i]     — 1 when contour is a hole border
@@ -135,14 +137,18 @@ int atlas_find_contours(const uint8_t* mask, int h, int w, int max_contours,
         int lnbd_for_parent = lnbd;
         if (is_hole_border && fp > 1) lnbd_for_parent = fp;
 
-        // Parent from the paper's table 1.
+        // Parent from the paper's table 1. Marks always name existing
+        // borders, so lnbd_known is belt-and-braces — but BOTH vector
+        // lookups must share the guard (an unguarded operator[] is UB the
+        // surrounding try/catch cannot catch).
         int parent_number;
-        bool lnbd_is_hole =
-            lnbd_for_parent < (int)border_is_hole.size() && border_is_hole[lnbd_for_parent];
+        bool lnbd_known = lnbd_for_parent < (int)border_is_hole.size();
+        bool lnbd_is_hole = lnbd_known && border_is_hole[lnbd_for_parent];
+        int lnbd_parent = lnbd_known ? border_parent[lnbd_for_parent] : 1;
         if (is_hole_border)
-          parent_number = lnbd_is_hole ? border_parent[lnbd_for_parent] : lnbd_for_parent;
+          parent_number = lnbd_is_hole ? lnbd_parent : lnbd_for_parent;
         else
-          parent_number = lnbd_is_hole ? lnbd_for_parent : border_parent[lnbd_for_parent];
+          parent_number = lnbd_is_hole ? lnbd_for_parent : lnbd_parent;
 
         Border b;
         b.parent_border = parent_number;
@@ -184,7 +190,7 @@ int atlas_find_contours(const uint8_t* mask, int h, int w, int max_contours,
   }
   return n;
 } catch (...) {
-  return -2;  // allocation or internal failure; never terminate the process
+  return -3;  // allocation or internal failure; never terminate the process
 }
 
 // Batched cv2.pointPolygonTest(measureDist=False) over M probe points

@@ -165,11 +165,6 @@ static inline int comp_sample(const opj_image_comp& c, uint64_t x, uint64_t y) {
   return v;
 }
 
-bool j2k_available() {
-  std::call_once(g_opj_once, load_opj);
-  return g_opj.ok;
-}
-
 // Decode one J2K/JP2 codestream into an spp-interleaved (cw × ch) buffer.
 // force_ycbcr: compression tag 33003 — components are YCbCr regardless of the
 // codestream's (usually unspecified) color-space field.
@@ -226,9 +221,71 @@ bool j2k_decode(const uint8_t* src, size_t n, uint8_t* out, uint64_t cw,
     return false;
   }
 
+  // Validate everything the sampling loop assumes BEFORE touching pixel
+  // data: this entry point also serves DICOM streams (less controlled than
+  // Aperio tiles), and openjpeg accepts states the loop below would turn
+  // into null derefs / UB shifts / silently shifted pixels.
   const uint32_t nc = image->numcomps;
+  const uint32_t used = nc >= 3 ? 3 : 1;
+  auto fail = [&](const char* what) {
+    *err = what;
+    g_opj.image_destroy(image);
+    g_opj.stream_destroy(stream);
+    g_opj.destroy_codec(codec);
+    return false;
+  };
+  if (spp == 0 || spp > 4)
+    return fail("unsupported samples_per_pixel for JPEG2000 chunk");
+  if (image->x0 != 0 || image->y0 != 0)
+    return fail("JPEG2000 nonzero reference-grid origin is not supported");
+  for (uint32_t c = 0; c < used; ++c) {
+    const opj_image_comp& cc = image->comps[c];
+    if (!cc.data || cc.w == 0 || cc.h == 0)
+      return fail("JPEG2000 component missing decoded data");
+    if (cc.x0 != 0 || cc.y0 != 0)
+      return fail("JPEG2000 nonzero component origin is not supported");
+    if (cc.prec < 1 || cc.prec > 16)
+      return fail("JPEG2000 component precision outside 1..16");
+  }
   bool ycc = force_ycbcr || (nc >= 3 && image->color_space == OPJ_CLRSPC_SYCC);
   const opj_image_comp* comps = image->comps;
+
+  // Fast paths for the dominant shapes (8-bit unsigned, no chroma
+  // subsampling, full-size components): walk component rows directly — the
+  // generic loop below pays per-pixel divides and clamps the compiler can't
+  // hoist, which is measurable host time per tile on small hosts.
+  auto plain8 = [&](const opj_image_comp& c) {
+    return c.dx <= 1 && c.dy <= 1 && c.prec == 8 && !c.sgnd && c.w >= cw &&
+           c.h >= ch;
+  };
+  if (spp == 3 && nc >= 3 && plain8(comps[0]) && plain8(comps[1]) &&
+      plain8(comps[2])) {
+    for (uint64_t y = 0; y < ch; ++y) {
+      uint8_t* row = out + y * cw * 3;
+      const OPJ_INT32* c0 = comps[0].data + y * comps[0].w;
+      const OPJ_INT32* c1 = comps[1].data + y * comps[1].w;
+      const OPJ_INT32* c2 = comps[2].data + y * comps[2].w;
+      if (ycc) {
+        for (uint64_t x = 0; x < cw; ++x) {
+          int Y = c0[x], cb = c1[x] - 128, cr = c2[x] - 128;
+          row[x * 3 + 0] = clamp_u8(Y + ((91881 * cr + 32768) >> 16));
+          row[x * 3 + 1] =
+              clamp_u8(Y - ((22554 * cb + 46802 * cr + 32768) >> 16));
+          row[x * 3 + 2] = clamp_u8(Y + ((116130 * cb + 32768) >> 16));
+        }
+      } else {
+        for (uint64_t x = 0; x < cw; ++x) {
+          row[x * 3 + 0] = (uint8_t)c0[x];
+          row[x * 3 + 1] = (uint8_t)c1[x];
+          row[x * 3 + 2] = (uint8_t)c2[x];
+        }
+      }
+    }
+    g_opj.image_destroy(image);
+    g_opj.stream_destroy(stream);
+    g_opj.destroy_codec(codec);
+    return true;
+  }
 
   for (uint64_t y = 0; y < ch; ++y) {
     uint8_t* row = out + y * cw * spp;
