@@ -20,6 +20,7 @@
 
 #include <algorithm>
 #include <cctype>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -704,6 +705,11 @@ struct Level {
   size_t ifd_index;
   uint64_t width, height;
   double downsample;
+  // Ventana BIF AOI join-overlap correction: when > 0, the level's tiles
+  // overlap and tile (c, r) is painted at (round(c*adv_x), round(r*adv_y))
+  // instead of (c*tile_w, r*tile_h); width/height above are the corrected
+  // (stitched) canvas, smaller than the IFD's declared dimensions.
+  double adv_x = 0.0, adv_y = 0.0;
 };
 
 struct AtlasTiff {
@@ -721,6 +727,9 @@ struct AtlasTiff {
   bool ventana = false;        // Ventana/Roche BIF (iScan element in XMP)
   double ventana_mag = 0.0;    // iScan Magnification attribute
   double ventana_scanres = 0.0;  // iScan ScanRes attribute (µm/pixel)
+  double ventana_overlap_x = 0.0;  // mean RIGHT-joint overlap (px, level 0)
+  double ventana_overlap_y = 0.0;  // mean UP-joint overlap (px, level 0)
+  long ventana_joints = 0;         // TileJointInfo elements accepted
   bool philips = false;        // Philips TIFF (Software tag "Philips …")
   double philips_mpp = 0.0;    // DICOM_PIXEL_SPACING from the UFS XML (µm)
   mutable std::mutex stripe_mu;
@@ -1332,8 +1341,33 @@ static void build_levels_generic(AtlasTiff* t) {
   double aspect0 = 0.0;
   if (base != 0 || plausible_dims(t->ifds[0])) {
     const IFD& b = t->ifds[base];
-    aspect0 = (double)b.width / (double)b.height;
-    t->levels.push_back({base, b.width, b.height, 1.0});
+    // Ventana AOI join-overlap correction: adjacent level-0 tiles overlap by
+    // the mean TileJointInfo overlap; the stitched canvas is smaller than
+    // the declared tile mosaic. Advances stay fractional (rounded per tile
+    // at paint time) so rounding error never accumulates across the grid.
+    // Gated on sane overlaps — a junk overlap (≤0 or ≥ tile size) keeps the
+    // uncorrected abutting grid, which is what the file decodes to anyway.
+    uint64_t lw = b.width, lh = b.height;
+    double adv_x = 0.0, adv_y = 0.0;
+    if (t->ventana && b.tiled && t->ventana_joints > 0 && b.tile_w > 0 &&
+        b.tile_h > 0) {
+      int64_t tw = (int64_t)b.tile_w, th = (int64_t)b.tile_h;
+      int64_t cols = ((int64_t)b.width + tw - 1) / tw;
+      int64_t rows = ((int64_t)b.height + th - 1) / th;
+      double ox = t->ventana_overlap_x, oy = t->ventana_overlap_y;
+      if (ox > 0.0 && ox < (double)tw && cols > 1) {
+        adv_x = (double)tw - ox;
+        int64_t last_w = (int64_t)b.width - (cols - 1) * tw;  // partial last col
+        lw = (uint64_t)(llround((double)(cols - 1) * adv_x) + last_w);
+      }
+      if (oy > 0.0 && oy < (double)th && rows > 1) {
+        adv_y = (double)th - oy;
+        int64_t last_h = (int64_t)b.height - (rows - 1) * th;
+        lh = (uint64_t)(llround((double)(rows - 1) * adv_y) + last_h);
+      }
+    }
+    aspect0 = (double)lw / (double)lh;
+    t->levels.push_back({base, lw, lh, 1.0, adv_x, adv_y});
   }
   for (size_t i = 0; i < t->ifds.size(); ++i) {
     if (i == base) continue;
@@ -1357,9 +1391,14 @@ static void build_levels_generic(AtlasTiff* t) {
 // Re-derived from the public openslide.org format notes (formats/ventana,
 // formats/philips) — no vendor files available offline, so both are
 // validated on spec-conformant synthetic slides (tests/test_vendor_formats
-// .py). Ventana AOI join-overlap correction (XMP JoinInfo) is NOT
-// implemented; stitched level-0 reads assume the tile grid is already
-// seamless (documented residual).
+// .py). Ventana AOI join-overlap correction: the XMP's TileJointInfo
+// elements record the measured overlap between each pair of adjacent level-0
+// tiles; we average them into uniform fractional tile advances and paint
+// tiles at the corrected positions (see read_region_positioned), the same
+// placement OpenSlide derives. Residual vs OpenSlide: per-AOI origins from
+// the SlideStitchInfo ImageInfo elements are not modeled (one uniform grid),
+// and tile positions are rounded to whole pixels per tile rather than
+// composited at sub-pixel offsets.
 
 // Find `name="value"` (or '…') in an XML fragment, requiring a whitespace
 // separator before the attribute name so e.g. Magnification never matches
@@ -1408,8 +1447,56 @@ static void detect_ventana(AtlasTiff* t) {
     std::string v;
     if (find_xml_attr(el, "Magnification", &v)) t->ventana_mag = std::atof(v.c_str());
     if (find_xml_attr(el, "ScanRes", &v)) t->ventana_scanres = std::atof(v.c_str());
-    return;
+    break;
   }
+  if (!t->ventana) return;
+
+  // AOI join overlaps: each TileJointInfo element records the stitcher's
+  // measured overlap between two adjacent tiles (Direction="RIGHT" pairs
+  // horizontal neighbours — OverlapX is the meaningful axis; "UP" pairs
+  // vertical neighbours — OverlapY). Average the accepted joints into one
+  // overlap per axis. Joints the stitcher could not match confidently
+  // (Confidence < 1) are skipped — their overlap fields are not
+  // measurements. Values are validated again (0 < overlap < tile size)
+  // before any correction is applied in build_levels_generic.
+  double sum_x = 0.0, sum_y = 0.0;
+  long nx = 0, ny = 0;
+  for (const IFD& d : t->ifds) {
+    size_t q = 0;
+    while ((q = d.xmp.find("<TileJointInfo", q)) != std::string::npos) {
+      // Bound the element slice: an unterminated tag in hostile XMP must not
+      // turn each joint into a copy of the remaining packet (O(n²)).
+      size_t close = d.xmp.find('>', q);
+      size_t len = close == std::string::npos ? d.xmp.size() - q : close - q;
+      std::string el = d.xmp.substr(q, std::min<size_t>(len, 4096));
+      q += 14;
+      std::string v;
+      if (find_xml_attr(el, "Confidence", &v) && std::atof(v.c_str()) < 1.0)
+        continue;
+      std::string dir;
+      if (!find_xml_attr(el, "Direction", &dir)) continue;
+      if (dir == "RIGHT" || dir == "LEFT") {
+        if (find_xml_attr(el, "OverlapX", &v) || find_xml_attr(el, "Overlap", &v)) {
+          double o = std::atof(v.c_str());
+          if (std::isfinite(o)) {
+            sum_x += o;
+            ++nx;
+          }
+        }
+      } else if (dir == "UP" || dir == "DOWN") {
+        if (find_xml_attr(el, "OverlapY", &v) || find_xml_attr(el, "Overlap", &v)) {
+          double o = std::atof(v.c_str());
+          if (std::isfinite(o)) {
+            sum_y += o;
+            ++ny;
+          }
+        }
+      }
+    }
+  }
+  if (nx > 0) t->ventana_overlap_x = sum_x / (double)nx;
+  if (ny > 0) t->ventana_overlap_y = sum_y / (double)ny;
+  t->ventana_joints = nx + ny;
 }
 
 // Philips TIFF: Software tag starts with "Philips"; IFD0's ImageDescription
@@ -1552,6 +1639,12 @@ static void build_properties(AtlasTiff* t) {
       snprintf(buf, sizeof buf, "%g", t->ventana_scanres);
       add("ventana.ScanRes", buf);
     }
+    if (t->ventana_joints > 0) {
+      snprintf(buf, sizeof buf, "%g", t->ventana_overlap_x);
+      add("ventana.OverlapX", buf);
+      snprintf(buf, sizeof buf, "%g", t->ventana_overlap_y);
+      add("ventana.OverlapY", buf);
+    }
   } else if (t->philips) {
     add("atlas.vendor", "philips");
     if (t->philips_mpp > 0) {
@@ -1632,6 +1725,79 @@ static bool read_region_striped(const AtlasTiff* t, const IFD& d,
 }
 
 // Fill an RGB window from one level. x/y are LEVEL coordinates.
+// Positioned-tile painter for levels whose tiles overlap (Ventana BIF base
+// level, Level::adv_x/adv_y > 0). Tile (c, r) of the raw mosaic is painted at
+// (round(c*adv_x), round(r*adv_y)) in raster order, so the later (right /
+// lower) tile wins the overlap strip — matching how OpenSlide's grid renders
+// the TileJointInfo-derived placement. x0..y1 are the window's clamped bounds
+// in CORRECTED level coordinates.
+static bool read_region_positioned(const AtlasTiff* t, const IFD& d,
+                                   size_t ifd_index, const Level& L, int64_t x,
+                                   int64_t y, int64_t w, int64_t x0, int64_t y0,
+                                   int64_t x1, int64_t y1, uint8_t* out,
+                                   std::string* err) {
+  const int64_t tw = (int64_t)d.tile_w, th = (int64_t)d.tile_h;
+  if (tw <= 0 || th <= 0) {
+    *err = "bad tile geometry";
+    return false;
+  }
+  const int64_t cols = ((int64_t)d.width + tw - 1) / tw;
+  const int64_t rows = ((int64_t)d.height + th - 1) / th;
+  const double ax = L.adv_x > 0.0 ? L.adv_x : (double)tw;
+  const double ay = L.adv_y > 0.0 ? L.adv_y : (double)th;
+  auto px = [&](int64_t c) { return (int64_t)llround((double)c * ax); };
+  auto py = [&](int64_t r) { return (int64_t)llround((double)r * ay); };
+  // First/last tile columns touching [x0, x1): start from the float estimate,
+  // then nudge — per-tile rounding can move an edge by one pixel either way.
+  int64_t c0 = std::max<int64_t>(0, (int64_t)std::floor((double)(x0 - tw) / ax));
+  while (c0 < cols && px(c0) + tw <= x0) ++c0;
+  int64_t c1 = std::min<int64_t>(cols - 1, (int64_t)std::floor((double)x1 / ax));
+  while (c1 >= 0 && px(c1) >= x1) --c1;
+  int64_t r0 = std::max<int64_t>(0, (int64_t)std::floor((double)(y0 - th) / ay));
+  while (r0 < rows && py(r0) + th <= y0) ++r0;
+  int64_t r1 = std::min<int64_t>(rows - 1, (int64_t)std::floor((double)y1 / ay));
+  while (r1 >= 0 && py(r1) >= y1) --r1;
+  if (c0 > c1 || r0 > r1) return true;
+
+  std::vector<uint8_t> chunk((size_t)(tw * th * d.spp));
+  for (int64_t r = r0; r <= r1; ++r) {
+    const int64_t oy = py(r);
+    // Valid content of edge tiles is bounded by the RAW mosaic dims; the
+    // padding beyond it is tile-box fill, never slide pixels.
+    const int64_t vh = std::min<int64_t>(th, (int64_t)d.height - r * th);
+    for (int64_t c = c0; c <= c1; ++c) {
+      const int64_t ox = px(c);
+      const int64_t vw = std::min<int64_t>(tw, (int64_t)d.width - c * tw);
+      int64_t cx0 = std::max(x0, ox), cx1 = std::min(x1, ox + vw);
+      int64_t cy0 = std::max(y0, oy), cy1 = std::min(y1, oy + vh);
+      if (cx0 >= cx1 || cy0 >= cy1) continue;
+      if (!t->decode_chunk_cached(d, ifd_index, (uint64_t)(r * cols + c),
+                                  chunk.data(), (uint64_t)tw, (uint64_t)th, err))
+        return false;
+      for (int64_t yy = cy0; yy < cy1; ++yy) {
+        const uint8_t* src =
+            chunk.data() + (size_t)((yy - oy) * tw + (cx0 - ox)) * d.spp;
+        uint8_t* dstp = out + (size_t)((yy - y) * w + (cx0 - x)) * 3;
+        int64_t count = cx1 - cx0;
+        if (d.spp >= 3) {
+          for (int64_t i = 0; i < count; ++i) {
+            dstp[i * 3 + 0] = src[i * d.spp + 0];
+            dstp[i * 3 + 1] = src[i * d.spp + 1];
+            dstp[i * 3 + 2] = src[i * d.spp + 2];
+          }
+        } else {  // grayscale (invert for MinIsWhite)
+          bool invert = d.photometric == 0;
+          for (int64_t i = 0; i < count; ++i) {
+            uint8_t v = invert ? (uint8_t)(255 - src[i]) : src[i];
+            dstp[i * 3 + 0] = dstp[i * 3 + 1] = dstp[i * 3 + 2] = v;
+          }
+        }
+      }
+    }
+  }
+  return true;
+}
+
 static bool read_region_impl(const AtlasTiff* t, int level, int64_t x, int64_t y,
                              int64_t w, int64_t h, uint8_t* out, std::string* err) {
   if (level < 0 || level >= (int)t->levels.size()) {
@@ -1639,7 +1805,10 @@ static bool read_region_impl(const AtlasTiff* t, int level, int64_t x, int64_t y
     return false;
   }
   const IFD& d = t->level_ifd(level);
-  const int64_t W = (int64_t)d.width, H = (int64_t)d.height;
+  const Level& L = t->levels[level];
+  // Level dims, not IFD dims: they differ when AOI join-overlap correction
+  // shrinks the canvas (equal everywhere else).
+  const int64_t W = (int64_t)L.width, H = (int64_t)L.height;
   // Out-of-bounds background: black, matching OpenSlide's read_region
   // semantics (transparent RGBA -> black after RGB conversion), which the
   // reference pipeline sees (openslide_wsi.py:198).
@@ -1656,6 +1825,10 @@ static bool read_region_impl(const AtlasTiff* t, int level, int64_t x, int64_t y
   int64_t x0 = std::max<int64_t>(0, x), y0 = std::max<int64_t>(0, y);
   int64_t x1 = std::min<int64_t>(W, x + w), y1 = std::min<int64_t>(H, y + h);
   if (x0 >= x1 || y0 >= y1) return true;
+
+  if (L.adv_x > 0.0 || L.adv_y > 0.0)
+    return read_region_positioned(t, d, L.ifd_index, L, x, y, w, x0, y0, x1, y1,
+                                  out, err);
 
   // Single-strip whole-image JPEGs (NDPI levels): decode stripe-wise via
   // restart markers when the declared SOF dims disagree with the TIFF tags
@@ -1780,6 +1953,10 @@ static int read_region_scaled_impl(const AtlasTiff* t, int level, int64_t x,
     return -1;
   }
   const IFD& d = t->level_ifd(level);
+  // Overlap-corrected (Ventana) levels paint tiles at fractional advances;
+  // the scaled fast path assumes an abutting grid — fall back.
+  if (t->levels[level].adv_x > 0.0 || t->levels[level].adv_y > 0.0)
+    return kScaledUnsupported;
   if (d.compression != 7 || (d.spp != 1 && d.spp != 3)) return kScaledUnsupported;
   // NDPI-style giant single-strip JPEGs go through the striped decoder; keep
   // the fast path to plain tiled/striped pyramids.

@@ -637,6 +637,121 @@ def test_ventana_bif_without_overview_keeps_ifd0_base(tmp_path: Path):
     t.close()
 
 
+def _bif_joint_xmp(joints: list[tuple[str, float, float, float]]) -> str:
+    """BIF XMP with an iScan element plus AoiJoinInfo TileJointInfo elements.
+
+    joints: (direction, confidence, overlap_x, overlap_y) per element, the
+    layout the Ventana stitcher writes (openslide.org/formats/ventana)."""
+    els = "".join(
+        f'<TileJointInfo Tile1="{i + 1}" Tile2="{i + 2}" Direction="{d}" '
+        f'Confidence="{conf}" OverlapX="{ox}" OverlapY="{oy}" />'
+        for i, (d, conf, ox, oy) in enumerate(joints)
+    )
+    return (
+        '<?xpacket begin="" id="W5M0MpCehiHzreSzNTczkc9d"?>'
+        '<x:xmpmeta xmlns:x="adobe:ns:meta/"><rdf:RDF>'
+        '<iScan xmlns="http://ventana.com/iscan/1.0" UnitNumber="1" '
+        'Magnification="40" ScanRes="0.25" />'
+        f"<AoiJoinInfo>{els}</AoiJoinInfo>"
+        "</rdf:RDF></x:xmpmeta><?xpacket end=\"w\"?>"
+    )
+
+
+def _overlapping_bif(tmp_path: Path, *, tile=64, overlap=16, cols=4, rows=3,
+                     joints=None, seed=53):
+    """Build a BIF whose base tiles overlap by `overlap` px: tiles are cut at
+    `tile - overlap` advances from one ground-truth canvas, then each tile's
+    non-visible strips (the parts a right/lower neighbour overwrites) are
+    corrupted so the test proves both placement AND paint order."""
+    rng = np.random.default_rng(seed)
+    adv = tile - overlap
+    tw = (cols - 1) * adv + tile  # corrected canvas
+    th_ = (rows - 1) * adv + tile
+    truth = _rand_rgb(rng, th_, tw)
+
+    mosaic = np.zeros((rows * tile, cols * tile, 3), np.uint8)
+    for r in range(rows):
+        for c in range(cols):
+            t = truth[r * adv : r * adv + tile, c * adv : c * adv + tile].copy()
+            # A neighbour's overlap strip wins the paint; junk here must
+            # never surface in reads.
+            if c < cols - 1:
+                t[:, adv:] = rng.integers(0, 256, (tile, overlap, 3), np.uint8)
+            if r < rows - 1:
+                t[adv:, :] = rng.integers(0, 256, (overlap, tile, 3), np.uint8)
+            mosaic[r * tile : (r + 1) * tile, c * tile : (c + 1) * tile] = t
+
+    if joints is None:
+        joints = [
+            ("RIGHT", 99, overlap - 0.5, 0.3),
+            ("RIGHT", 97, overlap + 0.5, -0.1),
+            ("UP", 98, 0.2, overlap + 0.25),
+            ("UP", 96, -0.4, overlap - 0.25),
+            # Unmatched joint: the stitcher writes Confidence 0 with junk
+            # overlaps; it must not skew the means.
+            ("RIGHT", 0, tile - 1, tile - 1),
+        ]
+    xmp = _bif_joint_xmp(joints)
+
+    overview = _rand_rgb(rng, 48, 64)
+    low = truth[::2, ::2].copy()
+    w = TiffWriter()
+    w.add_level(overview, extra_tags=[(700, TYPE_ASCII, [xmp])])
+    w.add_level(mosaic, tile=tile)
+    w.add_level(low, tile=tile)
+    path = tmp_path / "aoi.bif"
+    w.save(path)
+    return path, truth, low
+
+
+def test_ventana_bif_aoi_join_overlap_correction(tmp_path: Path):
+    """TileJointInfo join overlaps (openslide.org/formats/ventana): the base
+    level's tiles overlap by the mean measured overlap per axis; the decoder
+    must report the stitched canvas size and paint tiles at the corrected
+    advances with the right/lower tile winning each overlap strip."""
+    path, truth, low = _overlapping_bif(tmp_path)
+    th_, tw = truth.shape[:2]  # 160 x 208: 4x3 tiles of 64, advance 48
+
+    t = AtlasTiffFile(str(path))
+    assert t.level_dimensions == [(tw, th_), (tw // 2, th_ // 2)]
+    assert t.properties["ventana.OverlapX"] == "16"
+    assert t.properties["ventana.OverlapY"] == "16"
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, tw, th_), truth)
+    # Windows crossing tile seams and overlap strips, plus out-of-bounds pad.
+    np.testing.assert_array_equal(
+        t.read_region_level(0, 40, 40, 60, 60), truth[40:100, 40:100]
+    )
+    np.testing.assert_array_equal(
+        t.read_region_level(0, 90, 130, 30, 20), truth[130:150, 90:120]
+    )
+    edge = t.read_region_level(0, tw - 10, th_ - 5, 20, 10)
+    np.testing.assert_array_equal(edge[:5, :10], truth[th_ - 5 :, tw - 10 :])
+    assert (edge[5:] == 0).all() and (edge[:, 10:] == 0).all()
+    # The scaled fast path assumes an abutting grid; corrected levels must
+    # fall back (None) rather than decode at wrong positions.
+    assert t.read_region_level_scaled(0, 0, 0, tw, th_, 2) is None
+    # Lower levels are stored pre-stitched: no correction there.
+    np.testing.assert_array_equal(
+        t.read_region_level(1, 0, 0, tw // 2, th_ // 2), low
+    )
+    t.close()
+
+
+def test_ventana_bif_insane_overlap_keeps_abutting_grid(tmp_path: Path):
+    """Overlaps ≥ tile size or ≤ 0 are junk — the base must stay the plain
+    abutting mosaic rather than collapse or explode the canvas."""
+    for ox, oy in [(64, 64), (-3, -3), (0, 0), (400, 400)]:
+        joints = [("RIGHT", 99, ox, 0), ("UP", 99, 0, oy)]
+        path, truth, _ = _overlapping_bif(
+            tmp_path, joints=joints, seed=54 + int(ox) % 7
+        )
+        t = AtlasTiffFile(str(path))
+        # 4 cols x 3 rows of 64-px tiles, uncorrected.
+        assert t.level_dimensions[0] == (256, 192)
+        t.close()
+        path.unlink()
+
+
 PHILIPS_XML = (
     '<DataObject ObjectType="DPUfsImport">'
     '<Attribute Name="PIM_DP_IMAGE_TYPE" PMSVR="IString">WSI</Attribute>'
@@ -692,6 +807,17 @@ def test_philips_tiff_mpp_and_levels(tmp_path: Path):
         '<iScan Magnification="1e308" ScanRes="-0.25">',  # absurd numbers
         "x" * 70000 + "<iScan " + 'Magnification="40">',  # attr past 64 KiB
         '<iScan\x00Magnification="40">',  # NUL truncates the ASCII blob
+        # Joint-parser adversaries: unterminated element, non-finite and
+        # absurd overlaps, a flood of joints (linear scan must stay linear),
+        # junk directions, attributes with no quotes.
+        '<iScan Magnification="40"/><TileJointInfo Direction="RIGHT" OverlapX="12',
+        '<iScan/>' + '<TileJointInfo Direction="RIGHT" OverlapX="nan" '
+        'OverlapY="inf" Confidence="99"/>' * 3,
+        '<iScan/>' + '<TileJointInfo Direction="SIDEWAYS" OverlapX="1e308"/>' * 5,
+        '<iScan/>'
+        + '<TileJointInfo Direction="RIGHT" OverlapX="8" Confidence="0"/>' * 5000,
+        '<iScan/><TileJointInfo Direction= OverlapX=8>',
+        '<iScan/><TileJointInfo ' + "A" * 70000,  # unterminated + huge attrs
     ],
 )
 def test_ventana_xmp_adversarial_never_crashes(tmp_path: Path, xmp: str):
