@@ -529,8 +529,8 @@ def info():
     click.echo(
         "Supported WSI formats (native TIFF decoder): .svs, .tif, .tiff, .ndpi, "
         ".scn, .bif (vendor-aware: NDPI SourceLens levels + striped giant-JPEG "
-        "decode; SCN XML main-region pyramid; Ventana BIF iScan mag/MPP; "
-        "Philips TIFF pixel spacing + sparse tiles)"
+        "decode; SCN XML main-region pyramid; Ventana BIF iScan mag/MPP + AOI "
+        "join-overlap correction; Philips TIFF pixel spacing + sparse tiles)"
     )
     click.echo(
         "Non-TIFF containers (first-party readers): .mrxs (MIRAX), "
