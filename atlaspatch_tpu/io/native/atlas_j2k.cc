@@ -274,10 +274,13 @@ bool j2k_decode(const uint8_t* src, size_t n, uint8_t* out, uint64_t cw,
           row[x * 3 + 2] = clamp_u8(Y + ((116130 * cb + 32768) >> 16));
         }
       } else {
+        // Clamp like the generic path: corrupt streams can decode
+        // coefficients outside 0..255 even at prec 8, and a bare cast would
+        // wrap them instead of saturating.
         for (uint64_t x = 0; x < cw; ++x) {
-          row[x * 3 + 0] = (uint8_t)c0[x];
-          row[x * 3 + 1] = (uint8_t)c1[x];
-          row[x * 3 + 2] = (uint8_t)c2[x];
+          row[x * 3 + 0] = clamp_u8(c0[x]);
+          row[x * 3 + 1] = clamp_u8(c1[x]);
+          row[x * 3 + 2] = clamp_u8(c2[x]);
         }
       }
     }
@@ -300,11 +303,13 @@ bool j2k_decode(const uint8_t* src, size_t n, uint8_t* out, uint64_t cw,
         px[1] = clamp_u8(Y - ((22554 * cb + 46802 * cr + 32768) >> 16));
         px[2] = clamp_u8(Y + ((116130 * cb + 32768) >> 16));
       } else if (nc >= 3) {
-        px[0] = (uint8_t)comp_sample(comps[0], x, y);
-        px[1] = (uint8_t)comp_sample(comps[1], x, y);
-        px[2] = (uint8_t)comp_sample(comps[2], x, y);
+        // comp_sample does not saturate: corrupt streams can decode
+        // coefficients outside [0, 2^prec), which a bare cast would wrap.
+        px[0] = clamp_u8(comp_sample(comps[0], x, y));
+        px[1] = clamp_u8(comp_sample(comps[1], x, y));
+        px[2] = clamp_u8(comp_sample(comps[2], x, y));
       } else {
-        uint8_t g = (uint8_t)comp_sample(comps[0], x, y);
+        uint8_t g = clamp_u8(comp_sample(comps[0], x, y));
         px[0] = px[1] = px[2] = g;
       }
       for (uint32_t c = 0; c < spp && c < 4; ++c) row[x * spp + c] = px[c];

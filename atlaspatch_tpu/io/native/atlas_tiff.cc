@@ -1345,8 +1345,11 @@ static void build_levels_generic(AtlasTiff* t) {
     // the mean TileJointInfo overlap; the stitched canvas is smaller than
     // the declared tile mosaic. Advances stay fractional (rounded per tile
     // at paint time) so rounding error never accumulates across the grid.
-    // Gated on sane overlaps — a junk overlap (≤0 or ≥ tile size) keeps the
-    // uncorrected abutting grid, which is what the file decodes to anyway.
+    // Gated on sane overlaps — a junk overlap (≤0 or ≥ tile size − 1) keeps
+    // the uncorrected abutting grid, which is what the file decodes to
+    // anyway. The ≥1px-advance floor also keeps read_region_positioned's
+    // first-tile estimate exact: with sub-pixel advances the floor estimate
+    // could land past the first overlapping tile.
     uint64_t lw = b.width, lh = b.height;
     double adv_x = 0.0, adv_y = 0.0;
     if (t->ventana && b.tiled && t->ventana_joints > 0 && b.tile_w > 0 &&
@@ -1355,12 +1358,12 @@ static void build_levels_generic(AtlasTiff* t) {
       int64_t cols = ((int64_t)b.width + tw - 1) / tw;
       int64_t rows = ((int64_t)b.height + th - 1) / th;
       double ox = t->ventana_overlap_x, oy = t->ventana_overlap_y;
-      if (ox > 0.0 && ox < (double)tw && cols > 1) {
+      if (ox > 0.0 && ox <= (double)(tw - 1) && cols > 1) {
         adv_x = (double)tw - ox;
         int64_t last_w = (int64_t)b.width - (cols - 1) * tw;  // partial last col
         lw = (uint64_t)(llround((double)(cols - 1) * adv_x) + last_w);
       }
-      if (oy > 0.0 && oy < (double)th && rows > 1) {
+      if (oy > 0.0 && oy <= (double)(th - 1) && rows > 1) {
         adv_y = (double)th - oy;
         int64_t last_h = (int64_t)b.height - (rows - 1) * th;
         lh = (uint64_t)(llround((double)(rows - 1) * adv_y) + last_h);

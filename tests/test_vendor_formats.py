@@ -738,9 +738,11 @@ def test_ventana_bif_aoi_join_overlap_correction(tmp_path: Path):
 
 
 def test_ventana_bif_insane_overlap_keeps_abutting_grid(tmp_path: Path):
-    """Overlaps ≥ tile size or ≤ 0 are junk — the base must stay the plain
-    abutting mosaic rather than collapse or explode the canvas."""
-    for ox, oy in [(64, 64), (-3, -3), (0, 0), (400, 400)]:
+    """Overlaps ≥ tile−1 (sub-pixel advances) or ≤ 0 are junk — the base must
+    stay the plain abutting mosaic rather than collapse or explode the
+    canvas. 63.5 of a 64-px tile leaves a 0.5-px advance, where the painter's
+    first-tile estimate is no longer exact; it must be rejected too."""
+    for ox, oy in [(64, 64), (63.5, 63.5), (-3, -3), (0, 0), (400, 400)]:
         joints = [("RIGHT", 99, ox, 0), ("UP", 99, 0, oy)]
         path, truth, _ = _overlapping_bif(
             tmp_path, joints=joints, seed=54 + int(ox) % 7
