@@ -36,7 +36,7 @@ import numpy as np
 from PIL import Image
 
 from atlaspatch_tpu.io.iwsi import IWSI
-from atlaspatch_tpu.io.tiled import TiledLevel
+from atlaspatch_tpu.io.tiled import TiledLevel, thumb_from_level
 
 # --- transfer syntaxes ----------------------------------------------------
 TS_IMPLICIT_LE = "1.2.840.10008.1.2"
@@ -584,11 +584,7 @@ class DicomWSI(IWSI):
 
     def get_thumb(self, max_hw: Tuple[int, int]) -> Image.Image:
         self._ensure_loaded()
-        lw, lh = self.dims[-1]  # type: ignore[index]
-        arr = self._levels[-1].read_region(0, 0, lw, lh)
-        img = Image.fromarray(arr)
-        img.thumbnail(max_hw, Image.Resampling.LANCZOS)
-        return img.convert("RGB")
+        return thumb_from_level(self._levels[-1], max_hw)
 
     def cleanup(self) -> None:
         for level in self._levels:

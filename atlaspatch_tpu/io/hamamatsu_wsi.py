@@ -37,7 +37,7 @@ import numpy as np
 from PIL import Image
 
 from atlaspatch_tpu.io.iwsi import IWSI
-from atlaspatch_tpu.io.tiled import TiledLevel
+from atlaspatch_tpu.io.tiled import TiledLevel, thumb_from_level
 
 VMS_SECTION = "Virtual Microscope Specimen"
 VMU_SECTION = "Uncompressed Virtual Microscope Specimen"
@@ -260,11 +260,7 @@ class HamamatsuVMSWSI(IWSI):
 
     def get_thumb(self, max_hw: Tuple[int, int]) -> Image.Image:
         self._ensure_loaded()
-        lw, lh = self.dims[-1]  # type: ignore[index]
-        arr = self._levels[-1].read_region(0, 0, lw, lh)
-        img = Image.fromarray(arr)
-        img.thumbnail(max_hw, Image.Resampling.LANCZOS)
-        return img.convert("RGB")
+        return thumb_from_level(self._levels[-1], max_hw)
 
     def _source_map(self, pos: tuple[int, int]):
         """mmap of a source JPEG, cached per grid position: windowed decodes

@@ -49,7 +49,7 @@ import numpy as np
 from PIL import Image
 
 from atlaspatch_tpu.io.iwsi import IWSI
-from atlaspatch_tpu.io.tiled import TiledLevel
+from atlaspatch_tpu.io.tiled import TiledLevel, thumb_from_level
 
 ZOOM_HIER_NAME = "Slide zoom level"
 POSITION_BUFFER_NAME = "VIMSLIDE_POSITION_BUFFER"
@@ -187,9 +187,23 @@ class MiraxWSI(IWSI):
         sec0 = dat.require("HIERARCHICAL", f"HIER_{zoom_i}_VAL_0_SECTION")
         tw0 = int(dat.require(sec0, "DIGITIZER_WIDTH"))
         th0 = int(dat.require(sec0, "DIGITIZER_HEIGHT"))
+        if tw0 <= 0 or th0 <= 0:
+            raise RuntimeError("mirax: non-positive digitizer tile size")
         ox0 = float(dat.get(sec0, "OVERLAP_X", 0.0))
         oy0 = float(dat.get(sec0, "OVERLAP_Y", 0.0))
+        # Overlaps only ever shrink the camera pitch; junk values (negative,
+        # or >= the tile size — which would make the pitch non-positive) fall
+        # back to zero overlap rather than producing degenerate extents.
+        if not 0.0 <= ox0 < tw0:
+            ox0 = 0.0
+        if not 0.0 <= oy0 < th0:
+            oy0 = 0.0
         positions: dict[int, tuple[int, int]] = {}
+        # A camera can sit anywhere inside the abutting-grid extent (overlaps
+        # only pull it inward); positions beyond that are corrupt-buffer junk
+        # — an int32 of 2^31 here would declare a terabyte-scale level. Such
+        # cameras fall back to their regular grid pitch (cam_pos below).
+        max_px, max_py = grid_x * tw0, grid_y * th0
         if pos_rec is not None and nonhier_root:
             entries = record_entries(nonhier_root, pos_rec)
             if entries:
@@ -200,7 +214,7 @@ class MiraxWSI(IWSI):
                 for cam in range(grid_x * grid_y):
                     flag = raw[cam * 9]
                     px, py = struct.unpack_from("<ii", raw, cam * 9 + 1)
-                    if flag:
+                    if flag and 0 <= px <= max_px and 0 <= py <= max_py:
                         positions[cam] = (px, py)
 
         def cam_pos(cx: int, cy: int) -> tuple[int, int]:
@@ -235,7 +249,9 @@ class MiraxWSI(IWSI):
             sec = dat.require("HIERARCHICAL", f"HIER_{zoom_i}_VAL_{k}_SECTION")
             tw = int(dat.require(sec, "DIGITIZER_WIDTH"))
             th = int(dat.require(sec, "DIGITIZER_HEIGHT"))
-            concat = int(dat.get(sec, "IMAGE_CONCAT_FACTOR", 2**k if k else 1)) or 1
+            concat = int(dat.get(sec, "IMAGE_CONCAT_FACTOR", 2**k if k else 1))
+            if concat < 1:  # corrupt: a non-positive factor degenerates dims
+                concat = 2**k if k else 1
             img_format = str(dat.get(sec, "IMAGE_FORMAT", "JPEG")).upper()
             # Packed BGR per the key name: B in the high byte, R in the low.
             fill = int(dat.get(sec, "IMAGE_FILL_COLOR_BGR", 0xFFFFFF))
@@ -347,11 +363,7 @@ class MiraxWSI(IWSI):
 
     def get_thumb(self, max_hw: Tuple[int, int]) -> Image.Image:
         self._ensure_loaded()
-        lw, lh = self.dims[-1]  # type: ignore[index]
-        arr = self._levels[-1].read_region(0, 0, lw, lh)
-        img = Image.fromarray(arr)
-        img.thumbnail(max_hw, Image.Resampling.LANCZOS)
-        return img.convert("RGB")
+        return thumb_from_level(self._levels[-1], max_hw)
 
     def cleanup(self) -> None:
         for fh in self._data_handles.values():

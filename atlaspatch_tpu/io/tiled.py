@@ -154,3 +154,29 @@ class TiledLevel:
                         iy0 - py : iy1 - py, ix0 - px : ix1 - px, :3
                     ]
         return out
+
+
+# Hostile container metadata can declare absurd level dimensions (e.g. a
+# corrupt MIRAX camera-position buffer placing a tile at x = 2^31); a
+# whole-level thumbnail read would then try to allocate terabytes and hang
+# the process inside the fill. Refusing loudly is the hardening contract
+# (clean exception, never a hang) — real slides' thumbnail source levels are
+# orders of magnitude below this cap (100 MPix = 300 MB RGB).
+THUMB_SOURCE_PIXEL_CAP = 100_000_000
+
+
+def thumb_from_level(level: TiledLevel, max_hw: Tuple[int, int]):
+    """Read a whole TiledLevel and fit it into max_hw as a PIL thumbnail,
+    refusing level dimensions beyond THUMB_SOURCE_PIXEL_CAP."""
+    from PIL import Image
+
+    lw, lh = level.width, level.height
+    if lw <= 0 or lh <= 0 or lw * lh > THUMB_SOURCE_PIXEL_CAP:
+        raise RuntimeError(
+            f"thumbnail source level {lw}x{lh} exceeds the "
+            f"{THUMB_SOURCE_PIXEL_CAP}-pixel safety cap (corrupt metadata?)"
+        )
+    arr = level.read_region(0, 0, lw, lh)
+    img = Image.fromarray(arr)
+    img.thumbnail(max_hw, Image.Resampling.LANCZOS)
+    return img.convert("RGB")

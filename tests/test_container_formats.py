@@ -451,3 +451,42 @@ def test_dicom_series_discovery_keeps_only_base(tmp_path: Path):
     )
     files = sorted(get_wsi_files(str(tmp_path)))
     assert files == sorted([str(base), str(p2)])
+
+
+def test_mirax_corrupt_position_buffer_stays_bounded(tmp_path):
+    """A corrupt camera position (int32 near 2^31) must not inflate the
+    level extent: out-of-grid positions fall back to the regular camera
+    pitch and the thumbnail stays allocation-bounded. Regression: the fuzz
+    campaign (tools/fuzz_decoders.py) found a multi-minute hang allocating
+    the declared terabyte-scale canvas in get_thumb."""
+    import struct
+    import time
+
+    img = smooth_rgb(128, 96)
+    path = write_mirax(tmp_path / "h.mrxs", img, tile_w=64, tile_h=48, n_levels=1)
+    data = path.with_suffix("") / "Data0000.dat"
+    raw = bytearray(data.read_bytes())
+    # The position buffer is the file's tail: 9 bytes/camera, 2x2 grid.
+    pos_off = len(raw) - 9 * 4
+    assert raw[pos_off] == 1  # camera-present flag where we expect it
+    struct.pack_into("<ii", raw, pos_off + 1, 2**31 - 9, 2**31 - 9)
+    data.write_bytes(bytes(raw))
+
+    t0 = time.monotonic()
+    wsi = WSIFactory.load(str(path))
+    wsi._ensure_loaded()
+    assert (wsi.w, wsi.h) == (128, 96)  # corrupt camera fell back to pitch
+    thumb = wsi.get_thumb((32, 32))
+    assert max(thumb.size) <= 32
+    assert time.monotonic() - t0 < 30
+    wsi.cleanup()
+
+
+def test_thumbnail_source_pixel_cap():
+    """Containers whose metadata declares absurd level dimensions must be
+    refused cleanly by the shared thumbnail path, never allocated."""
+    from atlaspatch_tpu.io.tiled import TiledLevel, thumb_from_level
+
+    lvl = TiledLevel(2**20, 2**20, 1.0, [], lambda k: None)
+    with pytest.raises(RuntimeError, match="safety cap"):
+        thumb_from_level(lvl, (32, 32))
