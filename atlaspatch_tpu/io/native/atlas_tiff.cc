@@ -793,6 +793,12 @@ struct AtlasTiff {
       std::memset(out, 255, cw * ch * d.spp);
       return true;
     }
+    if (off >= file.size || n > file.size - off) {
+      // Validate BEFORE allocating: a corrupt byte count would zero-init
+      // gigabytes here just to have the read fail anyway.
+      *err = "chunk extends past end of file";
+      return false;
+    }
     std::vector<uint8_t> raw(n);
     if (!file.read_at(off, raw.data(), n)) {
       *err = "read failed";
@@ -915,6 +921,10 @@ struct AtlasTiff {
     if (n == 0) {  // missing tile ⇒ white
       std::memset(out, 255, cws * chs * d.spp);
       return true;
+    }
+    if (off >= file.size || n > file.size - off) {
+      *err = "chunk extends past end of file";
+      return false;
     }
     std::vector<uint8_t> raw(n);
     if (!file.read_at(off, raw.data(), n)) {
@@ -1111,11 +1121,16 @@ static bool parse_ifds(AtlasTiff* t) {
       Entry e;
       e.type = type;
       e.count = cnt;
-      e.data.resize(nbytes);
       if (nbytes <= inline_cap) {
+        e.data.resize(nbytes);
         std::memcpy(e.data.data(), vp, nbytes);
       } else {
         uint64_t off = t->bigtiff ? t->bo.u64(vp) : t->bo.u32(vp);
+        // Bounds-check BEFORE the resize: a corrupt count inside the 1 GiB
+        // cap would still zero-init that much per entry (×4096 entries)
+        // just to fail the read.
+        if (off >= t->file.size || nbytes > t->file.size - off) continue;
+        e.data.resize(nbytes);
         if (!t->file.read_at(off, e.data.data(), nbytes)) continue;
       }
       d.entries[tag] = std::move(e);
@@ -1131,6 +1146,10 @@ static bool parse_ifds(AtlasTiff* t) {
     d.tile_w = d.scalar(t->bo, kTileWidth);
     d.tile_h = d.scalar(t->bo, kTileHeight);
     d.rows_per_strip = d.scalar(t->bo, kRowsPerStrip, d.height);
+    // A strip never exceeds the image (clamping also bounds per-strip
+    // decode buffers against corrupt RowsPerStrip values).
+    if (d.rows_per_strip == 0 || d.rows_per_strip > d.height)
+      d.rows_per_strip = d.height;
     d.tiled = d.has(kTileWidth) && d.has(kTileOffsets);
     d.chunk_offsets = d.array(t->bo, d.tiled ? kTileOffsets : kStripOffsets);
     d.chunk_counts = d.array(t->bo, d.tiled ? kTileByteCounts : kStripByteCounts);
@@ -1207,6 +1226,33 @@ static bool plausible_dims(const IFD& d) {
   if (d.width > (1ull << 30) || d.height > (1ull << 30) ||
       d.width * d.height > (1ull << 36))
     return false;
+  // Per-chunk decode buffers are sized from tile dims × spp; corrupt tags
+  // (a fuzzed TileLength count turned the value into a file offset) would
+  // otherwise declare multi-gigabyte tiles that stall the paint loops for
+  // minutes. Real tiles top out at 4096² and spp at 4.
+  if (d.spp == 0 || d.spp > 16) return false;
+  if (d.tiled &&
+      (d.tile_w > (1ull << 16) || d.tile_h > (1ull << 16) ||
+       d.tile_w * d.tile_h > (1ull << 26)))
+    return false;
+  // Corrupt dimension tags can pass the size bounds while declaring a chunk
+  // grid the offset arrays cannot cover (a fuzzed ImageWidth of 50M px made
+  // whole-level thumbnail reads stall for minutes painting a 24 GB canvas).
+  // A real writer always covers the image, so an under-provisioned array
+  // means garbage dimensions — reject the IFD. Exception: a single-chunk
+  // whole-image JPEG (the NDPI layout) is accepted regardless of the
+  // RowsPerStrip tag, which is unreliable in that family; its decode paths
+  // re-validate the declared dims against the JPEG's own SOF fields.
+  if (d.tiled) {
+    if (d.tile_w == 0 || d.tile_h == 0) return false;
+    uint64_t need = ((d.width + d.tile_w - 1) / d.tile_w) *
+                    ((d.height + d.tile_h - 1) / d.tile_h);
+    if (d.chunk_offsets.size() < need) return false;
+  } else if (!(d.compression == 7 && d.chunk_offsets.size() == 1)) {
+    uint64_t rps = d.rows_per_strip ? d.rows_per_strip : d.height;
+    uint64_t need = (d.height + rps - 1) / rps;
+    if (d.chunk_offsets.size() < need) return false;
+  }
   return true;
 }
 

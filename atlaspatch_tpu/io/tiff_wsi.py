@@ -212,6 +212,16 @@ class TiffWSI(IWSI):
         self._ensure_loaded()
         assert self._tiff is not None
         lw, lh = self.dims[-1]
+        # Corrupt headers can declare absurd dims that survive the native
+        # plausibility checks (single-chunk whole-image JPEGs are exempt from
+        # the chunk-coverage test); refuse the whole-level read cleanly
+        # rather than allocating gigabytes. Real slides' deepest levels are
+        # orders of magnitude below this.
+        if lw * lh > 2**31:
+            raise RuntimeError(
+                f"thumbnail source level {lw}x{lh} exceeds the safety cap "
+                "(corrupt header?)"
+            )
         arr = self._tiff.read_region_level(self.nlvl - 1, 0, 0, lw, lh)
         img = Image.fromarray(arr)
         img.thumbnail(max_hw, Image.Resampling.LANCZOS)
