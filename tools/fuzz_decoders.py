@@ -89,6 +89,16 @@ def build_corpus(root: Path) -> dict[str, tuple[Path, Path]]:
     p = d / "c.tiff"
     write_pyramid(p, _rgb(rng, 96, 128), levels=1, tile=None, compression=32773)
     add("tiff_packbits", p)
+    p = d / "c2.tiff"
+    w = TiffWriter()
+    w.add_level(_rgb(rng, 96, 128), compression=8, predictor=2)
+    w.save(p)
+    add("tiff_deflate_pred2", p)
+    from PIL import Image as _Image
+
+    p = d / "lzw.tif"  # LZW comes from PIL; the suite's builder doesn't emit it
+    _Image.fromarray(_rgb(rng, 96, 128)).save(p, compression="tiff_lzw")
+    add("tiff_lzw", p)
 
     # Aperio JPEG2000 flavors (33005 RGB comps, 33003 YCbCr comps).
     p = d / "j2k_rgb.svs"
