@@ -165,9 +165,59 @@ def _raise_timeout(signum, frame):  # noqa: ARG001
     raise TimeoutError("case exceeded alarm")
 
 
+_INTERESTING_U32 = [0, 1, 2, 63, 64, 2**16, 2**24, 2**26, 2**30, 2**31, 2**32 - 1]
+
+
+def _mutate_tiff_entry(rng: np.random.Generator, raw: bytearray) -> bool:
+    """Structure-aware mutation: scramble one IFD entry's type/count/value in
+    a classic little-endian TIFF. Every stall the byte-level campaign found
+    was of this shape (a tag that still parses but declares garbage), so
+    target it directly instead of waiting for random flips to land there."""
+    import struct
+
+    if bytes(raw[:4]) != b"II*\x00":
+        return False
+    try:
+        off = struct.unpack_from("<I", raw, 4)[0]
+        ifds = []
+        for _ in range(8):
+            if not (8 <= off <= len(raw) - 6):
+                break
+            n = struct.unpack_from("<H", raw, off)[0]
+            if n == 0 or off + 2 + 12 * n + 4 > len(raw):
+                break
+            ifds.append((off, n))
+            off = struct.unpack_from("<I", raw, off + 2 + 12 * n)[0]
+            if off == 0:
+                break
+        if not ifds:
+            return False
+        ioff, n = ifds[int(rng.integers(0, len(ifds)))]
+        eoff = ioff + 2 + 12 * int(rng.integers(0, n))
+        field = int(rng.integers(0, 3))
+        if field == 0:  # type
+            struct.pack_into("<H", raw, eoff + 2, int(rng.integers(0, 20)))
+        elif field == 1:  # count
+            struct.pack_into("<I", raw, eoff + 4,
+                             int(rng.choice(_INTERESTING_U32)))
+        else:  # inline value / data offset
+            struct.pack_into("<I", raw, eoff + 8,
+                             int(rng.choice(_INTERESTING_U32 + [len(raw) - 1])))
+        return True
+    except Exception:
+        return False
+
+
 def _mutate(rng: np.random.Generator, original: bytes) -> bytes:
     raw = bytearray(original)
-    kind = rng.integers(0, 10)
+    kind = rng.integers(0, 12)
+    if kind >= 10:  # structured TIFF-entry mutation (1-2 entries)
+        hit = _mutate_tiff_entry(rng, raw)
+        if hit and rng.integers(0, 2):
+            _mutate_tiff_entry(rng, raw)
+        if hit:
+            return bytes(raw)
+        kind = rng.integers(0, 10)  # non-TIFF target: fall through
     if kind == 0 and len(raw) > 8:  # truncate
         return bytes(raw[: int(rng.integers(4, len(raw)))])
     if kind == 1:  # append garbage
