@@ -1252,6 +1252,10 @@ static bool plausible_dims(const IFD& d) {
     uint64_t rps = d.rows_per_strip ? d.rows_per_strip : d.height;
     uint64_t need = (d.height + rps - 1) / rps;
     if (d.chunk_offsets.size() < need) return false;
+    // Per-strip decode buffers are width × rows_per_strip × spp: a corrupt
+    // width inside the total-pixel cap (e.g. 167M × 96) still declared a
+    // 10 GB strip. Real strips are a few MB.
+    if (d.width * rps > (1ull << 28)) return false;
   }
   return true;
 }
@@ -1860,8 +1864,15 @@ static bool read_region_impl(const AtlasTiff* t, int level, int64_t x, int64_t y
   const int64_t W = (int64_t)L.width, H = (int64_t)L.height;
   // Out-of-bounds background: black, matching OpenSlide's read_region
   // semantics (transparent RGBA -> black after RGB conversion), which the
-  // reference pipeline sees (openslide_wsi.py:198).
-  std::memset(out, 0, (size_t)(w * h * 3));
+  // reference pipeline sees (openslide_wsi.py:198). Deferred until a paint
+  // path is actually chosen: on corrupt files the decode checks below can
+  // reject the request cheaply, and pre-filling a multi-gigabyte window
+  // first was a measured multi-minute stall on fuzzed dimension tags.
+  bool bg_filled = false;
+  auto fill_bg = [&] {
+    if (!bg_filled) std::memset(out, 0, (size_t)(w * h * 3));
+    bg_filled = true;
+  };
 
   int64_t cw = d.tiled ? (int64_t)d.tile_w : W;
   int64_t chh = d.tiled ? (int64_t)d.tile_h : (int64_t)d.rows_per_strip;
@@ -1873,11 +1884,16 @@ static bool read_region_impl(const AtlasTiff* t, int level, int64_t x, int64_t y
 
   int64_t x0 = std::max<int64_t>(0, x), y0 = std::max<int64_t>(0, y);
   int64_t x1 = std::min<int64_t>(W, x + w), y1 = std::min<int64_t>(H, y + h);
-  if (x0 >= x1 || y0 >= y1) return true;
+  if (x0 >= x1 || y0 >= y1) {
+    fill_bg();  // fully out of bounds: the window IS the background
+    return true;
+  }
 
-  if (L.adv_x > 0.0 || L.adv_y > 0.0)
+  if (L.adv_x > 0.0 || L.adv_y > 0.0) {
+    fill_bg();
     return read_region_positioned(t, d, L.ifd_index, L, x, y, w, x0, y0, x1, y1,
                                   out, err);
+  }
 
   // Single-strip whole-image JPEGs (NDPI levels): decode stripe-wise via
   // restart markers when the declared SOF dims disagree with the TIFF tags
@@ -1916,6 +1932,7 @@ static bool read_region_impl(const AtlasTiff* t, int level, int64_t x, int64_t y
       // striped path — its giant levels need the random access.
       if (!t->ndpi && huge && !mismatch && si->seq_ok) {
         std::string seq_err;
+        fill_bg();
         if (read_region_jpeg_sequential(t, d, *si, x, y, w, x0, y0, x1, y1, out,
                                         &seq_err))
           return true;
@@ -1928,22 +1945,30 @@ static bool read_region_impl(const AtlasTiff* t, int level, int64_t x, int64_t y
       if (!ok) {
         // No usable restart segments (e.g. no DRI, misaligned interval):
         // stream a sequential top-down decode capped at the needed rows —
-        // bounded memory, bit-identical pixels.
+        // bounded memory, bit-identical pixels. Feasibility checks (width/
+        // rows beyond JPEG's 65,535 fields) run BEFORE the background fill
+        // so corrupt giant dims fail without touching the window.
         std::string seq_err;
-        if (si->seq_ok &&
-            read_region_jpeg_sequential(t, d, *si, x, y, w, x0, y0, x1, y1, out,
-                                        &seq_err))
-          return true;
+        if (si->seq_ok && (int64_t)d.width <= 65535 && y1 <= 65535) {
+          fill_bg();
+          if (read_region_jpeg_sequential(t, d, *si, x, y, w, x0, y0, x1, y1,
+                                          out, &seq_err))
+            return true;
+        } else if (si->seq_ok) {
+          seq_err = "window needs restart markers (dims beyond 65,535)";
+        }
         if (huge && !mismatch) goto whole_strip;  // size heuristic only: retry whole
         *err = "single-strip JPEG needs striped decode but " + si->reason;
         if (!seq_err.empty()) *err += "; sequential fallback: " + seq_err;
         return false;
       }
+      fill_bg();
       return read_region_striped(t, d, *si, x, y, w, x0, y0, x1, y1, out, err);
     }
   }
 whole_strip:
 
+  fill_bg();
   std::vector<uint8_t> chunk((size_t)(cw * chh * d.spp));
   for (int64_t ty = y0 / chh; ty * chh < y1; ++ty) {
     for (int64_t tx = (d.tiled ? x0 / cw : 0); tx * cw < (d.tiled ? x1 : 1); ++tx) {

@@ -630,10 +630,10 @@ def test_chunk_byte_count_beyond_eof_fails_fast(tmp_path: Path):
     _timed_clean_failure(attempt, budget_s=5.0)
 
 
-def test_single_strip_jpeg_giant_dims_thumb_capped(tmp_path: Path):
-    """Single-chunk whole-image JPEGs (NDPI layout) are exempt from the
-    chunk-coverage check, so corrupt giant dims can reach the Python layer;
-    TiffWSI.get_thumb refuses them instead of allocating the canvas."""
+def test_striped_jpeg_giant_width_rejected_or_capped(tmp_path: Path):
+    """A corrupt giant ImageWidth on a multi-strip JPEG level must either be
+    rejected at parse (the strip-pixel bound) or refused by the thumbnail
+    safety cap — never allocated. Either way, fast and clean."""
     rng = np.random.default_rng(12)
     path = tmp_path / "giant.tiff"
     write_pyramid(path, rng.integers(0, 255, (64, 96, 3), np.uint8),
@@ -645,9 +645,69 @@ def test_single_strip_jpeg_giant_dims_thumb_capped(tmp_path: Path):
     _patch_ifd_entry(buf, 0, 256, value=1 << 26)  # width: 67M px
     path.write_bytes(bytes(buf))
 
-    wsi = TiffWSI(path=str(path))
-    wsi._ensure_loaded()
-    if wsi.nlvl:  # if the level survived parsing, the thumb must refuse
-        with pytest.raises(RuntimeError, match="safety cap"):
-            wsi.get_thumb((32, 32))
-    wsi.cleanup()
+    def attempt():
+        wsi = TiffWSI(path=str(path))
+        wsi._ensure_loaded()  # may cleanly refuse the whole file
+        if wsi.nlvl:  # if the level survived parsing, the thumb must refuse
+            with pytest.raises(RuntimeError, match="safety cap"):
+                wsi.get_thumb((32, 32))
+        wsi.cleanup()
+
+    _timed_clean_failure(attempt, budget_s=10.0)
+
+
+def test_giant_strip_width_rejected(tmp_path: Path):
+    """A corrupt ImageWidth inside the total-pixel cap still declared a
+    10 GB per-strip decode buffer (width x rows_per_strip); strip pixel
+    counts are now bounded at parse."""
+    rng = np.random.default_rng(13)
+    path = tmp_path / "strip.tiff"
+    write_pyramid(path, rng.integers(0, 255, (96, 128, 3), np.uint8),
+                  levels=1, tile=None, compression=8)
+    buf = bytearray(path.read_bytes())
+    _patch_ifd_entry(buf, 0, 256, value=167_772_288)  # ImageWidth
+    path.write_bytes(bytes(buf))
+
+    def attempt():
+        t = AtlasTiffFile(str(path))
+        assert all(w < 167_772_288 for (w, _h) in t.level_dimensions)
+        for lv in range(t.level_count):
+            w, h = t.level_dimensions[lv]
+            t.read_region_level(lv, 0, 0, min(w, 64), min(h, 64))
+        t.close()
+
+    _timed_clean_failure(attempt, budget_s=10.0)
+
+
+def test_single_strip_jpeg_giant_height_fails_before_fill(tmp_path: Path):
+    """TRUE single-chunk whole-image JPEGs (the NDPI layout) bypass the
+    chunk-coverage check, so a corrupt giant height reaches read_region; the
+    decode-path feasibility checks must reject it BEFORE the multi-gigabyte
+    background fill (the fill-first ordering was a measured 30-60s stall)."""
+    import time
+
+    from tests.test_vendor_formats import (
+        _jpeg_with_restarts,
+        _write_single_strip_ndpi,
+        _zero_sof_dims,
+    )
+
+    rng = np.random.default_rng(14)
+    img = np.kron(rng.integers(0, 255, (12, 32, 3), np.uint8),
+                  np.ones((8, 8, 1), np.uint8))
+    stream = _jpeg_with_restarts(img, rows=2)
+    path = tmp_path / "tall.ndpi"
+    _write_single_strip_ndpi(path, _zero_sof_dims(stream), 256, 96)
+    buf = bytearray(path.read_bytes())
+    _patch_ifd_entry(buf, 0, 257, value=4_587_616)  # ImageLength: 4.5M rows
+    path.write_bytes(bytes(buf))
+
+    t = AtlasTiffFile(str(path))
+    assert t.level_count, "single-chunk JPEG level should survive parsing"
+    w, h = t.level_dimensions[0]
+    assert h == 4_587_616
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError):
+        t.read_region_level(0, 0, 0, w, h)
+    assert time.monotonic() - t0 < 10.0
+    t.close()
