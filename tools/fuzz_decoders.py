@@ -232,6 +232,19 @@ def _mutate(rng: np.random.Generator, original: bytes) -> bytes:
         b = int(rng.integers(0, len(raw) - 32))
         raw[b : b + 16] = raw[a : a + 16]
         return bytes(raw)
+    if kind == 4 and len(raw) > 16:  # interesting int32 at an aligned offset
+        # Binary containers (MIRAX Index.dat, DICOM, TIFF value arrays) keep
+        # counts/offsets as aligned little-endian ints; boundary constants
+        # there find size-validation gaps that random flips rarely reach.
+        import struct
+
+        for _ in range(int(rng.integers(1, 4))):
+            pos = int(rng.integers(0, (len(raw) - 4) // 4)) * 4
+            struct.pack_into(
+                "<i", raw, pos,
+                int(rng.choice([0, 1, -1, 2**16, 2**24, 2**31 - 1, -2**31])),
+            )
+        return bytes(raw)
     for _ in range(int(rng.integers(1, 16))):  # byte flips (default)
         raw[int(rng.integers(0, len(raw)))] = int(rng.integers(0, 256))
     return bytes(raw)
