@@ -306,14 +306,21 @@ def write_dicom_level(
     image_type: str = "ORIGINAL\\PRIMARY\\VOLUME",
     sparse: bool = False,
     implicit: bool = False,
+    codec: str = "jpeg",
 ) -> Path:
     """One DICOM WSI instance (= one pyramid level), TILED_FULL or sparse.
 
     implicit=True writes the dataset in implicit VR little endian
     (1.2.840.10008.1.2, native pixel data only) — the file meta group stays
-    explicit per the standard."""
+    explicit per the standard. codec="j2k" encapsulates frames as lossless
+    JPEG2000 codestreams (1.2.840.10008.1.2.4.90, RGB components) instead of
+    JPEG baseline."""
     if implicit and encapsulated:
         raise ValueError("implicit VR transfer syntax is native (unencapsulated) only")
+    if codec not in ("jpeg", "j2k"):
+        raise ValueError(f"unknown codec {codec!r}")
+    if codec == "j2k" and not encapsulated:
+        raise ValueError("j2k frames require an encapsulated transfer syntax")
     h0, w0 = level.shape[:2]
     across = -(-w0 // tile)
     down = -(-h0 // tile)
@@ -344,7 +351,7 @@ def write_dicom_level(
     if implicit:
         ts = "1.2.840.10008.1.2"
     elif encapsulated:
-        ts = "1.2.840.10008.1.2.4.50"
+        ts = "1.2.840.10008.1.2.4.90" if codec == "j2k" else "1.2.840.10008.1.2.4.50"
     else:
         ts = "1.2.840.10008.1.2.1"
     meta_elems = (
@@ -375,7 +382,10 @@ def write_dicom_level(
     else:
         body += el(0x0020, 0x9311, b"CS", txt("TILED_FULL"))
     body += el(0x0028, 0x0002, b"US", struct.pack("<H", 3))
-    body += el(0x0028, 0x0004, b"CS", txt("RGB" if not encapsulated else "YBR_FULL_422"))
+    body += el(
+        0x0028, 0x0004, b"CS",
+        txt("YBR_FULL_422" if encapsulated and codec == "jpeg" else "RGB"),
+    )
     body += el(0x0028, 0x0008, b"IS", txt(str(len(frames))))
     body += el(0x0028, 0x0010, b"US", struct.pack("<H", tile))
     body += el(0x0028, 0x0011, b"US", struct.pack("<H", tile))
@@ -399,7 +409,12 @@ def write_dicom_level(
         body += sq(0x5200, 0x9230, per_frame_items)
 
     if encapsulated:
-        fragments = [_jpeg_bytes(f) for f in frames]
+        if codec == "j2k":
+            from tests.tiff_builder import _j2k_encode_lossless
+
+            fragments = [_j2k_encode_lossless(f) for f in frames]
+        else:
+            fragments = [_jpeg_bytes(f) for f in frames]
         pix = struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00" + struct.pack("<I", 0xFFFFFFFF)
         pix += struct.pack("<HHI", 0xFFFE, 0xE000, 0)  # empty BOT
         for frag in fragments:

@@ -490,3 +490,29 @@ def test_thumbnail_source_pixel_cap():
     lvl = TiledLevel(2**20, 2**20, 1.0, [], lambda k: None)
     with pytest.raises(RuntimeError, match="safety cap"):
         thumb_from_level(lvl, (32, 32))
+
+
+def test_dicom_j2k_lossless_roundtrip(tmp_path):
+    """JPEG2000 transfer syntax (1.2.840.10008.1.2.4.90): frames decode
+    through the native J2K path; lossless encode must round-trip bit-exactly
+    (the reader's advertised J2K support previously had no synthetic
+    coverage — only JPEG baseline and native frames)."""
+    pytest.importorskip("atlaspatch_tpu.io.native")
+    import ctypes
+
+    try:
+        ctypes.CDLL("libopenjp2.so.7")
+    except OSError:
+        pytest.skip("libopenjp2 not installed")
+
+    img = smooth_rgb(160, 96)
+    path = write_dicom_level(tmp_path / "j.dcm", img, tile=64, codec="j2k")
+    wsi = WSIFactory.load(str(path))
+    wsi._ensure_loaded()
+    assert (wsi.w, wsi.h) == (160, 96)
+    out = np.asarray(wsi.extract((0, 0), 0, (160, 96), mode="array"))
+    np.testing.assert_array_equal(out, img)
+    # Unaligned window across tile seams.
+    sub = np.asarray(wsi.extract((40, 30), 0, (90, 50), mode="array"))
+    np.testing.assert_array_equal(sub, img[30:80, 40:130])
+    wsi.cleanup()

@@ -157,6 +157,9 @@ def build_corpus(root: Path) -> dict[str, tuple[Path, Path]]:
     add("vmu_ngr", p, p.parent / "u.ngr")
     p = cb.write_dicom_level(d / "dj.dcm", cb.smooth_rgb(128, 64), tile=64)
     add("dicom", p)
+    p = cb.write_dicom_level(d / "dk.dcm", cb.smooth_rgb(128, 64), tile=64,
+                             codec="j2k")
+    add("dicom_j2k", p)
     return corpus
 
 
