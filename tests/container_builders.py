@@ -317,9 +317,9 @@ def write_dicom_level(
     JPEG baseline."""
     if implicit and encapsulated:
         raise ValueError("implicit VR transfer syntax is native (unencapsulated) only")
-    if codec not in ("jpeg", "j2k"):
+    if codec not in ("jpeg", "j2k", "j2k_ycc"):
         raise ValueError(f"unknown codec {codec!r}")
-    if codec == "j2k" and not encapsulated:
+    if codec.startswith("j2k") and not encapsulated:
         raise ValueError("j2k frames require an encapsulated transfer syntax")
     h0, w0 = level.shape[:2]
     across = -(-w0 // tile)
@@ -350,8 +350,14 @@ def write_dicom_level(
 
     if implicit:
         ts = "1.2.840.10008.1.2"
+    elif codec == "j2k":
+        ts = "1.2.840.10008.1.2.4.90"
+    elif codec == "j2k_ycc":
+        # .4.91 + YBR photometric: components are YCbCr; the reader must
+        # apply the RGB transform outside the codestream (force_ycbcr).
+        ts = "1.2.840.10008.1.2.4.91"
     elif encapsulated:
-        ts = "1.2.840.10008.1.2.4.90" if codec == "j2k" else "1.2.840.10008.1.2.4.50"
+        ts = "1.2.840.10008.1.2.4.50"
     else:
         ts = "1.2.840.10008.1.2.1"
     meta_elems = (
@@ -382,10 +388,12 @@ def write_dicom_level(
     else:
         body += el(0x0020, 0x9311, b"CS", txt("TILED_FULL"))
     body += el(0x0028, 0x0002, b"US", struct.pack("<H", 3))
-    body += el(
-        0x0028, 0x0004, b"CS",
-        txt("YBR_FULL_422" if encapsulated and codec == "jpeg" else "RGB"),
-    )
+    photometric = "RGB"
+    if encapsulated and codec == "jpeg":
+        photometric = "YBR_FULL_422"
+    elif codec == "j2k_ycc":
+        photometric = "YBR_FULL"
+    body += el(0x0028, 0x0004, b"CS", txt(photometric))
     body += el(0x0028, 0x0008, b"IS", txt(str(len(frames))))
     body += el(0x0028, 0x0010, b"US", struct.pack("<H", tile))
     body += el(0x0028, 0x0011, b"US", struct.pack("<H", tile))
@@ -413,6 +421,15 @@ def write_dicom_level(
             from tests.tiff_builder import _j2k_encode_lossless
 
             fragments = [_j2k_encode_lossless(f) for f in frames]
+        elif codec == "j2k_ycc":
+            from tests.tiff_builder import (
+                _j2k_encode_lossless,
+                rgb_to_full_range_ycbcr,
+            )
+
+            fragments = [
+                _j2k_encode_lossless(rgb_to_full_range_ycbcr(f)) for f in frames
+            ]
         else:
             fragments = [_jpeg_bytes(f) for f in frames]
         pix = struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00" + struct.pack("<I", 0xFFFFFFFF)

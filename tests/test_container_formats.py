@@ -516,3 +516,46 @@ def test_dicom_j2k_lossless_roundtrip(tmp_path):
     sub = np.asarray(wsi.extract((40, 30), 0, (90, 50), mode="array"))
     np.testing.assert_array_equal(sub, img[30:80, 40:130])
     wsi.cleanup()
+
+
+def test_dicom_j2k_ycbcr_transform(tmp_path):
+    """.4.91 with YBR photometric: components are YCbCr and the reader must
+    apply the RGB transform outside the codestream (force_ycbcr). Oracle:
+    encode YCbCr planes losslessly and invert with the decoder's exact
+    libjpeg-style fixed-point math in numpy (same oracle as the Aperio
+    33003 test, tests/test_native_tiff.py)."""
+    pytest.importorskip("atlaspatch_tpu.io.native")
+    import ctypes
+
+    try:
+        ctypes.CDLL("libopenjp2.so.7")
+    except OSError:
+        pytest.skip("libopenjp2 not installed")
+    from tests.tiff_builder import rgb_to_full_range_ycbcr
+
+    img = smooth_rgb(160, 96)
+    path = write_dicom_level(tmp_path / "jy.dcm", img, tile=64, codec="j2k_ycc")
+
+    ycc = rgb_to_full_range_ycbcr(img)
+    y = ycc[..., 0].astype(np.int64)
+    cb_ = ycc[..., 1].astype(np.int64) - 128
+    cr = ycc[..., 2].astype(np.int64) - 128
+    expect = np.clip(
+        np.stack(
+            [
+                y + ((91881 * cr + 32768) >> 16),
+                y - ((22554 * cb_ + 46802 * cr + 32768) >> 16),
+                y + ((116130 * cb_ + 32768) >> 16),
+            ],
+            axis=-1,
+        ),
+        0, 255,
+    ).astype(np.uint8)
+
+    wsi = WSIFactory.load(str(path))
+    wsi._ensure_loaded()
+    out = np.asarray(wsi.extract((0, 0), 0, (160, 96), mode="array"))
+    np.testing.assert_array_equal(out, expect)
+    # The round trip stays within fixed-point rounding of the source image.
+    assert np.abs(out.astype(np.int32) - img.astype(np.int32)).max() <= 2
+    wsi.cleanup()
