@@ -50,9 +50,11 @@ def write_mirax(
     use_position_buffer: bool = True,
     compress_positions: bool = False,
     fill_bgr: int = 0xFFFFFF,
+    image_format: str = "JPEG",
 ) -> Path:
     """Write <path>.mrxs + data directory. level0 is the full slide image;
-    the camera grid is derived from tile size (no overlap)."""
+    the camera grid is derived from tile size (no overlap). image_format
+    "PNG" or "BMP" stores lossless tiles (some MIRAX versions do)."""
     path = Path(path)
     assert path.suffix == ".mrxs"
     h0, w0 = level0.shape[:2]
@@ -85,7 +87,16 @@ def write_mirax(
                 if sub.size == 0:
                     continue
                 tile[: sub.shape[0], : sub.shape[1]] = sub
-                blob = _jpeg_bytes(tile)
+                if image_format == "JPEG":
+                    blob = _jpeg_bytes(tile)
+                else:  # PNG / BMP lossless variants
+                    import io as _io
+
+                    from PIL import Image as _Image
+
+                    b = _io.BytesIO()
+                    _Image.fromarray(tile).save(b, image_format)
+                    blob = b.getvalue()
                 entries.append((cy * grid_x + cx, len(payload), len(blob), 0))
                 payload.extend(blob)
         tile_entries[k] = entries
@@ -180,7 +191,7 @@ def write_mirax(
             f"DIGITIZER_HEIGHT = {tile_h}",
             "OVERLAP_X = 0",
             "OVERLAP_Y = 0",
-            "IMAGE_FORMAT = JPEG",
+            f"IMAGE_FORMAT = {image_format}",
             f"IMAGE_CONCAT_FACTOR = {2**k}",
             f"IMAGE_FILL_COLOR_BGR = {fill_bgr}",
             f"MICROMETER_PER_PIXEL_X = {mpp * 2**k}",

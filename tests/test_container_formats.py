@@ -559,3 +559,21 @@ def test_dicom_j2k_ycbcr_transform(tmp_path):
     # The round trip stays within fixed-point rounding of the source image.
     assert np.abs(out.astype(np.int32) - img.astype(np.int32)).max() <= 2
     wsi.cleanup()
+
+
+@pytest.mark.parametrize("fmt", ["PNG", "BMP"])
+def test_mirax_png_bmp_tiles_roundtrip(tmp_path, fmt):
+    """Some MIRAX versions store PNG or BMP tiles instead of JPEG
+    (IMAGE_FORMAT in Slidedat.ini); lossless codecs must round-trip
+    bit-exactly through the reader's PIL fallback path."""
+    img = smooth_rgb(128, 96)
+    path = write_mirax(tmp_path / "p.mrxs", img, tile_w=64, tile_h=48,
+                       n_levels=1, image_format=fmt)
+    wsi = WSIFactory.load(str(path))
+    wsi._ensure_loaded()
+    assert (wsi.w, wsi.h) == (128, 96)
+    out = np.asarray(wsi.extract((0, 0), 0, (128, 96), mode="array"))
+    np.testing.assert_array_equal(out, img)
+    sub = np.asarray(wsi.extract((50, 30), 0, (60, 40), mode="array"))
+    np.testing.assert_array_equal(sub, img[30:70, 50:110])
+    wsi.cleanup()
