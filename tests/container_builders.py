@@ -318,6 +318,7 @@ def write_dicom_level(
     sparse: bool = False,
     implicit: bool = False,
     codec: str = "jpeg",
+    monochrome: str = "MONOCHROME2",
 ) -> Path:
     """One DICOM WSI instance (= one pyramid level), TILED_FULL or sparse.
 
@@ -332,6 +333,9 @@ def write_dicom_level(
         raise ValueError(f"unknown codec {codec!r}")
     if codec.startswith("j2k") and not encapsulated:
         raise ValueError("j2k frames require an encapsulated transfer syntax")
+    gray = level.ndim == 2
+    if gray and encapsulated:
+        raise ValueError("grayscale frames are written native-only here")
     h0, w0 = level.shape[:2]
     across = -(-w0 // tile)
     down = -(-h0 // tile)
@@ -339,7 +343,8 @@ def write_dicom_level(
     positions: list[tuple[int, int]] = []
     for ty in range(down):
         for tx in range(across):
-            t = np.full((tile, tile, 3), 255, dtype=np.uint8)
+            shape = (tile, tile) if gray else (tile, tile, 3)
+            t = np.full(shape, 255, dtype=np.uint8)
             sub = level[ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile]
             t[: sub.shape[0], : sub.shape[1]] = sub
             frames.append(t)
@@ -398,9 +403,11 @@ def write_dicom_level(
         body += el(0x0020, 0x9311, b"CS", txt("TILED_SPARSE"))
     else:
         body += el(0x0020, 0x9311, b"CS", txt("TILED_FULL"))
-    body += el(0x0028, 0x0002, b"US", struct.pack("<H", 3))
+    body += el(0x0028, 0x0002, b"US", struct.pack("<H", 1 if gray else 3))
     photometric = "RGB"
-    if encapsulated and codec == "jpeg":
+    if gray:
+        photometric = monochrome
+    elif encapsulated and codec == "jpeg":
         photometric = "YBR_FULL_422"
     elif codec == "j2k_ycc":
         photometric = "YBR_FULL"

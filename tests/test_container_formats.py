@@ -577,3 +577,20 @@ def test_mirax_png_bmp_tiles_roundtrip(tmp_path, fmt):
     sub = np.asarray(wsi.extract((50, 30), 0, (60, 40), mode="array"))
     np.testing.assert_array_equal(sub, img[30:70, 50:110])
     wsi.cleanup()
+
+
+@pytest.mark.parametrize("mono", ["MONOCHROME2", "MONOCHROME1"])
+def test_dicom_grayscale_frames(tmp_path, mono):
+    """Grayscale DICOM WSI (SamplesPerPixel 1, native frames): MONOCHROME2
+    maps straight to gray RGB, MONOCHROME1 inverts (0 = white)."""
+    rng = np.random.default_rng(71)
+    img = rng.integers(0, 255, (96, 160), np.uint8)
+    path = write_dicom_level(tmp_path / f"g{mono[-1]}.dcm", img, tile=64,
+                             encapsulated=False, monochrome=mono)
+    wsi = WSIFactory.load(str(path))
+    wsi._ensure_loaded()
+    assert (wsi.w, wsi.h) == (160, 96)
+    out = np.asarray(wsi.extract((0, 0), 0, (160, 96), mode="array"))
+    base = img if mono == "MONOCHROME2" else (255 - img)
+    np.testing.assert_array_equal(out, np.repeat(base[:, :, None], 3, axis=2))
+    wsi.cleanup()
