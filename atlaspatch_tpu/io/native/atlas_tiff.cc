@@ -156,6 +156,7 @@ struct IFD {
   std::string software;
   std::string xmp;
   bool tiled = false;
+  bool bits8 = true;  // every BitsPerSample value is 8 (tag absent = 8)
   std::vector<uint8_t> jpeg_tables;
   double x_resolution = 0.0, y_resolution = 0.0;
   uint32_t resolution_unit = 2;
@@ -1150,6 +1151,16 @@ static bool parse_ifds(AtlasTiff* t) {
     // decode buffers against corrupt RowsPerStrip values).
     if (d.rows_per_strip == 0 || d.rows_per_strip > d.height)
       d.rows_per_strip = d.height;
+    if (d.has(kBits)) {
+      // Every decode path assumes 8-bit samples; a 16-bit (or bilevel) TIFF
+      // must be rejected loudly, not reinterpreted byte-wise as garbage.
+      for (uint64_t b : d.array(t->bo, kBits)) {
+        if (b != 8) {
+          d.bits8 = false;
+          break;
+        }
+      }
+    }
     d.tiled = d.has(kTileWidth) && d.has(kTileOffsets);
     d.chunk_offsets = d.array(t->bo, d.tiled ? kTileOffsets : kStripOffsets);
     d.chunk_counts = d.array(t->bo, d.tiled ? kTileByteCounts : kStripByteCounts);
@@ -1222,7 +1233,7 @@ static std::string to_lower(std::string s) {
 // (largest real WSIs are ~20 gigapixels) so callers never size buffers
 // from garbage dimensions.
 static bool plausible_dims(const IFD& d) {
-  if (d.width == 0 || d.height == 0 || d.planar != 1) return false;
+  if (d.width == 0 || d.height == 0 || d.planar != 1 || !d.bits8) return false;
   if (d.width > (1ull << 30) || d.height > (1ull << 30) ||
       d.width * d.height > (1ull << 36))
     return false;

@@ -711,3 +711,15 @@ def test_single_strip_jpeg_giant_height_fails_before_fill(tmp_path: Path):
         t.read_region_level(0, 0, 0, w, h)
     assert time.monotonic() - t0 < 10.0
     t.close()
+
+
+def test_16bit_tiff_rejected_loudly(tmp_path: Path):
+    """Every decode path assumes 8-bit samples; a 16-bit TIFF must fail the
+    open loudly instead of byte-wise reinterpreting pixel data as garbage."""
+    arr16 = (np.arange(96 * 128, dtype=np.uint32).reshape(96, 128) % 65536).astype(
+        np.uint16
+    )
+    path = tmp_path / "deep.tiff"
+    Image.fromarray(arr16, mode="I;16").save(path)
+    with pytest.raises(RuntimeError, match="no decodable pyramid levels"):
+        AtlasTiffFile(str(path))
