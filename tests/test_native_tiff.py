@@ -723,3 +723,39 @@ def test_16bit_tiff_rejected_loudly(tmp_path: Path):
     Image.fromarray(arr16, mode="I;16").save(path)
     with pytest.raises(RuntimeError, match="no decodable pyramid levels"):
         AtlasTiffFile(str(path))
+
+
+def test_bigtiff_roundtrip(tmp_path: Path):
+    """BigTIFF (version 43): 8-byte IFD offsets/counts parse and the pixels
+    round-trip bit-exactly. The classic writer never exercises this header."""
+    from tests.tiff_builder import write_bigtiff_single_level
+
+    rng = np.random.default_rng(15)
+    img = rng.integers(0, 255, (96, 160, 3), np.uint8)
+    path = tmp_path / "big.tiff"
+    write_bigtiff_single_level(path, img)
+    t = AtlasTiffFile(str(path))
+    assert t.level_dimensions == [(160, 96)]
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, 160, 96), img)
+    np.testing.assert_array_equal(
+        t.read_region_level(0, 50, 30, 70, 40), img[30:70, 50:120]
+    )
+    t.close()
+
+
+def test_bigendian_tiff_roundtrip(tmp_path: Path):
+    """Big-endian classic TIFF ("MM"): every multi-byte field flows through
+    the ByteOrder plumbing; pixels round-trip bit-exactly."""
+    from tests.tiff_builder import write_bigendian_single_level
+
+    rng = np.random.default_rng(16)
+    img = rng.integers(0, 255, (96, 160, 3), np.uint8)
+    path = tmp_path / "be.tiff"
+    write_bigendian_single_level(path, img)
+    t = AtlasTiffFile(str(path))
+    assert t.level_dimensions == [(160, 96)]
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, 160, 96), img)
+    np.testing.assert_array_equal(
+        t.read_region_level(0, 33, 17, 60, 50), img[17:67, 33:93]
+    )
+    t.close()

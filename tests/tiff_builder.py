@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import struct
 import zlib
+from pathlib import Path
 
 import numpy as np
 
@@ -341,3 +342,116 @@ def write_pyramid(
         )
     w.save(path)
     return arrays
+
+
+def write_bigtiff_single_level(path, image: np.ndarray) -> None:
+    """Minimal BigTIFF (version 43, little-endian): one uncompressed tiled
+    level. Exercises the decoder's 8-byte offset/count IFD parsing, which the
+    classic-TIFF writer above never touches."""
+    h, w = image.shape[:2]
+    spp = 1 if image.ndim == 2 else image.shape[2]
+    img = image.reshape(h, w, spp)
+    tile = 64
+    across, down = (w + tile - 1) // tile, (h + tile - 1) // tile
+
+    buf = bytearray(struct.pack("<2sHHHQ", b"II", 43, 8, 0, 0))
+    chunks = []
+    for ty in range(down):
+        for tx in range(across):
+            block = np.zeros((tile, tile, spp), np.uint8)
+            ys, xs = ty * tile, tx * tile
+            ye, xe = min(h, ys + tile), min(w, xs + tile)
+            block[: ye - ys, : xe - xs] = img[ys:ye, xs:xe]
+            chunks.append(block.tobytes())
+    offsets = []
+    for c in chunks:
+        if len(buf) % 2:
+            buf.append(0)
+        offsets.append(len(buf))
+        buf.extend(c)
+
+    def entry(tag, typ, count, values) -> bytes:
+        size = {3: 2, 4: 4, 16: 8}[typ]
+        fmt = {3: "<H", 4: "<I", 16: "<Q"}[typ]
+        payload = b"".join(struct.pack(fmt, v) for v in values)
+        if len(payload) <= 8:
+            return struct.pack("<HHQ", tag, typ, count) + payload.ljust(8, b"\x00")
+        if len(buf) % 2:
+            buf.append(0)
+        off = len(buf)
+        buf.extend(payload)
+        return struct.pack("<HHQQ", tag, typ, count, off)
+
+    # Offset arrays must be written before the IFD (entry() appends to buf).
+    entries = [
+        entry(256, 16, 1, [w]),
+        entry(257, 16, 1, [h]),
+        entry(258, 3, spp, [8] * spp),
+        entry(259, 3, 1, [1]),
+        entry(262, 3, 1, [2 if spp == 3 else 1]),
+        entry(277, 3, 1, [spp]),
+        entry(322, 16, 1, [tile]),
+        entry(323, 16, 1, [tile]),
+        entry(324, 16, len(offsets), offsets),
+        entry(325, 16, len(chunks), [len(c) for c in chunks]),
+    ]
+    if len(buf) % 8:
+        buf.extend(b"\x00" * (8 - len(buf) % 8))
+    ifd_off = len(buf)
+    buf.extend(struct.pack("<Q", len(entries)))
+    for e in sorted(entries, key=lambda e: struct.unpack_from("<H", e)[0]):
+        buf.extend(e)
+    buf.extend(struct.pack("<Q", 0))  # next IFD
+    struct.pack_into("<Q", buf, 8, ifd_off)
+    Path(path).write_bytes(bytes(buf))
+
+
+def write_bigendian_single_level(path, image: np.ndarray) -> None:
+    """Minimal big-endian classic TIFF ("MM"): one uncompressed striped
+    level. The LE writer above never exercises the byte-order plumbing."""
+    h, w = image.shape[:2]
+    spp = 1 if image.ndim == 2 else image.shape[2]
+    img = image.reshape(h, w, spp)
+    rps = 16
+    strips = [img[ys : ys + rps].tobytes() for ys in range(0, h, rps)]
+
+    buf = bytearray(struct.pack(">2sHI", b"MM", 42, 0))
+    offsets = []
+    for s in strips:
+        if len(buf) % 2:
+            buf.append(0)
+        offsets.append(len(buf))
+        buf.extend(s)
+
+    def entry(tag, typ, count, values) -> bytes:
+        size = {3: 2, 4: 4}[typ]
+        fmt = {3: ">H", 4: ">I"}[typ]
+        payload = b"".join(struct.pack(fmt, v) for v in values)
+        if len(payload) <= 4:
+            return struct.pack(">HHI", tag, typ, count) + payload.ljust(4, b"\x00")
+        if len(buf) % 2:
+            buf.append(0)
+        off = len(buf)
+        buf.extend(payload)
+        return struct.pack(">HHII", tag, typ, count, off)
+
+    entries = [
+        entry(256, 4, 1, [w]),
+        entry(257, 4, 1, [h]),
+        entry(258, 3, spp, [8] * spp),
+        entry(259, 3, 1, [1]),
+        entry(262, 3, 1, [2 if spp == 3 else 1]),
+        entry(277, 3, 1, [spp]),
+        entry(278, 4, 1, [rps]),
+        entry(273, 4, len(offsets), offsets),
+        entry(279, 4, len(strips), [len(s) for s in strips]),
+    ]
+    if len(buf) % 2:
+        buf.append(0)
+    ifd_off = len(buf)
+    buf.extend(struct.pack(">H", len(entries)))
+    for e in sorted(entries, key=lambda e: struct.unpack_from(">H", e)[0]):
+        buf.extend(e)
+    buf.extend(struct.pack(">I", 0))
+    struct.pack_into(">I", buf, 4, ifd_off)
+    Path(path).write_bytes(bytes(buf))

@@ -100,6 +100,15 @@ def build_corpus(root: Path) -> dict[str, tuple[Path, Path]]:
     _Image.fromarray(_rgb(rng, 96, 128)).save(p, compression="tiff_lzw")
     add("tiff_lzw", p)
 
+    from tiff_builder import write_bigendian_single_level, write_bigtiff_single_level
+
+    p = d / "big.tiff"
+    write_bigtiff_single_level(p, _rgb(rng, 96, 160))
+    add("bigtiff", p)
+    p = d / "be.tiff"
+    write_bigendian_single_level(p, _rgb(rng, 96, 160))
+    add("tiff_bigendian", p)
+
     # Aperio JPEG2000 flavors (33005 RGB comps, 33003 YCbCr comps).
     p = d / "j2k_rgb.svs"
     write_pyramid(p, _rgb(rng, 128, 128), levels=1, tile=64, compression=33005,
