@@ -759,3 +759,42 @@ def test_bigendian_tiff_roundtrip(tmp_path: Path):
         t.read_region_level(0, 33, 17, 60, 50), img[17:67, 33:93]
     )
     t.close()
+
+
+def test_shared_jpegtables_layout(tmp_path: Path, canvas):
+    """Tag-347 JPEGTables with abbreviated per-tile streams — the layout
+    production Aperio writers use (DQT/DHT stored once). Pixels must match
+    the standalone-JFIF encoding of the same tiles exactly (identical
+    quantization, so identical decode)."""
+    from tests.tiff_builder import TiffWriter
+
+    # Standalone-JFIF reference file.
+    ref_path = tmp_path / "standalone.svs"
+    w = TiffWriter()
+    w.add_level(canvas, tile=64, compression=7)
+    w.save(ref_path)
+    # Same pixels in the shared-tables layout.
+    shared_path = tmp_path / "shared.svs"
+    w2 = TiffWriter()
+    w2.add_level(canvas, tile=64, compression=7, shared_jpeg_tables=True)
+    w2.save(shared_path)
+    assert shared_path.stat().st_size < ref_path.stat().st_size  # tables dedup
+
+    t_ref = AtlasTiffFile(str(ref_path))
+    t_shared = AtlasTiffFile(str(shared_path))
+    h, wd = canvas.shape[:2]
+    np.testing.assert_array_equal(
+        t_shared.read_region_level(0, 0, 0, wd, h),
+        t_ref.read_region_level(0, 0, 0, wd, h),
+    )
+    np.testing.assert_array_equal(
+        t_shared.read_region_level(0, 100, 50, 90, 70),
+        t_ref.read_region_level(0, 100, 50, 90, 70),
+    )
+    # The scaled fast path must honor the shared tables too.
+    s_ref = t_ref.read_region_level_scaled(0, 0, 0, wd, h, 2)
+    s_shared = t_shared.read_region_level_scaled(0, 0, 0, wd, h, 2)
+    if s_ref is not None and s_shared is not None:
+        np.testing.assert_array_equal(s_shared, s_ref)
+    t_ref.close()
+    t_shared.close()

@@ -19,6 +19,7 @@ TYPE_SHORT = 3
 TYPE_LONG = 4
 TYPE_RATIONAL = 5
 TYPE_SRATIONAL = 10
+TYPE_UNDEFINED = 7
 TYPE_FLOAT = 11
 
 
@@ -47,6 +48,32 @@ def rgb_to_full_range_ycbcr(rgb: np.ndarray) -> np.ndarray:
     cb = 128 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
     cr = 128 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
     return np.clip(np.stack([y, cb, cr], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def split_jpeg_tables(jfif: bytes) -> tuple[bytes, bytes]:
+    """Split a standalone JFIF into (tables_blob, abbreviated_stream) per the
+    TIFF/EP JPEGTables convention (tag 347): the tables blob is SOI + the
+    DQT/DHT segments + EOI; the abbreviated stream keeps everything else —
+    the layout real Aperio writers produce."""
+    assert jfif[:2] == b"\xff\xd8", "not a JPEG stream"
+    tables = bytearray(b"\xff\xd8")
+    stream = bytearray(b"\xff\xd8")
+    i = 2
+    while i + 4 <= len(jfif):
+        assert jfif[i] == 0xFF, "lost marker sync"
+        marker = jfif[i + 1]
+        if marker == 0xDA:  # SOS: the rest is entropy data + EOI
+            stream.extend(jfif[i:])
+            break
+        seglen = int.from_bytes(jfif[i + 2 : i + 4], "big")
+        seg = jfif[i : i + 2 + seglen]
+        if marker in (0xDB, 0xC4):  # DQT / DHT
+            tables.extend(seg)
+        else:
+            stream.extend(seg)
+        i += 2 + seglen
+    tables.extend(b"\xff\xd9")
+    return bytes(tables), bytes(stream)
 
 
 def _packbits_encode(row: bytes) -> bytes:
@@ -86,6 +113,7 @@ class TiffWriter:
         description: str | None = None,
         resolution: tuple[float, float, int] | None = None,  # (xres, yres, unit)
         extra_tags: list[tuple[int, int, list]] | None = None,  # (id, type, values)
+        shared_jpeg_tables: bool = False,  # compression 7: tag-347 layout
     ) -> None:
         h, w = image.shape[:2]
         spp = 1 if image.ndim == 2 else image.shape[2]
@@ -132,6 +160,10 @@ class TiffWriter:
                 return buf.getvalue()
 
             chunks = [_jpeg_encode(c) for c in chunks]
+            if shared_jpeg_tables:
+                split = [split_jpeg_tables(c) for c in chunks]
+                jpeg_tables_blob = split[0][0]
+                chunks = [abbrev for _tables, abbrev in split]
         elif compression == 8:
             chunks = [zlib.compress(c) for c in chunks]
         elif compression == 32773:
@@ -170,6 +202,9 @@ class TiffWriter:
                 data = b"".join(struct.pack("<ii", int(v * 10000), 10000) for v in values)
             elif type_ == TYPE_FLOAT:
                 data = struct.pack(f"<{len(values)}f", *values)
+            elif type_ == TYPE_UNDEFINED:
+                data = values[0]  # raw bytes
+                values = [None] * len(data)
             else:
                 raise ValueError(type_)
             entries.append((tag_id, type_, len(values), data))
@@ -182,6 +217,8 @@ class TiffWriter:
         if description:
             tag(270, TYPE_ASCII, [description])
         tag(277, TYPE_SHORT, spp)
+        if compression == 7 and shared_jpeg_tables:
+            tag(347, TYPE_UNDEFINED, [jpeg_tables_blob])
         if tile:
             tag(322, TYPE_LONG, tile)
             tag(323, TYPE_LONG, tile)
@@ -261,6 +298,9 @@ class TiffWriter:
                 data = b"".join(struct.pack("<ii", int(v * 10000), 10000) for v in values)
             elif type_ == TYPE_FLOAT:
                 data = struct.pack(f"<{len(values)}f", *values)
+            elif type_ == TYPE_UNDEFINED:
+                data = values[0]  # raw bytes
+                values = [None] * len(data)
             else:
                 raise ValueError(type_)
             entries.append((tag_id, type_, len(values), data))

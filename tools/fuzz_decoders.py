@@ -83,6 +83,13 @@ def build_corpus(root: Path) -> dict[str, tuple[Path, Path]]:
     write_pyramid(p, _rgb(rng, 160, 224), levels=2, tile=64, compression=7,
                   description="Aperio Fake |AppMag = 20|MPP = 0.5|")
     add("svs_jpeg", p)
+    p = d / "a347.svs"  # shared JPEGTables (tag 347, abbreviated streams)
+    w = TiffWriter()
+    w.add_level(_rgb(rng, 160, 224), tile=64, compression=7,
+                shared_jpeg_tables=True,
+                description="Aperio Fake |AppMag = 20|MPP = 0.5|")
+    w.save(p)
+    add("svs_jpegtables", p)
     p = d / "b.tiff"
     write_pyramid(p, _rgb(rng, 128, 160), levels=2, tile=None, compression=8)
     add("tiff_deflate_strips", p)
