@@ -798,3 +798,15 @@ def test_shared_jpegtables_layout(tmp_path: Path, canvas):
         np.testing.assert_array_equal(s_shared, s_ref)
     t_ref.close()
     t_shared.close()
+
+
+@pytest.mark.skipif(not _j2k_lib_present(), reason="libopenjp2 not installed")
+def test_j2k_standard_34712_decode(tmp_path: Path, canvas):
+    """Standard TIFF JPEG2000 (compression 34712, RGB components): same
+    decode path as Aperio 33005 but through its own compression case."""
+    path = tmp_path / "std.tiff"
+    arrays = write_pyramid(path, canvas, levels=1, tile=64, compression=34712)
+    t = AtlasTiffFile(str(path))
+    h, w = arrays[0].shape[:2]
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, w, h), arrays[0])
+    t.close()
