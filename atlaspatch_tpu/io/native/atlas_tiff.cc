@@ -201,6 +201,7 @@ struct IFD {
     auto it = entries.find(tag);
     if (it == entries.end() || it->second.count == 0) return false;
     const Entry& e = it->second;
+    if (e.data.size() < type_size(e.type)) return false;  // defensive
     const uint8_t* p = e.data.data();
     switch (e.type) {
       case 1: *out = p[0]; return true;
@@ -240,7 +241,11 @@ struct IFD {
 
   double rational(const ByteOrder& bo, uint16_t tag) const {
     auto it = entries.find(tag);
-    if (it == entries.end() || it->second.type != 5) return 0.0;
+    // Size, not just type: a RATIONAL entry with a corrupt count of 0 holds
+    // no data and reading 8 bytes from it was a fuzz-found segfault.
+    if (it == entries.end() || it->second.type != 5 ||
+        it->second.data.size() < 8)
+      return 0.0;
     const uint8_t* p = it->second.data.data();
     uint32_t num = bo.u32(p), den = bo.u32(p + 4);
     return den ? (double)num / den : 0.0;
@@ -1979,6 +1984,15 @@ static bool read_region_impl(const AtlasTiff* t, int level, int64_t x, int64_t y
   }
 whole_strip:
 
+  // Single-chunk whole-image JPEGs are exempt from the parse-time strip
+  // bounds (legit NDPI levels are genuinely giant), so a corrupt width can
+  // reach this fallback declaring a multi-gigabyte decode buffer. Real
+  // whole-strip decodes are bounded by JPEG's 65,535-px SOF fields; refuse
+  // before committing the background fill + chunk allocation.
+  if ((uint64_t)cw * (uint64_t)chh * d.spp > (2ull << 30)) {
+    *err = "chunk decode buffer implausibly large (corrupt dims?)";
+    return false;
+  }
   fill_bg();
   std::vector<uint8_t> chunk((size_t)(cw * chh * d.spp));
   for (int64_t ty = y0 / chh; ty * chh < y1; ++ty) {

@@ -810,3 +810,53 @@ def test_j2k_standard_34712_decode(tmp_path: Path, canvas):
     h, w = arrays[0].shape[:2]
     np.testing.assert_array_equal(t.read_region_level(0, 0, 0, w, h), arrays[0])
     t.close()
+
+
+def test_rational_tag_with_zero_count_no_crash(tmp_path: Path, canvas):
+    """A RATIONAL entry (e.g. YResolution) with a corrupt count of 0 holds no
+    data; reading 8 bytes from it was a fuzz-found segfault. Must open and
+    read cleanly, just without resolution-derived MPP."""
+    path = tmp_path / "r0.tiff"
+    write_pyramid(path, canvas, levels=1, tile=64,
+                  resolution=(40000.0, 40000.0, 3))
+    buf = bytearray(path.read_bytes())
+    _patch_ifd_entry(buf, 0, 283, count=0)  # YResolution
+    path.write_bytes(bytes(buf))
+
+    t = AtlasTiffFile(str(path))
+    h, w = canvas.shape[:2]
+    out = t.read_region_level(0, 0, 0, w, h)
+    np.testing.assert_array_equal(out, canvas)
+    t.close()
+    wsi = TiffWSI(path=str(path))
+    wsi._ensure_loaded()  # MPP ladder runs over the corrupt tag
+    wsi.cleanup()
+
+
+def test_single_strip_jpeg_giant_width_unparseable_header_fails_fast(tmp_path: Path):
+    """Corrupt giant width + an unparseable JPEG header routes to the
+    whole-strip fallback, which previously committed a multi-gigabyte fill
+    and decode buffer before failing; the buffer cap must refuse first."""
+    import time
+
+    from tests.test_vendor_formats import (
+        _jpeg_with_restarts,
+        _write_single_strip_ndpi,
+    )
+
+    rng = np.random.default_rng(17)
+    img = np.kron(rng.integers(0, 255, (12, 32, 3), np.uint8),
+                  np.ones((8, 8, 1), np.uint8))
+    stream = bytearray(_jpeg_with_restarts(img, rows=2))
+    stream[2:10] = b"\x00" * 8  # wreck the first header segment (keep SOI)
+    path = tmp_path / "wide.ndpi"
+    _write_single_strip_ndpi(path, bytes(stream), 1 << 24, 96)
+
+    t = AtlasTiffFile(str(path))
+    if t.level_count:
+        w, h = t.level_dimensions[0]
+        t0 = time.monotonic()
+        with pytest.raises(RuntimeError):
+            t.read_region_level(0, 0, 0, w, h)
+        assert time.monotonic() - t0 < 10.0
+    t.close()
