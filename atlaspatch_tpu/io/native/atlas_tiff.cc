@@ -117,6 +117,7 @@ enum Tag : uint16_t {
   kTileHeight = 323,
   kTileOffsets = 324,
   kTileByteCounts = 325,
+  kColorMap = 320,
   kJPEGTables = 347,
   kSoftware = 305,
   kXMP = 700,  // XML packet; Ventana BIF stores the iScan element here
@@ -157,6 +158,7 @@ struct IFD {
   std::string xmp;
   bool tiled = false;
   bool bits8 = true;  // every BitsPerSample value is 8 (tag absent = 8)
+  std::vector<uint8_t> palette;  // 768-byte RGB lookup (photometric 3 only)
   std::vector<uint8_t> jpeg_tables;
   double x_resolution = 0.0, y_resolution = 0.0;
   uint32_t resolution_unit = 2;
@@ -1166,6 +1168,23 @@ static bool parse_ifds(AtlasTiff* t) {
         }
       }
     }
+    if (d.photometric == 3 && d.has(kColorMap)) {
+      // ColorMap: 3 planes of 2^bits SHORTs (all R, all G, all B). Values
+      // are nominally 16-bit (use the high byte); some writers store 8-bit
+      // values directly — detected when every entry fits a byte, the same
+      // heuristic libtiff applies.
+      std::vector<uint64_t> cm = d.array(t->bo, kColorMap);
+      if (d.bits8 && cm.size() >= 768) {
+        uint64_t mx = 0;
+        for (size_t i = 0; i < 768; ++i) mx = std::max(mx, cm[i]);
+        d.palette.resize(768);
+        for (size_t i = 0; i < 256; ++i)
+          for (size_t c = 0; c < 3; ++c) {
+            uint64_t v = cm[c * 256 + i];
+            d.palette[i * 3 + c] = (uint8_t)(mx > 255 ? v >> 8 : v);
+          }
+      }
+    }
     d.tiled = d.has(kTileWidth) && d.has(kTileOffsets);
     d.chunk_offsets = d.array(t->bo, d.tiled ? kTileOffsets : kStripOffsets);
     d.chunk_counts = d.array(t->bo, d.tiled ? kTileByteCounts : kStripByteCounts);
@@ -1239,6 +1258,28 @@ static std::string to_lower(std::string s) {
 // from garbage dimensions.
 static bool plausible_dims(const IFD& d) {
   if (d.width == 0 || d.height == 0 || d.planar != 1 || !d.bits8) return false;
+  // Photometrics the RGB expansion understands. CMYK (5), CIELab (8), and
+  // anything newer would render garbage silently — skip the IFD instead
+  // (a file with no decodable IFD fails open with "no decodable pyramid
+  // levels"). Palette-color needs its lookup table and only occurs with
+  // raw-sample compressions (the JPEG/J2K decoders emit gray or RGB, never
+  // palette indices); YCbCr is valid only where a JPEG-family decoder does
+  // the color conversion.
+  switch (d.photometric) {
+    case 0: case 1: case 2: break;
+    case 3:
+      if (d.palette.empty() || d.spp != 1 || d.compression == 6 ||
+          d.compression == 7 || d.compression >= 33000)
+        return false;
+      break;
+    case 6:
+      if (!(d.compression == 7 || d.compression == 33003 ||
+            d.compression == 33005 || d.compression == 34712))
+        return false;
+      break;
+    default:
+      return false;
+  }
   if (d.width > (1ull << 30) || d.height > (1ull << 30) ||
       d.width * d.height > (1ull << 36))
     return false;
@@ -1793,6 +1834,33 @@ static bool read_region_striped(const AtlasTiff* t, const IFD& d,
   return true;
 }
 
+// Expand one run of decoded chunk samples to RGB: spp>=3 copies the first
+// three channels, palette-color (photometric 3) looks indices up in the
+// 8-bit RGB table, grayscale replicates (inverting for MinIsWhite).
+static void samples_to_rgb(const IFD& d, const uint8_t* src, uint8_t* dst,
+                           int64_t count) {
+  if (d.spp >= 3) {
+    for (int64_t i = 0; i < count; ++i) {
+      dst[i * 3 + 0] = src[i * d.spp + 0];
+      dst[i * 3 + 1] = src[i * d.spp + 1];
+      dst[i * 3 + 2] = src[i * d.spp + 2];
+    }
+  } else if (!d.palette.empty()) {
+    for (int64_t i = 0; i < count; ++i) {
+      const uint8_t* p = d.palette.data() + (size_t)src[i] * 3;
+      dst[i * 3 + 0] = p[0];
+      dst[i * 3 + 1] = p[1];
+      dst[i * 3 + 2] = p[2];
+    }
+  } else {
+    const bool invert = d.photometric == 0;
+    for (int64_t i = 0; i < count; ++i) {
+      uint8_t v = invert ? (uint8_t)(255 - src[i]) : src[i];
+      dst[i * 3 + 0] = dst[i * 3 + 1] = dst[i * 3 + 2] = v;
+    }
+  }
+}
+
 // Fill an RGB window from one level. x/y are LEVEL coordinates.
 // Positioned-tile painter for levels whose tiles overlap (Ventana BIF base
 // level, Level::adv_x/adv_y > 0). Tile (c, r) of the raw mosaic is painted at
@@ -1847,20 +1915,7 @@ static bool read_region_positioned(const AtlasTiff* t, const IFD& d,
         const uint8_t* src =
             chunk.data() + (size_t)((yy - oy) * tw + (cx0 - ox)) * d.spp;
         uint8_t* dstp = out + (size_t)((yy - y) * w + (cx0 - x)) * 3;
-        int64_t count = cx1 - cx0;
-        if (d.spp >= 3) {
-          for (int64_t i = 0; i < count; ++i) {
-            dstp[i * 3 + 0] = src[i * d.spp + 0];
-            dstp[i * 3 + 1] = src[i * d.spp + 1];
-            dstp[i * 3 + 2] = src[i * d.spp + 2];
-          }
-        } else {  // grayscale (invert for MinIsWhite)
-          bool invert = d.photometric == 0;
-          for (int64_t i = 0; i < count; ++i) {
-            uint8_t v = invert ? (uint8_t)(255 - src[i]) : src[i];
-            dstp[i * 3 + 0] = dstp[i * 3 + 1] = dstp[i * 3 + 2] = v;
-          }
-        }
+        samples_to_rgb(d, src, dstp, cx1 - cx0);
       }
     }
   }
@@ -2012,20 +2067,7 @@ whole_strip:
         const uint8_t* src =
             chunk.data() + (size_t)((yy - ty * chh) * cw + (cx0 - tx * cw)) * d.spp;
         uint8_t* dstp = out + (size_t)((yy - y) * w + (cx0 - x)) * 3;
-        int64_t count = cx1 - cx0;
-        if (d.spp >= 3) {
-          for (int64_t i = 0; i < count; ++i) {
-            dstp[i * 3 + 0] = src[i * d.spp + 0];
-            dstp[i * 3 + 1] = src[i * d.spp + 1];
-            dstp[i * 3 + 2] = src[i * d.spp + 2];
-          }
-        } else {  // grayscale (invert for MinIsWhite)
-          bool invert = d.photometric == 0;
-          for (int64_t i = 0; i < count; ++i) {
-            uint8_t v = invert ? (uint8_t)(255 - src[i]) : src[i];
-            dstp[i * 3 + 0] = dstp[i * 3 + 1] = dstp[i * 3 + 2] = v;
-          }
-        }
+        samples_to_rgb(d, src, dstp, cx1 - cx0);
       }
     }
   }
@@ -2110,12 +2152,8 @@ static int read_region_scaled_impl(const AtlasTiff* t, int level, int64_t x,
         int64_t count = cx1 - cx0;
         if (d.spp == 3) {
           std::memcpy(dstp, src, (size_t)count * 3);
-        } else {  // grayscale (invert for MinIsWhite)
-          bool invert = d.photometric == 0;
-          for (int64_t i = 0; i < count; ++i) {
-            uint8_t v = invert ? (uint8_t)(255 - src[i]) : src[i];
-            dstp[i * 3 + 0] = dstp[i * 3 + 1] = dstp[i * 3 + 2] = v;
-          }
+        } else {  // grayscale (JPEG-only path: palette never reaches here)
+          samples_to_rgb(d, src, dstp, count);
         }
       }
     }

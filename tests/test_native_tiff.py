@@ -860,3 +860,41 @@ def test_single_strip_jpeg_giant_width_unparseable_header_fails_fast(tmp_path: P
             t.read_region_level(0, 0, 0, w, h)
         assert time.monotonic() - t0 < 10.0
     t.close()
+
+
+def test_palette_tiff_decodes_rgb(tmp_path: Path, canvas):
+    """Palette-color TIFFs (photometric 3 + ColorMap) must render through the
+    lookup table, matching OpenSlide's RGBA expansion — not expose the raw
+    indices as grayscale. PIL writes the 16-bit-per-channel ColorMap."""
+    img = Image.fromarray(canvas).quantize(colors=200)
+    path = tmp_path / "pal.tiff"
+    img.save(path)
+    expected = np.asarray(img.convert("RGB"))
+    t = AtlasTiffFile(str(path))
+    out = t.read_region_level(0, 0, 0, canvas.shape[1], canvas.shape[0])
+    np.testing.assert_array_equal(out, expected)
+    # sub-window goes through the same expansion
+    sub = t.read_region_level(0, 37, 21, 64, 48)
+    np.testing.assert_array_equal(sub, expected[21:69, 37:101])
+    t.close()
+
+
+def test_palette_tiff_lzw_decodes_rgb(tmp_path: Path, canvas):
+    """Palette + LZW (the common PIL/ImageMagick combination)."""
+    img = Image.fromarray(canvas).quantize(colors=64)
+    path = tmp_path / "pal_lzw.tiff"
+    img.save(path, compression="tiff_lzw")
+    expected = np.asarray(img.convert("RGB"))
+    t = AtlasTiffFile(str(path))
+    out = t.read_region_level(0, 0, 0, canvas.shape[1], canvas.shape[0])
+    np.testing.assert_array_equal(out, expected)
+    t.close()
+
+
+def test_cmyk_tiff_rejected_loudly(tmp_path: Path, canvas):
+    """CMYK (photometric 5) has no RGB expansion here; truncating the first
+    three channels would silently render garbage, so the open must fail."""
+    path = tmp_path / "cmyk.tiff"
+    Image.fromarray(canvas).convert("CMYK").save(path)
+    with pytest.raises(RuntimeError, match="no decodable pyramid levels"):
+        AtlasTiffFile(str(path))

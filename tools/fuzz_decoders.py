@@ -106,6 +106,9 @@ def build_corpus(root: Path) -> dict[str, tuple[Path, Path]]:
     p = d / "lzw.tif"  # LZW comes from PIL; the suite's builder doesn't emit it
     _Image.fromarray(_rgb(rng, 96, 128)).save(p, compression="tiff_lzw")
     add("tiff_lzw", p)
+    p = d / "pal.tif"  # palette-color (photometric 3 + ColorMap lookup)
+    _Image.fromarray(_rgb(rng, 96, 128)).quantize(colors=120).save(p)
+    add("tiff_palette", p)
 
     from tiff_builder import write_bigendian_single_level, write_bigtiff_single_level
 
