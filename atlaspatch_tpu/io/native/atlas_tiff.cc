@@ -118,6 +118,7 @@ enum Tag : uint16_t {
   kTileOffsets = 324,
   kTileByteCounts = 325,
   kColorMap = 320,
+  kSubIFDs = 330,  // reduced-resolution pyramid levels (OME-TIFF/libvips layout)
   kJPEGTables = 347,
   kSoftware = 305,
   kXMP = 700,  // XML packet; Ventana BIF stores the iScan element here
@@ -141,7 +142,7 @@ static size_t type_size(uint16_t type) {
   switch (type) {
     case 1: case 2: case 6: case 7: return 1;   // BYTE/ASCII/SBYTE/UNDEF
     case 3: case 8: return 2;                    // SHORT
-    case 4: case 9: case 11: return 4;           // LONG/SLONG/FLOAT
+    case 4: case 9: case 11: case 13: return 4;  // LONG/SLONG/FLOAT/IFD
     case 5: case 10: case 12: case 16: case 17: case 18: return 8;
     default: return 0;
   }
@@ -158,6 +159,7 @@ struct IFD {
   std::string xmp;
   bool tiled = false;
   bool bits8 = true;  // every BitsPerSample value is 8 (tag absent = 8)
+  int sub_of = -1;  // index of the main-chain IFD this SubIFD belongs to
   std::vector<uint8_t> palette;  // 768-byte RGB lookup (photometric 3 only)
   std::vector<uint8_t> jpeg_tables;
   double x_resolution = 0.0, y_resolution = 0.0;
@@ -189,8 +191,8 @@ struct IFD {
       const uint8_t* p = e.data.data() + i * ts;
       switch (e.type) {
         case 3: out.push_back(bo.u16(p)); break;
-        case 4: out.push_back(bo.u32(p)); break;
-        case 16: out.push_back(bo.u64(p)); break;
+        case 4: case 13: out.push_back(bo.u32(p)); break;  // LONG / IFD
+        case 16: case 18: out.push_back(bo.u64(p)); break;  // LONG8 / IFD8
         default: out.push_back(0); break;
       }
     }
@@ -1064,6 +1066,10 @@ static bool read_region_jpeg_sequential(const AtlasTiff* t, const IFD& d,
 }
 
 // ------------------------------------------------------------------ IFD parse
+static bool parse_one_ifd(AtlasTiff* t, uint64_t ifd_off, IFD* out,
+                          uint64_t* next_off);
+static bool finish_parse(AtlasTiff* t);
+
 static bool parse_ifds(AtlasTiff* t) {
   uint8_t header[16];
   if (!t->file.read_at(0, header, 8)) return false;
@@ -1089,11 +1095,48 @@ static bool parse_ifds(AtlasTiff* t) {
     return false;
   }
 
-  size_t entry_size = t->bigtiff ? 20 : 12;
   int guard = 0;
   while (ifd_off != 0 && guard++ < 1024) {
-    uint64_t count;
-    uint64_t entries_off;
+    IFD d;
+    uint64_t next_off = 0;
+    if (!parse_one_ifd(t, ifd_off, &d, &next_off)) return false;
+    t->ifds.push_back(std::move(d));
+    ifd_off = next_off;
+  }
+  if (t->ifds.empty()) return false;
+
+  // OME-TIFF / libvips pyramids place reduced levels in SubIFDs (tag 330)
+  // of the full-resolution directory rather than on the main chain. Walk
+  // one nesting level deep (each entry may itself chain via next pointers);
+  // global caps bound corrupt files that point SubIFDs back at the chain.
+  const size_t n_main = t->ifds.size();
+  for (size_t i = 0; i < n_main && t->ifds.size() < 1024; ++i) {
+    std::vector<uint64_t> subs = t->ifds[i].array(t->bo, kSubIFDs);
+    for (uint64_t off : subs) {
+      int sguard = 0;
+      while (off != 0 && off < t->file.size && sguard++ < 64 &&
+             t->ifds.size() < 1024) {
+        IFD sd;
+        uint64_t next = 0;
+        if (!parse_one_ifd(t, off, &sd, &next)) break;
+        sd.sub_of = (int)i;
+        t->ifds.push_back(std::move(sd));
+        off = next;
+      }
+    }
+  }
+  return finish_parse(t);
+}
+
+// Parse the IFD at `ifd_off` into *out and report the chained next-IFD
+// offset. Failure means the structure itself is unreadable (I/O error or an
+// implausible entry count); individual bad entries are skipped.
+static bool parse_one_ifd(AtlasTiff* t, uint64_t ifd_off, IFD* out,
+                          uint64_t* next_off) {
+  const size_t entry_size = t->bigtiff ? 20 : 12;
+  uint64_t count;
+  uint64_t entries_off;
+  {
     if (t->bigtiff) {
       uint8_t buf[8];
       if (!t->file.read_at(ifd_off, buf, 8)) return false;
@@ -1112,7 +1155,7 @@ static bool parse_ifds(AtlasTiff* t) {
     std::vector<uint8_t> raw(count * entry_size);
     if (!t->file.read_at(entries_off, raw.data(), raw.size())) return false;
 
-    IFD d;
+    IFD& d = *out;
     for (uint64_t i = 0; i < count; ++i) {
       const uint8_t* p = raw.data() + i * entry_size;
       uint16_t tag = t->bo.u16(p);
@@ -1212,16 +1255,16 @@ static bool parse_ifds(AtlasTiff* t) {
                      strnlen(reinterpret_cast<const char*>(e.data.data()),
                              e.data.size()));
     }
-    t->ifds.push_back(std::move(d));
-
-    const uint8_t* np = raw.data() + count * entry_size;
-    uint8_t nextbuf[8];
-    if (!t->file.read_at(entries_off + count * entry_size, nextbuf,
-                         t->bigtiff ? 8 : 4))
-      break;
-    (void)np;
-    ifd_off = t->bigtiff ? t->bo.u64(nextbuf) : t->bo.u32(nextbuf);
+    uint8_t nextbuf[8] = {0};
+    if (t->file.read_at(entries_off + count * entry_size, nextbuf,
+                        t->bigtiff ? 8 : 4))
+      *next_off = t->bigtiff ? t->bo.u64(nextbuf) : t->bo.u32(nextbuf);
   }
+  return true;
+}
+
+// Post-chain fixups shared by every container family.
+static bool finish_parse(AtlasTiff* t) {
   if (t->ifds.empty()) return false;
 
   t->ndpi = t->ifds[0].has(kNdpiMagic);
@@ -1484,6 +1527,9 @@ static void build_levels_generic(AtlasTiff* t) {
     const IFD& d = t->ifds[i];
     if (!plausible_dims(d)) continue;
     if (associated_ifd(d)) continue;
+    // SubIFD levels belong to their parent image: only the base's reductions
+    // join its pyramid (a macro/label image may carry SubIFDs of its own).
+    if (d.sub_of >= 0 && (size_t)d.sub_of != base) continue;
     if (aperio && !d.tiled) continue;  // SVS striped IFD1 = thumbnail image
     if (base != 0) {
       // BIF-style base rescue: striped dirs are overviews, and nothing
@@ -1493,6 +1539,17 @@ static void build_levels_generic(AtlasTiff* t) {
     }
     double aspect = (double)d.width / (double)d.height;
     if (aspect0 > 0 && std::abs(aspect - aspect0) / aspect0 > 0.05) continue;
+    // A real pyramid never repeats a level size; duplicates are sibling
+    // planes of a multi-page image (OME-TIFF channels/timepoints share the
+    // base dims) — expose the first plane only, like OpenSlide's generic
+    // driver keeps one image series.
+    bool dup = false;
+    for (const Level& L : t->levels)
+      if (L.width == d.width && L.height == d.height) {
+        dup = true;
+        break;
+      }
+    if (dup) continue;
     t->levels.push_back({i, d.width, d.height, 1.0});
   }
 }

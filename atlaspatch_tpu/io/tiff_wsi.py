@@ -6,7 +6,8 @@ decoder (io/native/atlas_tiff.cc). The 4-tier MPP extraction ladder is
 reproduced over our property naming:
 
   1. direct keys (aperio.MPP, user-provided)
-  2. regex over free-text (tiff.ImageDescription)
+  2. regex over free-text (tiff.ImageDescription), incl. OME-XML
+     PhysicalSizeX[Unit] for OME-TIFFs
   3. TIFF resolution tags (XResolution + ResolutionUnit)
   4. 10 / magnification (aperio.AppMag)
 """
@@ -95,6 +96,8 @@ class TiffWSI(IWSI):
                     return v
         for key in self._MPP_TEXT_KEYS:
             parsed = self._parse_mpp_from_string(meta.get(key))
+            if parsed is None:
+                parsed = self._parse_ome_physical_size(meta.get(key))
             if parsed is not None:
                 v = self._plausible(parsed)
                 if v is not None:
@@ -135,6 +138,10 @@ class TiffWSI(IWSI):
                     return int(float(val))
                 except (ValueError, TypeError):
                     continue
+        for key in self._MPP_TEXT_KEYS:
+            mag = self._parse_ome_nominal_mag(meta.get(key))
+            if mag is not None and mag > 0:
+                return int(mag)
         if self.mpp is not None:
             try:
                 return self._infer_mag(self.mpp)
@@ -158,6 +165,38 @@ class TiffWSI(IWSI):
                 except ValueError:
                     continue
         return None
+
+    # --- OME-XML (OME-TIFF ImageDescription) ---------------------------------
+    @staticmethod
+    def _parse_ome_physical_size(val: Optional[str]) -> Optional[float]:
+        """PhysicalSizeX from an OME-XML Pixels element, normalized to µm.
+        OpenSlide's generic driver ignores OME metadata entirely, so this tier
+        strictly widens coverage (OME-TIFFs rarely carry resolution tags)."""
+        if not val or "<OME" not in val:
+            return None
+        m = re.search(r'PhysicalSizeX\s*=\s*["\']([0-9.eE+\-]+)["\']', val)
+        if not m:
+            return None
+        try:
+            v = float(m.group(1))
+        except ValueError:
+            return None
+        mu = re.search(r'PhysicalSizeXUnit\s*=\s*["\']([^"\']+)["\']', val)
+        unit = mu.group(1) if mu else "µm"  # OME default unit is µm
+        scale = {"nm": 1e-3, "µm": 1.0, "um": 1.0, "μm": 1.0, "mm": 1e3, "cm": 1e4}.get(unit)
+        return v * scale if scale is not None else None
+
+    @staticmethod
+    def _parse_ome_nominal_mag(val: Optional[str]) -> Optional[float]:
+        if not val or "<OME" not in val:
+            return None
+        m = re.search(r'NominalMagnification\s*=\s*["\']([0-9.eE+\-]+)["\']', val)
+        if not m:
+            return None
+        try:
+            return float(m.group(1))
+        except ValueError:
+            return None
 
     # --- pixel access ---------------------------------------------------------------
     def extract(

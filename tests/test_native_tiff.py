@@ -898,3 +898,56 @@ def test_cmyk_tiff_rejected_loudly(tmp_path: Path, canvas):
     Image.fromarray(canvas).convert("CMYK").save(path)
     with pytest.raises(RuntimeError, match="no decodable pyramid levels"):
         AtlasTiffFile(str(path))
+
+
+def test_ome_tiff_subifd_pyramid(tmp_path: Path, canvas):
+    """OME-TIFF layout: reduced levels in SubIFDs (tag 330) of the base
+    directory (the Bio-Formats/bfconvert convention). Every level must
+    round-trip, and MPP/mag must come from the OME-XML PhysicalSizeX /
+    NominalMagnification (OpenSlide's generic driver exposes neither)."""
+    from tests.tiff_builder import write_ome_pyramid
+
+    path = tmp_path / "slide.ome.tiff"
+    arrays = write_ome_pyramid(
+        path, canvas, levels=3, physical_size_x=0.25, mag=40.0
+    )
+    t = AtlasTiffFile(str(path))
+    assert t.level_count == 3
+    assert t.dimensions == (512, 384)
+    for lv, arr in enumerate(arrays):
+        h, w = arr.shape[:2]
+        np.testing.assert_array_equal(t.read_region_level(lv, 0, 0, w, h), arr)
+    t.close()
+
+    wsi = TiffWSI(path=str(path))
+    wsi._ensure_loaded()
+    assert wsi.mpp == 0.25
+    assert wsi.mag == 40
+    wsi.cleanup()
+
+
+def test_ome_tiff_unit_scaling(tmp_path: Path, canvas):
+    """PhysicalSizeXUnit in nm must normalize to µm."""
+    from tests.tiff_builder import write_ome_pyramid
+
+    path = tmp_path / "nm.ome.tiff"
+    write_ome_pyramid(path, canvas, levels=1, physical_size_x=500.0, unit="nm")
+    wsi = TiffWSI(path=str(path))
+    wsi._ensure_loaded()
+    assert wsi.mpp == 0.5
+    wsi.cleanup()
+
+
+def test_ome_tiff_sibling_planes_deduped(tmp_path: Path, canvas):
+    """Full-size sibling planes on the main chain (OME channels/timepoints)
+    must not masquerade as extra pyramid levels of identical size."""
+    from tests.tiff_builder import write_ome_pyramid
+
+    path = tmp_path / "multi.ome.tiff"
+    arrays = write_ome_pyramid(path, canvas, levels=2, extra_planes=2)
+    t = AtlasTiffFile(str(path))
+    assert t.level_count == 2  # base + one reduction; siblings deduped
+    np.testing.assert_array_equal(
+        t.read_region_level(0, 0, 0, 512, 384), arrays[0]
+    )
+    t.close()

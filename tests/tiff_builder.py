@@ -495,3 +495,56 @@ def write_bigendian_single_level(path, image: np.ndarray) -> None:
     buf.extend(struct.pack(">I", 0))
     struct.pack_into(">I", buf, 4, ifd_off)
     Path(path).write_bytes(bytes(buf))
+
+
+def write_ome_pyramid(
+    path,
+    level0: np.ndarray,
+    *,
+    levels: int = 3,
+    tile: int | None = 64,
+    physical_size_x: float | None = None,
+    unit: str = "µm",
+    mag: float | None = None,
+    extra_planes: int = 0,
+) -> list[np.ndarray]:
+    """OME-TIFF layout: reduced levels live in SubIFDs (tag 330) of the base
+    directory (the Bio-Formats/bfconvert convention) and the base carries an
+    OME-XML ImageDescription with PhysicalSizeX[Unit]. `extra_planes` appends
+    sibling full-size planes on the main chain (channels/timepoints)."""
+    w = TiffWriter()
+    arrays = [level0]
+    for _ in range(levels - 1):
+        arrays.append(arrays[-1][::2, ::2].copy())
+    # Sub-IFD levels are written first so their offsets exist for tag 330;
+    # popping them from ifd_offsets keeps them off the main chain.
+    for arr in arrays[1:]:
+        w.add_level(arr, tile=tile)
+    subs = list(w.ifd_offsets)
+    w.ifd_offsets.clear()
+    ps = (
+        f' PhysicalSizeX="{physical_size_x}" PhysicalSizeXUnit="{unit}"'
+        f' PhysicalSizeY="{physical_size_x}" PhysicalSizeYUnit="{unit}"'
+        if physical_size_x is not None
+        else ""
+    )
+    instrument = (
+        '<Instrument ID="Instrument:0"><Objective ID="Objective:0" '
+        f'NominalMagnification="{mag}"/></Instrument>'
+        if mag is not None
+        else ""
+    )
+    ome = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">'
+        f"{instrument}"
+        f'<Image ID="Image:0"><Pixels ID="Pixels:0" DimensionOrder="XYCZT" '
+        f'Type="uint8" SizeX="{level0.shape[1]}" SizeY="{level0.shape[0]}" '
+        f'SizeC="3" SizeZ="1" SizeT="1"{ps}/></Image></OME>'
+    )
+    extra = [(330, TYPE_LONG, subs)] if subs else None
+    w.add_level(level0, tile=tile, description=ome, extra_tags=extra)
+    for _ in range(extra_planes):
+        w.add_level(level0, tile=tile)
+    w.save(path)
+    return arrays

@@ -109,6 +109,12 @@ def build_corpus(root: Path) -> dict[str, tuple[Path, Path]]:
     p = d / "pal.tif"  # palette-color (photometric 3 + ColorMap lookup)
     _Image.fromarray(_rgb(rng, 96, 128)).quantize(colors=120).save(p)
     add("tiff_palette", p)
+    from tiff_builder import write_ome_pyramid
+
+    p = d / "o.ome.tiff"  # SubIFD pyramid + OME-XML metadata
+    write_ome_pyramid(p, _rgb(rng, 128, 96), levels=2, physical_size_x=0.5,
+                      mag=20.0, extra_planes=1)
+    add("ome_subifd", p)
 
     from tiff_builder import write_bigendian_single_level, write_bigtiff_single_level
 
