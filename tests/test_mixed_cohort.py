@@ -121,7 +121,19 @@ def _build_cohort(root: Path) -> list[str]:
     Image.fromarray(small).save(sdir / "i.png")
     (root / "mpp.csv").write_text("wsi,mpp\ni.png,0.5\n")
 
-    return ["a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k"]
+    # OME-TIFF: SubIFD pyramid, MPP/mag from the OME-XML, sibling plane
+    from tests.tiff_builder import write_ome_pyramid
+
+    write_ome_pyramid(
+        sdir / "l.ome.tiff", canvas, levels=2, physical_size_x=0.5, mag=20.0,
+        extra_planes=1,
+    )
+
+    # Palette-color TIFF (photometric 3 + ColorMap), CSV-resolved MPP
+    Image.fromarray(small).quantize(colors=200).save(sdir / "m.tiff")
+    (root / "mpp.csv").write_text("wsi,mpp\ni.png,0.5\nm.tiff,0.5\n")
+
+    return ["a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l.ome", "m"]
 
 
 def test_mixed_format_cohort_single_run(tmp_path: Path, tiny_sam2):
