@@ -1910,9 +1910,13 @@ static void samples_to_rgb(const IFD& d, const uint8_t* src, uint8_t* dst,
       dst[i * 3 + 2] = p[2];
     }
   } else {
+    // Walk at the sample stride: spp 2 is gray+alpha (ExtraSamples), whose
+    // luma sits at every other byte — a stride-1 read would render the
+    // interleaved alpha bytes as pixels.
     const bool invert = d.photometric == 0;
     for (int64_t i = 0; i < count; ++i) {
-      uint8_t v = invert ? (uint8_t)(255 - src[i]) : src[i];
+      uint8_t v = src[i * d.spp];
+      if (invert) v = (uint8_t)(255 - v);
       dst[i * 3 + 0] = dst[i * 3 + 1] = dst[i * 3 + 2] = v;
     }
   }

@@ -891,6 +891,23 @@ def test_palette_tiff_lzw_decodes_rgb(tmp_path: Path, canvas):
     t.close()
 
 
+def test_gray_alpha_tiff_decodes_rgb(tmp_path: Path, canvas):
+    """Gray+alpha (photometric 1, spp 2) must read the luma plane at the
+    sample stride — a stride-1 walk renders interleaved gray/alpha bytes as
+    a scrambled half-width image."""
+    gray = np.asarray(Image.fromarray(canvas).convert("L"))
+    la = np.stack([gray, np.full_like(gray, 255)], axis=-1)
+    path = tmp_path / "la.tiff"
+    Image.fromarray(la, mode="LA").save(path)
+    expected = np.repeat(gray[..., None], 3, axis=-1)
+    t = AtlasTiffFile(str(path))
+    out = t.read_region_level(0, 0, 0, canvas.shape[1], canvas.shape[0])
+    np.testing.assert_array_equal(out, expected)
+    sub = t.read_region_level(0, 37, 21, 64, 48)
+    np.testing.assert_array_equal(sub, expected[21:69, 37:101])
+    t.close()
+
+
 def test_cmyk_tiff_rejected_loudly(tmp_path: Path, canvas):
     """CMYK (photometric 5) has no RGB expansion here; truncating the first
     three channels would silently render garbage, so the open must fail."""
