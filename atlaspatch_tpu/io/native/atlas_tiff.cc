@@ -742,6 +742,11 @@ struct AtlasTiff {
   long ventana_joints = 0;         // TileJointInfo elements accepted
   bool philips = false;        // Philips TIFF (Software tag "Philips …")
   double philips_mpp = 0.0;    // DICOM_PIXEL_SPACING from the UFS XML (µm)
+  bool trestle = false;        // Trestle .tif (Software tag "MedScan")
+  // OverlapsXY pairs from IFD0's ImageDescription: (x, y) per level in file
+  // order, each in that level's own pixel scale (openslide.org/formats/trestle).
+  std::vector<uint32_t> trestle_overlaps;
+  double trestle_objective = 0.0;  // "Objective Power" key (magnification)
   mutable std::mutex stripe_mu;
   mutable std::map<size_t, std::unique_ptr<JpegStripeIndex>> stripe_cache;
 
@@ -1462,6 +1467,31 @@ static bool associated_ifd(const IFD& d) {
          desc.find("overview") != std::string::npos;
 }
 
+// Shrink a tiled level whose adjacent tiles overlap by (ox, oy) pixels:
+// advances become tile-size − overlap and the canvas is the positioned span
+// of the tile grid. Junk overlaps (≤0 or ≥ tile−1, i.e. sub-pixel advances)
+// leave the abutting grid untouched — see the gating notes at the Ventana
+// call site. Shared by Ventana BIF (mean TileJointInfo overlaps on the base)
+// and Trestle (per-level OverlapsXY pairs).
+static void overlap_correct_level(const IFD& b, double ox, double oy,
+                                  uint64_t* lw, uint64_t* lh, double* adv_x,
+                                  double* adv_y) {
+  if (!b.tiled || b.tile_w == 0 || b.tile_h == 0) return;
+  int64_t tw = (int64_t)b.tile_w, th = (int64_t)b.tile_h;
+  int64_t cols = ((int64_t)b.width + tw - 1) / tw;
+  int64_t rows = ((int64_t)b.height + th - 1) / th;
+  if (ox > 0.0 && ox <= (double)(tw - 1) && cols > 1) {
+    *adv_x = (double)tw - ox;
+    int64_t last_w = (int64_t)b.width - (cols - 1) * tw;  // partial last col
+    *lw = (uint64_t)(llround((double)(cols - 1) * *adv_x) + last_w);
+  }
+  if (oy > 0.0 && oy <= (double)(th - 1) && rows > 1) {
+    *adv_y = (double)th - oy;
+    int64_t last_h = (int64_t)b.height - (rows - 1) * th;
+    *lh = (uint64_t)(llround((double)(rows - 1) * *adv_y) + last_h);
+  }
+}
+
 static void build_levels_generic(AtlasTiff* t) {
   // Pyramid levels: the base is IFD0 (TIFF convention: full resolution
   // first). Ventana/Roche BIF is the exception — it places a striped
@@ -1502,23 +1532,13 @@ static void build_levels_generic(AtlasTiff* t) {
     // could land past the first overlapping tile.
     uint64_t lw = b.width, lh = b.height;
     double adv_x = 0.0, adv_y = 0.0;
-    if (t->ventana && b.tiled && t->ventana_joints > 0 && b.tile_w > 0 &&
-        b.tile_h > 0) {
-      int64_t tw = (int64_t)b.tile_w, th = (int64_t)b.tile_h;
-      int64_t cols = ((int64_t)b.width + tw - 1) / tw;
-      int64_t rows = ((int64_t)b.height + th - 1) / th;
-      double ox = t->ventana_overlap_x, oy = t->ventana_overlap_y;
-      if (ox > 0.0 && ox <= (double)(tw - 1) && cols > 1) {
-        adv_x = (double)tw - ox;
-        int64_t last_w = (int64_t)b.width - (cols - 1) * tw;  // partial last col
-        lw = (uint64_t)(llround((double)(cols - 1) * adv_x) + last_w);
-      }
-      if (oy > 0.0 && oy <= (double)(th - 1) && rows > 1) {
-        adv_y = (double)th - oy;
-        int64_t last_h = (int64_t)b.height - (rows - 1) * th;
-        lh = (uint64_t)(llround((double)(rows - 1) * adv_y) + last_h);
-      }
-    }
+    if (t->ventana && t->ventana_joints > 0)
+      overlap_correct_level(b, t->ventana_overlap_x, t->ventana_overlap_y, &lw,
+                            &lh, &adv_x, &adv_y);
+    else if (t->trestle && t->trestle_overlaps.size() >= 2)
+      overlap_correct_level(b, (double)t->trestle_overlaps[0],
+                            (double)t->trestle_overlaps[1], &lw, &lh, &adv_x,
+                            &adv_y);
     aspect0 = (double)lw / (double)lh;
     t->levels.push_back({base, lw, lh, 1.0, adv_x, adv_y});
   }
@@ -1537,7 +1557,19 @@ static void build_levels_generic(AtlasTiff* t) {
       if (!d.tiled) continue;
       if (d.width * d.height > base_area) continue;
     }
-    double aspect = (double)d.width / (double)d.height;
+    // Trestle levels each overlap by their own OverlapsXY pair (indexed by
+    // level position in file order); correct dims BEFORE the aspect/dup
+    // checks so they compare stitched canvases, not raw mosaics.
+    uint64_t lw = d.width, lh = d.height;
+    double ax = 0.0, ay = 0.0;
+    if (t->trestle) {
+      size_t lvl = t->levels.size();
+      if (2 * lvl + 1 < t->trestle_overlaps.size())
+        overlap_correct_level(d, (double)t->trestle_overlaps[2 * lvl],
+                              (double)t->trestle_overlaps[2 * lvl + 1], &lw,
+                              &lh, &ax, &ay);
+    }
+    double aspect = (double)lw / (double)lh;
     if (aspect0 > 0 && std::abs(aspect - aspect0) / aspect0 > 0.05) continue;
     // A real pyramid never repeats a level size; duplicates are sibling
     // planes of a multi-page image (OME-TIFF channels/timepoints share the
@@ -1545,12 +1577,12 @@ static void build_levels_generic(AtlasTiff* t) {
     // driver keeps one image series.
     bool dup = false;
     for (const Level& L : t->levels)
-      if (L.width == d.width && L.height == d.height) {
+      if (L.width == lw && L.height == lh) {
         dup = true;
         break;
       }
     if (dup) continue;
-    t->levels.push_back({i, d.width, d.height, 1.0});
+    t->levels.push_back({i, lw, lh, 1.0, ax, ay});
   }
 }
 
@@ -1696,11 +1728,59 @@ static void detect_philips(AtlasTiff* t) {
   if (mm > 0) t->philips_mpp = mm * 1000.0;
 }
 
+// Trestle .tif: Software tag starts with "MedScan"; IFD0's ImageDescription
+// is ';'-separated key=value pairs (openslide.org/formats/trestle — the
+// reference reads these files through OpenSlide's trestle driver via the
+// generic .tif mapping, wsi_factory.py:22). "OverlapsXY" lists per-level
+// tile overlaps as space-separated x y pairs in that level's own pixels —
+// adjacent tiles share that many pixels, so the stitched canvas is smaller
+// than the raw tile mosaic. "Objective Power" feeds magnification.
+static void detect_trestle(AtlasTiff* t) {
+  if (t->ifds[0].software.rfind("MedScan", 0) != 0) return;
+  t->trestle = true;
+  const std::string& desc = t->ifds[0].description;
+  size_t start = 0;
+  while (start <= desc.size()) {
+    size_t end = desc.find(';', start);
+    std::string field =
+        desc.substr(start, end == std::string::npos ? std::string::npos
+                                                    : end - start);
+    size_t eq = field.find('=');
+    if (eq != std::string::npos) {
+      std::string key = field.substr(0, eq);
+      std::string val = field.substr(eq + 1);
+      if (key == "OverlapsXY") {
+        size_t i = 0;
+        while (i < val.size()) {
+          while (i < val.size() && !std::isdigit((unsigned char)val[i])) ++i;
+          if (i >= val.size()) break;
+          unsigned long v = strtoul(val.c_str() + i, nullptr, 10);
+          // Bound: an overlap ≥ any plausible tile size is junk; the
+          // per-level ox ≤ tile−1 gate re-validates against real geometry.
+          if (v > 1u << 20) {
+            t->trestle_overlaps.clear();
+            break;
+          }
+          t->trestle_overlaps.push_back((uint32_t)v);
+          while (i < val.size() && std::isdigit((unsigned char)val[i])) ++i;
+        }
+      } else if (key == "Objective Power") {
+        double v = std::atof(val.c_str());
+        if (v > 0 && v < 1000) t->trestle_objective = v;
+      }
+    }
+    if (end == std::string::npos) break;
+    start = end + 1;
+  }
+  if (t->trestle_overlaps.size() % 2) t->trestle_overlaps.pop_back();
+}
+
 static void build_levels(AtlasTiff* t) {
   // Vendor classification first: build_levels_generic gates its BIF-style
-  // base rescan on t->ventana.
+  // base rescan on t->ventana and overlap correction on t->trestle.
   detect_ventana(t);
   detect_philips(t);
+  detect_trestle(t);
   if (t->ndpi) build_levels_ndpi(t);
   if (t->levels.empty() &&
       t->ifds[0].description.find("<scn") != std::string::npos) {
@@ -1818,6 +1898,21 @@ static void build_properties(AtlasTiff* t) {
       char buf[32];
       snprintf(buf, sizeof buf, "%.10g", t->philips_mpp);
       add("philips.PixelSpacing", buf);
+    }
+  } else if (t->trestle) {
+    add("atlas.vendor", "trestle");
+    if (t->trestle_objective > 0) {
+      char buf[32];
+      snprintf(buf, sizeof buf, "%g", t->trestle_objective);
+      add("trestle.Objective Power", buf);
+    }
+    if (!t->trestle_overlaps.empty()) {
+      std::string ov;
+      for (size_t i = 0; i < t->trestle_overlaps.size(); ++i) {
+        if (i) ov += ' ';
+        ov += std::to_string(t->trestle_overlaps[i]);
+      }
+      add("trestle.OverlapsXY", ov);
     }
   }
   {

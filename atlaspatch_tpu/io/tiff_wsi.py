@@ -40,6 +40,7 @@ class TiffWSI(IWSI):
         "hamamatsu.SourceLens",
         "leica.objective",
         "ventana.Magnification",
+        "trestle.Objective Power",  # openslide.org/formats/trestle
     )
 
     def __init__(self, **kwargs: Any) -> None:

@@ -5,7 +5,8 @@ The reference feeds whatever OpenSlide opens through one pipeline
 factory + native decoders do the same in a single cohort: tiled-JPEG SVS,
 NDPI (SourceLens levels; plus a striped giant-JPEG variant), Leica SCN,
 MIRAX, Hamamatsu VMS and VMU, DICOM WSI, Ventana BIF (striped overview
-before the tiled pyramid), Philips TIFF (UFS XML pixel spacing), and a
+before the tiled pyramid), Philips TIFF (UFS XML pixel spacing), Trestle
+(per-level OverlapsXY tile overlaps), OME-TIFF, palette-color TIFF, and a
 plain PNG with CSV MPP."""
 
 from __future__ import annotations
@@ -133,7 +134,27 @@ def _build_cohort(root: Path) -> list[str]:
     Image.fromarray(small).quantize(colors=200).save(sdir / "m.tiff")
     (root / "mpp.csv").write_text("wsi,mpp\ni.png,0.5\nm.tiff,0.5\n")
 
-    return ["a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l.ome", "m"]
+    # Trestle .tif: MedScan Software tag; base tiles overlap by the
+    # OverlapsXY pair (16, 16), so the 512x384 raw mosaic stitches to a
+    # 400x304 canvas; Objective Power feeds magnification
+    trestle_truth = make_tissue_canvas(400, 304, seed=9, n_blobs=2)
+    mosaic = np.zeros((6 * 64, 8 * 64, 3), np.uint8)
+    for r in range(6):
+        for c in range(8):
+            mosaic[r * 64 : (r + 1) * 64, c * 64 : (c + 1) * 64] = trestle_truth[
+                r * 48 : r * 48 + 64, c * 48 : c * 48 + 64
+            ]
+    w6 = TiffWriter()
+    w6.add_level(
+        mosaic,
+        tile=64,
+        description="Background Color=FFFFFF;OverlapsXY=16 16;Objective Power=20",
+        extra_tags=[(305, TYPE_ASCII, ["MedScan"])],
+    )
+    w6.add_level(trestle_truth[::4, ::4].copy(), tile=64)
+    w6.save(sdir / "n.tif")
+
+    return ["a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l.ome", "m", "n"]
 
 
 def test_mixed_format_cohort_single_run(tmp_path: Path, tiny_sam2):

@@ -995,3 +995,134 @@ def test_point_polygon_test_empty_polygon_all_outside():
     for poly in (np.empty((0, 2), np.int64), np.empty((0, 1, 2), np.int32)):
         out = point_polygon_test(poly, pts)
         np.testing.assert_array_equal(out, np.array([-1, -1], np.int8))
+
+
+# --- Trestle .tif (openslide.org/formats/trestle) ---------------------------
+# Software tag "MedScan"; IFD0's ImageDescription is ';'-separated key=value
+# pairs. OverlapsXY gives per-level (x, y) tile overlaps in that level's own
+# pixels: adjacent tiles share that many pixels, so every level's stitched
+# canvas is smaller than its raw tile mosaic. The reference reads these files
+# through OpenSlide's trestle driver via the generic .tif mapping
+# (reference: atlas_patch/core/wsi/wsi_factory.py:22).
+
+
+def _trestle_mosaic(truth, tile, ox, oy, raw_w, raw_h, rng):
+    """Cut a raw (raw_h, raw_w) tile mosaic from a stitched ground-truth
+    canvas with tile advances (tile-ox, tile-oy); corrupt each tile's hidden
+    strips (the parts a right/lower neighbour overwrites) so a passing read
+    proves both placement AND paint order."""
+    adv_x, adv_y = tile - ox, tile - oy
+    cols, rows = -(-raw_w // tile), -(-raw_h // tile)
+    mosaic = np.zeros((raw_h, raw_w, 3), np.uint8)
+    for r in range(rows):
+        y0, vh = r * tile, min(tile, raw_h - r * tile)
+        for c in range(cols):
+            x0, vw = c * tile, min(tile, raw_w - c * tile)
+            block = truth[r * adv_y : r * adv_y + vh, c * adv_x : c * adv_x + vw].copy()
+            if c < cols - 1 and vw > adv_x:
+                block[:, adv_x:] = rng.integers(0, 256, (vh, vw - adv_x, 3), np.uint8)
+            if r < rows - 1 and vh > adv_y:
+                block[adv_y:] = rng.integers(0, 256, (vh - adv_y, vw, 3), np.uint8)
+            mosaic[y0 : y0 + vh, x0 : x0 + vw] = block
+    return mosaic
+
+
+def test_trestle_overlaps_levels_and_metadata(tmp_path: Path):
+    """Every level is overlap-corrected by its own OverlapsXY pair: level 0
+    (16, 8) shrinks 256x192 raw to a 208x176 canvas; level 1 (8, 12) shrinks
+    112x100 raw to the half-res 104x88 canvas. Objective Power feeds mag."""
+    rng = np.random.default_rng(71)
+    tile = 64
+    truth0 = _rand_rgb(rng, 176, 208)
+    m0 = _trestle_mosaic(truth0, tile, 16, 8, 256, 192, rng)
+    truth1 = truth0[::2, ::2].copy()
+    m1 = _trestle_mosaic(truth1, tile, 8, 12, 112, 100, rng)
+
+    desc = "Background Color=FFFFFF;OverlapsXY=16 8 8 12;Objective Power=20"
+    w = TiffWriter()
+    w.add_level(m0, tile=tile, description=desc,
+                extra_tags=[(305, TYPE_ASCII, ["MedScan by Trestle"])])
+    w.add_level(m1, tile=tile)
+    path = tmp_path / "slide.tif"
+    w.save(path)
+
+    t = AtlasTiffFile(str(path))
+    assert t.level_dimensions == [(208, 176), (104, 88)]
+    assert t.properties["atlas.vendor"] == "trestle"
+    assert t.properties["trestle.Objective Power"] == "20"
+    assert t.properties["trestle.OverlapsXY"] == "16 8 8 12"
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, 208, 176), truth0)
+    np.testing.assert_array_equal(t.read_region_level(1, 0, 0, 104, 88), truth1)
+    # Windows crossing tile seams and overlap strips on both levels.
+    np.testing.assert_array_equal(
+        t.read_region_level(0, 40, 50, 60, 30), truth0[50:80, 40:100]
+    )
+    np.testing.assert_array_equal(
+        t.read_region_level(1, 50, 40, 40, 40), truth1[40:80, 50:90]
+    )
+    # The DCT-scaled fast path assumes an abutting grid; corrected levels
+    # must fall back (None) rather than decode at wrong positions.
+    assert t.read_region_level_scaled(0, 0, 0, 208, 176, 2) is None
+    t.close()
+
+    wsi = TiffWSI(path=str(path))
+    wsi._ensure_loaded()
+    assert wsi.mag == 20
+
+
+def test_trestle_without_overlaps_is_plain_grid(tmp_path: Path):
+    """MedScan software but no OverlapsXY key: a plain abutting pyramid with
+    trestle metadata only."""
+    rng = np.random.default_rng(72)
+    img = _rand_rgb(rng, 128, 192)
+    w = TiffWriter()
+    w.add_level(img, tile=64, description="JPEG Quality=75",
+                extra_tags=[(305, TYPE_ASCII, ["MedScan"])])
+    path = tmp_path / "plain.tif"
+    w.save(path)
+    t = AtlasTiffFile(str(path))
+    assert t.properties["atlas.vendor"] == "trestle"
+    assert t.level_dimensions == [(192, 128)]
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, 192, 128), img)
+    t.close()
+
+
+def test_trestle_junk_overlaps_keep_abutting_grid(tmp_path: Path):
+    """Overlaps that are zero, >= tile size, absurd, non-numeric, or an odd
+    count must leave the raw abutting mosaic untouched."""
+    rng = np.random.default_rng(73)
+    img = _rand_rgb(rng, 128, 192)
+    for desc in (
+        "OverlapsXY=64 64",
+        "OverlapsXY=0 0",
+        "OverlapsXY=9999999 1",
+        "OverlapsXY=banana",
+        "OverlapsXY=16",
+    ):
+        w = TiffWriter()
+        w.add_level(img, tile=64, description=desc,
+                    extra_tags=[(305, TYPE_ASCII, ["MedScan x"])])
+        path = tmp_path / "junk.tif"
+        w.save(path)
+        t = AtlasTiffFile(str(path))
+        assert t.level_dimensions[0] == (192, 128)
+        np.testing.assert_array_equal(t.read_region_level(0, 0, 0, 192, 128), img)
+        t.close()
+        path.unlink()
+
+
+def test_overlaps_description_requires_medscan_software(tmp_path: Path):
+    """A generic TIFF whose description happens to contain OverlapsXY must
+    not be reinterpreted: the correction is gated on the MedScan Software."""
+    rng = np.random.default_rng(74)
+    img = _rand_rgb(rng, 128, 192)
+    w = TiffWriter()
+    w.add_level(img, tile=64, description="OverlapsXY=16 8",
+                extra_tags=[(305, TYPE_ASCII, ["OtherScan"])])
+    path = tmp_path / "generic.tif"
+    w.save(path)
+    t = AtlasTiffFile(str(path))
+    assert t.properties.get("atlas.vendor") != "trestle"
+    assert t.level_dimensions == [(192, 128)]
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, 192, 128), img)
+    t.close()

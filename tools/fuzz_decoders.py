@@ -166,6 +166,17 @@ def build_corpus(root: Path) -> dict[str, tuple[Path, Path]]:
     w.save(p)
     add("philips", p)
 
+    # Trestle .tif with per-level OverlapsXY (overlap-corrected canvases).
+    w = TiffWriter()
+    w.add_level(_rgb(rng, 192, 256), tile=64,
+                description="Background Color=FFFFFF;OverlapsXY=16 8 4 2;"
+                            "Objective Power=20",
+                extra_tags=[(305, TYPE_ASCII, ["MedScan"])])
+    w.add_level(_rgb(rng, 96, 128), tile=64)
+    p = d / "tr.tif"
+    w.save(p)
+    add("trestle", p)
+
     # Non-TIFF containers.
     img = cb.smooth_rgb(128, 96)
     p = cb.write_mirax(d / "m.mrxs", img, tile_w=64, tile_h=48, n_levels=2)
