@@ -530,7 +530,8 @@ def info():
         "Supported WSI formats (native TIFF decoder): .svs, .tif, .tiff, .ndpi, "
         ".scn, .bif (vendor-aware: NDPI SourceLens levels + striped giant-JPEG "
         "decode; SCN XML main-region pyramid; Ventana BIF iScan mag/MPP + AOI "
-        "join-overlap correction; Philips TIFF pixel spacing + sparse tiles)"
+        "join-overlap correction; Philips TIFF pixel spacing + sparse tiles; "
+        "Trestle per-level OverlapsXY correction + Objective Power)"
     )
     click.echo(
         "Non-TIFF containers (first-party readers): .mrxs (MIRAX), "

@@ -65,8 +65,8 @@ class WSIFactory:
 
     # TIFF-container formats (classic TIFF / BigTIFF internals) decode via the
     # native C++ decoder: Aperio .svs, Hamamatsu .ndpi, Leica .scn, Ventana
-    # .bif/.biff, plain .tif. Non-TIFF containers have first-party readers:
-    # MIRAX (.mrxs), Hamamatsu map files (.vms/.vmu), DICOM WSI (.dcm).
+    # .bif/.biff, Trestle/plain/OME .tif. Non-TIFF containers have first-party
+    # readers: MIRAX (.mrxs), Hamamatsu map files (.vms/.vmu), DICOM WSI (.dcm).
     _formats = {
         ".svs": "tiff",
         ".tif": "tiff",
