@@ -1557,13 +1557,22 @@ static void build_levels_generic(AtlasTiff* t) {
       if (!d.tiled) continue;
       if (d.width * d.height > base_area) continue;
     }
-    // Trestle levels each overlap by their own OverlapsXY pair (indexed by
-    // level position in file order); correct dims BEFORE the aspect/dup
-    // checks so they compare stitched canvases, not raw mosaics.
+    // Trestle levels each overlap by their own OverlapsXY pair. Pairs are
+    // per TIFF directory in FILE ORDER (OpenSlide's trestle driver indexes
+    // per directory), not per kept level: if an intermediate directory is
+    // skipped by the aspect/dup checks below, later levels must still
+    // consume their own pair. Correct dims BEFORE the aspect/dup checks so
+    // they compare stitched canvases, not raw mosaics.
     uint64_t lw = d.width, lh = d.height;
     double ax = 0.0, ay = 0.0;
     if (t->trestle) {
-      size_t lvl = t->levels.size();
+      size_t lvl = 0;  // this IFD's ordinal among pyramid-candidate dirs
+      for (size_t j = 0; j < i; ++j) {
+        const IFD& e = t->ifds[j];
+        if (e.tiled && plausible_dims(e) && !associated_ifd(e) &&
+            e.sub_of < 0)
+          ++lvl;
+      }
       if (2 * lvl + 1 < t->trestle_overlaps.size())
         overlap_correct_level(d, (double)t->trestle_overlaps[2 * lvl],
                               (double)t->trestle_overlaps[2 * lvl + 1], &lw,
@@ -1740,6 +1749,9 @@ static void detect_trestle(AtlasTiff* t) {
   t->trestle = true;
   const std::string& desc = t->ifds[0].description;
   size_t start = 0;
+  bool seen_overlaps = false;  // only the FIRST OverlapsXY key counts: a
+  // duplicate key must neither concatenate onto the first one's pairs nor
+  // repopulate the vector after a junk value cleared it.
   while (start <= desc.size()) {
     size_t end = desc.find(';', start);
     std::string field =
@@ -1749,21 +1761,34 @@ static void detect_trestle(AtlasTiff* t) {
     if (eq != std::string::npos) {
       std::string key = field.substr(0, eq);
       std::string val = field.substr(eq + 1);
-      if (key == "OverlapsXY") {
+      if (key == "OverlapsXY" && !seen_overlaps) {
+        seen_overlaps = true;
         size_t i = 0;
+        bool junk = false;
         while (i < val.size()) {
-          while (i < val.size() && !std::isdigit((unsigned char)val[i])) ++i;
-          if (i >= val.size()) break;
+          // A negative overlap is junk for the whole value (OpenSlide's
+          // strtoll would read −16 and the ≤0 gate would drop it; silently
+          // reading it as +16 would shrink the canvas).
+          if (val[i] == '-' && i + 1 < val.size() &&
+              std::isdigit((unsigned char)val[i + 1])) {
+            junk = true;
+            break;
+          }
+          if (!std::isdigit((unsigned char)val[i])) {
+            ++i;
+            continue;
+          }
           unsigned long v = strtoul(val.c_str() + i, nullptr, 10);
           // Bound: an overlap ≥ any plausible tile size is junk; the
           // per-level ox ≤ tile−1 gate re-validates against real geometry.
           if (v > 1u << 20) {
-            t->trestle_overlaps.clear();
+            junk = true;
             break;
           }
           t->trestle_overlaps.push_back((uint32_t)v);
           while (i < val.size() && std::isdigit((unsigned char)val[i])) ++i;
         }
+        if (junk) t->trestle_overlaps.clear();
       } else if (key == "Objective Power") {
         double v = std::atof(val.c_str());
         if (v > 0 && v < 1000) t->trestle_objective = v;

@@ -1111,6 +1111,92 @@ def test_trestle_junk_overlaps_keep_abutting_grid(tmp_path: Path):
         path.unlink()
 
 
+def test_trestle_duplicate_overlaps_key_first_wins(tmp_path: Path):
+    """Only the FIRST OverlapsXY key applies: a duplicate key must neither
+    concatenate onto the first one's pairs nor repopulate the vector after a
+    junk value cleared it (advisor r3)."""
+    rng = np.random.default_rng(75)
+    tile = 64
+    truth = _rand_rgb(rng, 120, 160)
+    m = _trestle_mosaic(truth, tile, 16, 8, 192, 128, rng)
+
+    # First key applies (16, 8); the duplicate (4 4) is ignored entirely —
+    # with concatenation level 1 would wrongly consume (4, 4).
+    w = TiffWriter()
+    w.add_level(
+        m, tile=tile, description="OverlapsXY=16 8;OverlapsXY=4 4",
+        extra_tags=[(305, TYPE_ASCII, ["MedScan"])],
+    )
+    path = tmp_path / "dup.tif"
+    w.save(path)
+    t = AtlasTiffFile(str(path))
+    assert t.level_dimensions == [(160, 120)]
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, 160, 120), truth)
+    t.close()
+
+    # Junk first key clears; a later duplicate must NOT repopulate.
+    rng2 = np.random.default_rng(76)
+    img = _rand_rgb(rng2, 128, 192)
+    w = TiffWriter()
+    w.add_level(
+        img, tile=tile, description="OverlapsXY=9999999 1;OverlapsXY=16 8",
+        extra_tags=[(305, TYPE_ASCII, ["MedScan"])],
+    )
+    path2 = tmp_path / "poison.tif"
+    w.save(path2)
+    t = AtlasTiffFile(str(path2))
+    assert t.level_dimensions == [(192, 128)]
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, 192, 128), img)
+    t.close()
+
+
+def test_trestle_negative_overlap_is_junk(tmp_path: Path):
+    """A negative token like '-16' must poison the whole OverlapsXY value
+    (OpenSlide's strtoll reads −16 and the ≤0 gate drops it), not be read as
+    +16 and shrink the canvas (advisor r3)."""
+    rng = np.random.default_rng(77)
+    img = _rand_rgb(rng, 128, 192)
+    w = TiffWriter()
+    w.add_level(img, tile=64, description="OverlapsXY=-16 8",
+                extra_tags=[(305, TYPE_ASCII, ["MedScan"])])
+    path = tmp_path / "neg.tif"
+    w.save(path)
+    t = AtlasTiffFile(str(path))
+    assert t.level_dimensions == [(192, 128)]
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, 192, 128), img)
+    t.close()
+
+
+def test_trestle_overlap_pairs_indexed_by_directory_not_kept_level(tmp_path: Path):
+    """OverlapsXY pairs are per TIFF directory in file order: when an
+    intermediate tiled directory is skipped (wrong aspect), later levels must
+    still consume their OWN pair, not the skipped one's (advisor r3)."""
+    rng = np.random.default_rng(78)
+    tile = 64
+    truth0 = _rand_rgb(rng, 176, 208)
+    m0 = _trestle_mosaic(truth0, tile, 16, 8, 256, 192, rng)
+    # Directory 1: square aspect (1.0 vs base 208/176≈1.18) — skipped by the
+    # 5% aspect gate, but still consumes ordinal 1 / pair (0, 0).
+    square = _rand_rgb(rng, 96, 96)
+    truth1 = truth0[::2, ::2].copy()  # directory 2 = real half-res level
+    m1 = _trestle_mosaic(truth1, tile, 8, 12, 112, 100, rng)
+
+    desc = "OverlapsXY=16 8 0 0 8 12;Objective Power=20"
+    w = TiffWriter()
+    w.add_level(m0, tile=tile, description=desc,
+                extra_tags=[(305, TYPE_ASCII, ["MedScan"])])
+    w.add_level(square, tile=tile)
+    w.add_level(m1, tile=tile)
+    path = tmp_path / "skip.tif"
+    w.save(path)
+
+    t = AtlasTiffFile(str(path))
+    assert t.level_dimensions == [(208, 176), (104, 88)]
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, 208, 176), truth0)
+    np.testing.assert_array_equal(t.read_region_level(1, 0, 0, 104, 88), truth1)
+    t.close()
+
+
 def test_overlaps_description_requires_medscan_software(tmp_path: Path):
     """A generic TIFF whose description happens to contain OverlapsXY must
     not be reinterpreted: the correction is gated on the MedScan Software."""
