@@ -5,6 +5,12 @@ atlas_patch/core/config.py:40-179) with one TPU-native change: device strings
 name JAX platforms ("tpu", "cpu", "tpu:<index>"). "cuda"/"gpu" spellings are
 accepted as aliases for the accelerator platform so reference command lines keep
 working unchanged.
+
+Validation is table-driven: each config class declares its numeric constraints
+and file-existence requirements as class-level rows, and a shared walker in
+``_TableValidated`` enforces them. Per-class normalization (defaults, device
+and precision canonicalization, dedupe) lives in a ``_normalize`` hook that
+runs between the existence and numeric passes.
 """
 
 from __future__ import annotations
@@ -12,23 +18,56 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from pathlib import Path
 
+# --- declarative constraint vocabulary --------------------------------------
 
-def _ensure_positive(value: int | float, name: str) -> int | float:
-    if value <= 0:
-        raise ValueError(f"{name} must be > 0, got {value}")
-    return value
-
-
-def _ensure_non_negative(value: int, name: str) -> int:
-    if value < 0:
-        raise ValueError(f"{name} must be >= 0, got {value}")
-    return value
+def _gt0(v) -> bool:
+    return v > 0
 
 
-def _ensure_fraction(value: float, name: str) -> float:
-    if value < 0 or value > 1:
-        raise ValueError(f"{name} must be between 0 and 1, got {value}")
-    return value
+def _ge0(v) -> bool:
+    return v >= 0
+
+
+def _unit_interval(v) -> bool:
+    return 0 <= v <= 1
+
+
+_CONSTRAINT_TEXT = {
+    _gt0: "> 0",
+    _ge0: ">= 0",
+    _unit_interval: "between 0 and 1",
+}
+
+
+class _TableValidated:
+    """Shared ``validated()`` driven by class-level constraint tables.
+
+    ``_REQUIRED_PATHS``: (attr, human label) rows — attr must exist on disk
+    when not None. ``_NUMERIC``: (attr, predicate, human label) rows — attr
+    must satisfy the predicate when not None. Subclasses normalize defaults /
+    canonical spellings in ``_normalize`` (runs between the two passes, so it
+    may fill in None defaults that the numeric pass then checks).
+    """
+
+    _REQUIRED_PATHS: tuple = ()
+    _NUMERIC: tuple = ()
+
+    def validated(self):
+        for attr, label in self._REQUIRED_PATHS:
+            value = getattr(self, attr)
+            if value is not None and not Path(value).exists():
+                raise FileNotFoundError(f"{label} not found: {value}")
+        self._normalize()
+        for attr, predicate, label in self._NUMERIC:
+            value = getattr(self, attr)
+            if value is not None and not predicate(value):
+                raise ValueError(
+                    f"{label} must be {_CONSTRAINT_TEXT[predicate]}, got {value}"
+                )
+        return self
+
+    def _normalize(self) -> None:  # per-class hook
+        return
 
 
 _ACCELERATOR_ALIASES = ("tpu", "cuda", "gpu", "accel")
@@ -62,7 +101,7 @@ def normalize_device(device: str) -> str:
 
 
 @dataclass
-class SegmentationConfig:
+class SegmentationConfig(_TableValidated):
     """SAM2 tissue-segmentation settings (reference: core/config.py:40-58)."""
 
     checkpoint_path: Path | None = None
@@ -77,25 +116,29 @@ class SegmentationConfig:
     # differ by a hair).
     precision: str = "float32"
 
-    def validated(self) -> "SegmentationConfig":
-        if self.checkpoint_path is not None and not Path(self.checkpoint_path).exists():
-            raise FileNotFoundError(f"Checkpoint not found: {self.checkpoint_path}")
-        if self.config_path is not None and not Path(self.config_path).exists():
-            raise FileNotFoundError(f"SAM2 config not found: {self.config_path}")
+    _REQUIRED_PATHS = (
+        ("checkpoint_path", "Checkpoint"),
+        ("config_path", "SAM2 config"),
+    )
+    _NUMERIC = (
+        ("thumbnail_max", _gt0, "thumbnail_max"),
+        ("batch_size", _gt0, "segmentation batch_size"),
+    )
+
+    def _normalize(self) -> None:
         self.device = normalize_device(str(self.device))
-        _ensure_positive(self.thumbnail_max, "thumbnail_max")
-        _ensure_positive(self.batch_size, "segmentation batch_size")
         prec = str(self.precision).lower()
         if prec == "float16":
-            prec = "bfloat16"
+            prec = "bfloat16"  # the TPU's native reduced precision
         if prec not in ("float32", "bfloat16"):
-            raise ValueError(f"segmentation precision must be float32/bfloat16, got {self.precision}")
+            raise ValueError(
+                f"segmentation precision must be float32/bfloat16, got {self.precision}"
+            )
         self.precision = prec
-        return self
 
 
 @dataclass
-class ExtractionConfig:
+class ExtractionConfig(_TableValidated):
     """Patch-grid extraction settings (reference: core/config.py:61-89)."""
 
     patch_size: int
@@ -109,26 +152,27 @@ class ExtractionConfig:
     fast_mode: bool = True
     write_batch: int = 8192
 
-    def validated(self) -> "ExtractionConfig":
-        _ensure_positive(self.patch_size, "patch_size")
-        _ensure_positive(self.target_magnification, "target_magnification")
+    _NUMERIC = (
+        ("patch_size", _gt0, "patch_size"),
+        ("target_magnification", _gt0, "target_magnification"),
+        ("step_size", _gt0, "step_size"),
+        ("tissue_threshold", _unit_interval, "tissue_threshold"),
+        ("white_threshold", _gt0, "white_threshold"),
+        ("black_threshold", _gt0, "black_threshold"),
+        ("write_batch", _gt0, "write_batch"),
+        ("workers", _gt0, "workers"),
+        ("max_open_slides", _gt0, "max_open_slides"),
+    )
+
+    def _normalize(self) -> None:
         if self.step_size is None:
             self.step_size = self.patch_size
-        _ensure_positive(self.step_size, "step_size")
-        _ensure_fraction(self.tissue_threshold, "tissue_threshold")
-        _ensure_positive(self.white_threshold, "white_threshold")
-        _ensure_positive(self.black_threshold, "black_threshold")
-        _ensure_positive(self.write_batch, "write_batch")
-        if self.workers is not None:
-            _ensure_positive(self.workers, "workers")
         if self.max_open_slides is None:
             self.max_open_slides = 200
-        _ensure_positive(self.max_open_slides, "max_open_slides")
-        return self
 
 
 @dataclass
-class FeatureExtractionConfig:
+class FeatureExtractionConfig(_TableValidated):
     """Patch-embedding settings (reference: core/config.py:92-121).
 
     precision selects the on-device compute dtype; bfloat16 is the TPU-native
@@ -142,7 +186,13 @@ class FeatureExtractionConfig:
     precision: str = "float32"
     plugins: list[Path] = field(default_factory=list)
 
-    def validated(self) -> "FeatureExtractionConfig":
+    _NUMERIC = (
+        ("batch_size", _gt0, "feature batch_size"),
+        ("num_workers", _ge0, "feature num_workers"),
+    )
+    _PRECISIONS = ("bfloat16", "float16", "float32", "int8")
+
+    def _normalize(self) -> None:
         if not self.extractors:
             raise ValueError("At least one feature extractor must be provided.")
         # Case-insensitive dedupe, order-preserving: a repeated name is one
@@ -152,28 +202,24 @@ class FeatureExtractionConfig:
             n for n in self.extractors
             if str(n).lower() not in seen and not seen.add(str(n).lower())
         ]
-        _ensure_positive(self.batch_size, "feature batch_size")
-        _ensure_non_negative(self.num_workers, "feature num_workers")
         self.device = normalize_device(str(self.device))
-        allowed_prec = {"float32", "float16", "bfloat16", "int8"}
         prec = str(self.precision).lower()
-        if prec not in allowed_prec:
+        if prec not in self._PRECISIONS:
             raise ValueError(
-                f"precision must be one of {sorted(allowed_prec)}, got {self.precision}"
+                f"precision must be one of {sorted(self._PRECISIONS)}, got {self.precision}"
             )
         self.precision = prec
-        validated_plugins: list[Path] = []
+        resolved: list[Path] = []
         for plugin in self.plugins:
             plugin_path = Path(plugin)
             if not plugin_path.exists():
                 raise FileNotFoundError(f"Feature plugin not found: {plugin_path}")
-            validated_plugins.append(plugin_path.resolve())
-        self.plugins = validated_plugins
-        return self
+            resolved.append(plugin_path.resolve())
+        self.plugins = resolved
 
 
 @dataclass
-class OutputConfig:
+class OutputConfig(_TableValidated):
     """Output toggles + root (reference: core/config.py:124-135)."""
 
     output_root: Path
@@ -183,37 +229,32 @@ class OutputConfig:
     visualize_contours: bool = False
     skip_existing: bool = True
 
-    def validated(self) -> "OutputConfig":
+    def _normalize(self) -> None:
         self.output_root = Path(self.output_root)
         self.output_root.mkdir(parents=True, exist_ok=True)
-        return self
 
 
 @dataclass
-class ProcessingConfig:
+class ProcessingConfig(_TableValidated):
     """Input discovery settings (reference: core/config.py:138-149)."""
 
     input_path: Path
     recursive: bool = False
     mpp_csv: Path | None = None
 
-    def validated(self) -> "ProcessingConfig":
-        if not Path(self.input_path).exists():
-            raise FileNotFoundError(f"Input path not found: {self.input_path}")
-        if self.mpp_csv is not None and not Path(self.mpp_csv).exists():
-            raise FileNotFoundError(f"MPP CSV not found: {self.mpp_csv}")
-        return self
+    _REQUIRED_PATHS = (
+        ("input_path", "Input path"),
+        ("mpp_csv", "MPP CSV"),
+    )
 
 
 @dataclass
-class VisualizationConfig:
+class VisualizationConfig(_TableValidated):
     """Visualization sizing (reference: core/config.py:152-157)."""
 
     thumbnail_size: int = 1024
 
-    def validated(self) -> "VisualizationConfig":
-        _ensure_positive(self.thumbnail_size, "thumbnail_size")
-        return self
+    _NUMERIC = (("thumbnail_size", _gt0, "thumbnail_size"),)
 
 
 @dataclass
@@ -229,12 +270,10 @@ class AppConfig:
     device: str = "tpu"
 
     def validated(self) -> "AppConfig":
-        self.processing = self.processing.validated()
-        self.segmentation = self.segmentation.validated()
-        self.extraction = self.extraction.validated()
-        self.output = self.output.validated()
-        if self.features is not None:
-            self.features = self.features.validated()
-        self.visualization = self.visualization.validated()
+        for section in ("processing", "segmentation", "extraction", "output",
+                        "features", "visualization"):
+            cfg = getattr(self, section)
+            if cfg is not None:
+                setattr(self, section, cfg.validated())
         self.device = normalize_device(self.device)
         return self
