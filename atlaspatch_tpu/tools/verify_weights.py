@@ -137,6 +137,122 @@ def verify_encoder(entry, path: Path, *, smoke: bool = True) -> PreflightResult:
     )
 
 
+# PIL resample codes used by HF preprocessor_config.json "resample"
+_PIL_RESAMPLE = {0: "nearest", 2: "bilinear", 3: "bicubic", 1: "lanczos"}
+
+
+def _hf_snapshot_dir(entry) -> Path | None:
+    """Most recent HF cache snapshot dir for this entry's upstream repo."""
+    repo = entry.source.split()[0] if entry.source and "/" in entry.source.split()[0] else None
+    if not repo:
+        return None
+    hub = Path(
+        os.environ.get("HF_HUB_CACHE")
+        or Path(os.environ.get("HF_HOME", Path.home() / ".cache" / "huggingface")) / "hub"
+    )
+    snaps = sorted((hub / f"models--{repo.replace('/', '--')}").glob("snapshots/*"))
+    if not snaps:
+        return None
+    return max(snaps, key=lambda d: d.stat().st_mtime)
+
+
+def _dig(cfg: dict, *keys):
+    """First present key, looking inside a nested vision_config too."""
+    for scope in (cfg, cfg.get("vision_config") or {}):
+        for k in keys:
+            if k in scope:
+                return scope[k]
+    return None
+
+
+def verify_hf_config(entry, snapshot: Path) -> PreflightResult | None:
+    """Diff pinned preprocessing/arch constants against the HF repo's own
+    processor/config JSONs when they are present in the cache.
+
+    The reference resolves some constants at runtime from these downloaded
+    JSONs (reference: atlas_patch/models/patch/uni.py:13-125, hibou.py:12-74);
+    this repo pins them from documentation, so any cached JSON is independent
+    evidence worth diffing. Returns None when no JSON is cached (nothing to
+    check); a row otherwise."""
+    import json
+
+    t0 = time.perf_counter()
+    problems: list[str] = []
+    checked: list[str] = []
+
+    pp_path = snapshot / "preprocessor_config.json"
+    if pp_path.exists():
+        try:
+            pp = json.loads(pp_path.read_text())
+        except Exception as e:  # noqa: BLE001
+            return PreflightResult(entry.name, "FAIL", f"hf-config: unreadable {pp_path.name}: {e}",
+                                   pp_path, time.perf_counter() - t0)
+        pre = entry.preprocess
+        mean, std = pp.get("image_mean"), pp.get("image_std")
+        if mean is not None and pp.get("do_normalize", True):
+            checked.append("mean/std")
+            if not np.allclose(mean, pre.mean, atol=1e-5):
+                problems.append(f"image_mean {mean} != pinned {tuple(pre.mean)}")
+            if std is not None and not np.allclose(std, pre.std, atol=1e-5):
+                problems.append(f"image_std {std} != pinned {tuple(pre.std)}")
+        size = pp.get("size")
+        if size is not None and pp.get("do_resize", True):
+            checked.append("size")
+            if isinstance(size, dict):
+                edge = size.get("shortest_edge") or size.get("height")
+            else:
+                edge = size
+            if edge is not None and int(edge) != int(pre.resize):
+                problems.append(f"size {size} != pinned resize {pre.resize}")
+        crop = pp.get("crop_size")
+        if crop is not None and pp.get("do_center_crop", False):
+            checked.append("crop")
+            edge = crop.get("height") if isinstance(crop, dict) else crop
+            if int(edge) != int(pre.crop):
+                problems.append(f"crop_size {crop} != pinned crop {pre.crop}")
+        resample = pp.get("resample")
+        if resample is not None and resample in _PIL_RESAMPLE:
+            checked.append("resample")
+            if _PIL_RESAMPLE[resample] != pre.interpolation:
+                problems.append(
+                    f"resample {_PIL_RESAMPLE[resample]} != pinned {pre.interpolation}"
+                )
+
+    cfg_path = snapshot / "config.json"
+    spec = entry.spec
+    if cfg_path.exists() and spec is not None:
+        try:
+            cfg = json.loads(cfg_path.read_text())
+        except Exception as e:  # noqa: BLE001
+            return PreflightResult(entry.name, "FAIL", f"hf-config: unreadable {cfg_path.name}: {e}",
+                                   cfg_path, time.perf_counter() - t0)
+        for json_keys, attr in (
+            (("hidden_size", "embed_dim"), "dim"),
+            (("num_hidden_layers",), "depth"),
+            (("num_attention_heads",), "heads"),
+            (("patch_size",), "patch_size"),
+            (("image_size",), "img_size"),
+        ):
+            want = getattr(spec, attr, None)
+            got = _dig(cfg, *json_keys)
+            if want is None or got is None:
+                continue
+            checked.append(attr)
+            if int(got) != int(want):
+                problems.append(f"{json_keys[0]} {got} != pinned {attr} {want}")
+
+    if not checked:
+        return None
+    if problems:
+        shown = "; ".join(problems[:4]) + ("; ..." if len(problems) > 4 else "")
+        return PreflightResult(entry.name, "FAIL", f"hf-config: {shown}", snapshot,
+                               time.perf_counter() - t0)
+    return PreflightResult(
+        entry.name, "PASS", f"hf-config: {'/'.join(checked)} match cached JSONs",
+        snapshot, time.perf_counter() - t0,
+    )
+
+
 def _find_sam2_checkpoint(weights_dir: Path) -> Path | None:
     for pattern in ("sam2*.npz", "sam2*.pt", "sam2*.pth", "model.pth"):
         matches = sorted(weights_dir.glob(pattern))
@@ -228,6 +344,12 @@ def run_preflight(
             else:
                 results.append(verify_encoder(entry, path, smoke=smoke))
             report(results[-1].line())
+            snapshot = _hf_snapshot_dir(entry)
+            if snapshot is not None:
+                row = verify_hf_config(entry, snapshot)
+                if row is not None:
+                    results.append(row)
+                    report(row.line())
 
         if include_sam2:
             sam2_path = _find_sam2_checkpoint(weights_dir)

@@ -94,3 +94,66 @@ def test_preflight_sam2_npz(tmp_path: Path):
     res_bad = verify_sam2(tmp_path / "sam2_wrong.npz", smoke=False)
     assert res_bad.status == "FAIL"
     assert "shape" in res_bad.detail
+
+
+def _fake_hf_cache(tmp_path: Path, repo: str, files: dict) -> Path:
+    import json
+
+    snap = tmp_path / "hub" / f"models--{repo.replace('/', '--')}" / "snapshots" / "abc123"
+    snap.mkdir(parents=True)
+    for fname, payload in files.items():
+        (snap / fname).write_text(json.dumps(payload))
+    return snap
+
+
+def test_hf_config_crosscheck_pass_and_fail(tmp_path: Path, monkeypatch):
+    """verify-weights diffs pinned preprocessing/arch constants against any
+    HF processor/config JSONs in the cache (VERDICT r3 item 2)."""
+    from atlaspatch_tpu.tools.verify_weights import _hf_snapshot_dir, verify_hf_config
+
+    entry = ENTRIES["phikon_v1"]  # owkin/phikon: ViT-B, square-224, ImageNet norm
+    pre, spec = entry.preprocess, entry.spec
+
+    good = {
+        "preprocessor_config.json": {
+            "image_mean": list(pre.mean),
+            "image_std": list(pre.std),
+            "size": {"height": pre.resize, "width": pre.resize},
+            "do_resize": True,
+            "do_normalize": True,
+        },
+        "config.json": {
+            "hidden_size": spec.dim,
+            "num_hidden_layers": spec.depth,
+            "num_attention_heads": spec.heads,
+            "patch_size": spec.patch_size,
+            "image_size": spec.img_size,
+        },
+    }
+    monkeypatch.setenv("HF_HUB_CACHE", str(tmp_path / "hub"))
+    snap = _fake_hf_cache(tmp_path, "owkin/phikon", good)
+    assert _hf_snapshot_dir(entry) == snap
+    row = verify_hf_config(entry, snap)
+    assert row is not None and row.status == "PASS", row.detail
+    assert "mean/std" in row.detail and "dim" in row.detail
+
+    bad = dict(good)
+    bad["config.json"] = dict(good["config.json"], hidden_size=1024)
+    bad["preprocessor_config.json"] = dict(
+        good["preprocessor_config.json"], image_mean=[0.5, 0.5, 0.5]
+    )
+    snap2 = _fake_hf_cache(tmp_path / "second", "owkin/phikon", bad)
+    row = verify_hf_config(entry, snap2)
+    assert row is not None and row.status == "FAIL"
+    assert "image_mean" in row.detail and "hidden_size" in row.detail
+
+
+def test_hf_config_crosscheck_absent_is_silent(tmp_path: Path, monkeypatch):
+    """No cached JSONs (or no checkable keys) -> no row, no noise."""
+    from atlaspatch_tpu.tools.verify_weights import _hf_snapshot_dir, verify_hf_config
+
+    entry = ENTRIES["phikon_v1"]
+    monkeypatch.setenv("HF_HUB_CACHE", str(tmp_path / "empty_hub"))
+    assert _hf_snapshot_dir(entry) is None
+    snap = _fake_hf_cache(tmp_path, "owkin/phikon", {"config.json": {"model_type": "vit"}})
+    assert verify_hf_config(entry, snap) is None

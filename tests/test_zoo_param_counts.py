@@ -55,6 +55,59 @@ PUBLISHED_M = {
     "prov_gigapath": (1134.0, 0.05), # prov-gigapath: ViT-g/14
     "phikon_v1": (85.8, 0.05),       # owkin/phikon: ViT-B
     "phikon_v2": (303.0, 0.05),      # owkin/phikon-v2: ViT-L
+    # OpenAI CLIP image encoders (CLIP paper appendix tables; visual tower
+    # incl. the image projection, as encode_image uses)
+    "clip_rn50": (38.3, 0.05),
+    "clip_rn101": (56.3, 0.05),
+    "clip_rn50x4": (87.1, 0.05),
+    "clip_rn50x16": (167.3, 0.05),
+    "clip_rn50x64": (420.4, 0.05),
+    "clip_vit_b_32": (87.8, 0.05),
+    "clip_vit_b_16": (86.2, 0.05),
+    "clip_vit_l_14": (304.0, 0.05),
+    "clip_vit_l_14_336": (304.3, 0.05),
+    # CONCH (MahmoodLab): v1 = iBOT ViT-B/16 vision tower (~86M) + attentional
+    # pooler; v1.5 (TITAN card) = ViT-L/16 tower
+    "conch_v1": (86.0, 0.06),
+    "conch_v15": (303.0, 0.06),
+    # Lunit SSL benchmark models (1aurent/* mirrors of lunit-io): ResNet-50
+    # trunks + ViT-S DINO (21.7M per the DINO paper)
+    "lunit_resnet50_bt": (23.5, 0.05),
+    "lunit_resnet50_swav": (23.5, 0.05),
+    "lunit_resnet50_mocov2": (23.5, 0.05),
+    "lunit_vit_small_patch16_dino": (21.7, 0.05),
+    "lunit_vit_small_patch8_dino": (21.7, 0.05),
+    # PLIP (vinid/plip): CLIP ViT-B/32 vision tower
+    "plip": (87.8, 0.05),
+    # MedSigLIP (google/medsiglip-448): SigLIP SoViT-400M vision tower
+    # (427.7M actual — "400M" is the nominal family name)
+    "medsiglip": (427.7, 0.05),
+    # MUSK (xiangjx/musk): BEiT-3 large vision path (24 layers, 1024 dim,
+    # multiway FFN) — ViT-L-equivalent vision parameterization per the
+    # BEiT-3 paper; arithmetic-derived, see WEIGHTS.md
+    "musk": (304.0, 0.06),
+    # OpenMidnight: dinov2_vitg14_reg skeleton (ViT-g/14 w/ registers, 1.14B)
+    "openmidnight": (1134.0, 0.05),
+    # PathOrchestra (AI4Pathology): ViT-L/16
+    "pathorchestra": (303.0, 0.05),
+    # H0-mini (bioptimus): distilled ViT-B
+    "h0_mini": (85.7, 0.05),
+    # Hibou (histai): B = ViT-B/14 w/ registers, L = ViT-L/14 w/ registers
+    "hibou_b": (85.7, 0.05),
+    "hibou_l": (303.0, 0.05),
+    # BiomedCLIP (microsoft): ViT-B/16 vision tower
+    "biomedclip": (86.2, 0.05),
+    # Midnight (kaiko-ai): ViT-g/14
+    "midnight": (1134.0, 0.05),
+    # CHIEF-CTransPath: Swin-tiny + ConvStem (CTransPath paper: 27.5M)
+    "chief-ctranspath": (27.5, 0.05),
+    # OmiCLIP (WangGuangyuLab/Loki): open_clip coca_ViT-L-14 vision tower
+    # + attentional pooler
+    "omiclip": (306.0, 0.05),
+    # Quilt (wisdomik/QuiltNet-*): CLIP ViT-B/32 and ViT-B/16 vision towers
+    "quilt_b_32": (87.8, 0.05),
+    "quilt_b_16": (86.2, 0.05),
+    "quilt_b_16_pmb": (86.2, 0.05),
 }
 
 
