@@ -26,14 +26,24 @@ ENV_HOST_ID = "ATLASPATCH_HOST_ID"
 
 def maybe_init_distributed() -> None:
     """Initialize jax.distributed when a coordinator is configured via the
-    standard JAX env vars (JAX_COORDINATOR_ADDRESS etc.). Safe no-op otherwise."""
+    standard JAX env vars (JAX_COORDINATOR_ADDRESS etc.). Safe no-op otherwise.
+
+    Outside a cluster manager (SLURM/OMPI auto-detection), process identity
+    comes from JAX_NUM_PROCESSES / JAX_PROCESS_ID so plain shell launches
+    (and the two-process e2e tests) work with just four env vars.
+    """
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not coord:
         return
     import jax
 
+    num = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(
+            num_processes=int(num) if num is not None else None,
+            process_id=int(pid) if pid is not None else None,
+        )
         logger.info(
             "jax.distributed initialized: process %d/%d",
             jax.process_index(),
