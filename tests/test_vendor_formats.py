@@ -737,6 +737,77 @@ def test_ventana_bif_aoi_join_overlap_correction(tmp_path: Path):
     t.close()
 
 
+def test_ventana_bif_multi_aoi_pins_single_grid_approximation(tmp_path: Path):
+    """Multi-AOI BIF baseline (VERDICT r3 #9): real Ventana slides group
+    TileJointInfo under per-AOI <AreaOfInterest> elements, each AOI with its
+    own origin. Without vendor files the per-AOI origins are NOT modeled
+    (docs/PARITY.md row 6): the decoder pools every joint into one mean
+    overlap per axis and corrects the base as a single uniform grid. This
+    test pins that documented approximation on an XMP with two AreaOfInterest
+    groups, so any future vendor-file-driven per-AOI fix diffs against a
+    recorded baseline rather than silence."""
+    tile, overlap = 64, 16
+    # Two AOI groups whose joints AVERAGE to (16, 16): AOI1 measures slightly
+    # under, AOI2 slightly over. Pooled mean = 16 exactly.
+    aoi1 = (
+        '<AreaOfInterest Id="1" OriginX="0" OriginY="0">'
+        '<TileJointInfo Tile1="1" Tile2="2" Direction="RIGHT" Confidence="99" '
+        'OverlapX="15.5" OverlapY="0.2" />'
+        '<TileJointInfo Tile1="1" Tile2="5" Direction="UP" Confidence="98" '
+        'OverlapX="0.1" OverlapY="15.75" />'
+        "</AreaOfInterest>"
+    )
+    aoi2 = (
+        '<AreaOfInterest Id="2" OriginX="4096" OriginY="0">'
+        '<TileJointInfo Tile1="7" Tile2="8" Direction="RIGHT" Confidence="97" '
+        'OverlapX="16.5" OverlapY="-0.2" />'
+        '<TileJointInfo Tile1="7" Tile2="11" Direction="UP" Confidence="96" '
+        'OverlapX="-0.1" OverlapY="16.25" />'
+        "</AreaOfInterest>"
+    )
+    xmp = (
+        '<?xpacket begin="" id="W5M0MpCehiHzreSzNTczkc9d"?>'
+        '<x:xmpmeta xmlns:x="adobe:ns:meta/"><rdf:RDF>'
+        '<iScan xmlns="http://ventana.com/iscan/1.0" UnitNumber="1" '
+        'Magnification="40" ScanRes="0.25" />'
+        f"<AoiJoinInfo>{aoi1}{aoi2}</AoiJoinInfo>"
+        "</rdf:RDF></x:xmpmeta><?xpacket end=\"w\"?>"
+    )
+
+    # Mosaic built to the single-grid interpretation: uniform 48-px advances.
+    rng = np.random.default_rng(57)
+    cols, rows = 4, 3
+    adv = tile - overlap
+    tw, th_ = (cols - 1) * adv + tile, (rows - 1) * adv + tile
+    truth = _rand_rgb(rng, th_, tw)
+    mosaic = np.zeros((rows * tile, cols * tile, 3), np.uint8)
+    for r in range(rows):
+        for c in range(cols):
+            blk = truth[r * adv : r * adv + tile, c * adv : c * adv + tile].copy()
+            if c < cols - 1:
+                blk[:, adv:] = rng.integers(0, 256, (tile, overlap, 3), np.uint8)
+            if r < rows - 1:
+                blk[adv:, :] = rng.integers(0, 256, (overlap, tile, 3), np.uint8)
+            mosaic[r * tile : (r + 1) * tile, c * tile : (c + 1) * tile] = blk
+
+    overview = _rand_rgb(rng, 48, 64)
+    w = TiffWriter()
+    w.add_level(overview, extra_tags=[(700, TYPE_ASCII, [xmp])])
+    w.add_level(mosaic, tile=tile)
+    path = tmp_path / "multiaoi.bif"
+    w.save(path)
+
+    t = AtlasTiffFile(str(path))
+    # PINNED approximation: all four joints pool into mean (16, 16) and the
+    # whole base is corrected as one grid — per-AOI origins ignored.
+    assert t.properties["atlas.vendor"] == "ventana"
+    assert t.properties["ventana.OverlapX"] == "16"
+    assert t.properties["ventana.OverlapY"] == "16"
+    assert t.level_dimensions[0] == (tw, th_)
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, tw, th_), truth)
+    t.close()
+
+
 def test_ventana_bif_insane_overlap_keeps_abutting_grid(tmp_path: Path):
     """Overlaps ≥ tile−1 (sub-pixel advances) or ≤ 0 are junk — the base must
     stay the plain abutting mosaic rather than collapse or explode the
