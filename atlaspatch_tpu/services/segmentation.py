@@ -320,6 +320,17 @@ class SAM2Predictor:
                         jnp.asarray(batch),
                         jnp.float32(self.cfg.mask_threshold),
                     )
+                # Start the D2H transfer the moment compute finishes instead
+                # of at resolve(): the runner resolves batch i only after
+                # dispatching batch i+1, so the packed-mask bytes cross the
+                # (high-latency) link while the host preps the next batch —
+                # resolve()'s np.asarray then finds the host copy ready.
+                # (BENCH r4 counters: segment_fetch was 0.55-0.64 s/pass,
+                # the single largest stage.)
+                try:
+                    packed.copy_to_host_async()
+                except Exception:  # noqa: BLE001 — optional fast path only
+                    pass
                 handles.append((packed, idxs, target))
 
         def resolve() -> list[np.ndarray]:

@@ -33,6 +33,7 @@ from typing import Any, Callable, Iterable, Mapping
 import h5py
 import numpy as np
 
+from atlaspatch_tpu.utils import perf
 from atlaspatch_tpu.utils.h5 import AtomicH5
 
 logger = logging.getLogger("atlaspatch_tpu.storage")
@@ -147,7 +148,7 @@ class H5PatchWriter:
             if coords.shape[0]
             else np.empty((0,), dtype=_PASSPORT_DTYPE)
         )
-        with AtomicH5(output_path, chunk_rows=self.chunk_rows) as store:
+        with perf.stage("h5_write"), AtomicH5(output_path, chunk_rows=self.chunk_rows) as store:
             store.put_all("coords", coords)
             store.put_all("passports", passports)
             store.set_attrs(self._file_attrs())

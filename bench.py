@@ -38,6 +38,10 @@ import sys
 # A benchmark measures compute, not mask quality: random SAM2/encoder weights
 # are explicitly fine here (identical FLOPs/bytes to the real checkpoints).
 os.environ.setdefault("ATLASPATCH_ALLOW_RANDOM_WEIGHTS", "1")
+# Always collect per-stage counters: every pass's breakdown lands in the JSON
+# so a degraded driver capture is self-diagnosing (which stage lost the time —
+# decode? open? H5? device dispatch?) instead of a bare slides/hour number.
+os.environ.setdefault("ATLASPATCH_PROFILE", "1")
 
 N_SLIDES = int(os.environ.get("ATLASPATCH_BENCH_SLIDES", "64"))
 N_TIFF_SLIDES = int(os.environ.get("ATLASPATCH_BENCH_TIFF_SLIDES", "64"))  # 2+ batches: keeps the dispatch/extract pipeline overlapped
@@ -111,11 +115,45 @@ class _NullResolver:
         return None
 
 
-def _run_passes(make_runner, n_slides: int, label: str) -> tuple[float, float]:
-    """(best, median) slides/hour over PASSES runner executions."""
+def _host_speed_probe() -> float:
+    """Relative host-CPU speed: wall seconds for a fixed single-thread numpy
+    workload (~40 ms unloaded on this class of host). Recorded per stage so a
+    degraded capture distinguishes 'this code got slower' from 'the host was
+    contended N× during this stage' (the r3 driver runs showed real-TIFF
+    sagging 40% while synthetic held — a host-CPU signature)."""
+    a = np.random.default_rng(1).random((256, 256), np.float64)
+    t0 = time.perf_counter()
+    for _ in range(12):
+        a = np.tanh(a @ a.T * 1e-3)
+    float(a.sum())
+    return round(time.perf_counter() - t0, 4)
+
+
+def _stage_snapshot() -> dict[str, float]:
+    """Per-stage seconds since the last perf.reset(), rounded for the JSON."""
+    from atlaspatch_tpu.utils import perf
+
+    return {name: row["total_s"] for name, row in perf.report().items()}
+
+
+def _settle(seconds: float | None = None) -> None:
+    """Idle gap so one stage's host/relay pressure doesn't bleed into the
+    next measurement (the r3 driver capture showed cumulative decay)."""
+    s = float(os.environ.get("ATLASPATCH_BENCH_SETTLE", "10")) if seconds is None else seconds
+    if s > 0:
+        time.sleep(s)
+
+
+def _run_passes(make_runner, n_slides: int, label: str) -> tuple[float, float, list[dict]]:
+    """(best, median, per-pass detail) over PASSES runner executions."""
+    from atlaspatch_tpu.utils import perf
+
     rates = []
+    passes: list[dict] = []
     for p in range(PASSES):
         runner = make_runner(p)
+        host_probe = _host_speed_probe()
+        perf.reset()
         t0 = time.perf_counter()
         results, failures = runner.run()
         dt = time.perf_counter() - t0
@@ -124,8 +162,12 @@ def _run_passes(make_runner, n_slides: int, label: str) -> tuple[float, float]:
         assert sum(r.num_patches for r in results) > 0
         rate = n_slides / dt * 3600
         rates.append(rate)
-        _log(f"{label} pass {p + 1}/{PASSES}: {rate:.0f} slides/hour")
-    return max(rates), statistics.median(rates)
+        passes.append(
+            {"rate": round(rate, 1), "wall_s": round(dt, 3),
+             "host_probe_s": host_probe, "stages": _stage_snapshot()}
+        )
+        _log(f"{label} pass {p + 1}/{PASSES}: {rate:.0f} slides/hour (host probe {host_probe * 1000:.0f} ms)")
+    return max(rates), statistics.median(rates), passes
 
 
 def _make_app_cfg(in_dir: Path, out_root: Path):
@@ -162,7 +204,32 @@ def _clone_cfg_with_output(cfg, out_root: Path):
     )
 
 
-def bench_seg_coords_synthetic(seg, tmp: Path) -> tuple[float, float]:
+def write_tiff_corpus(tmp: Path) -> Path:
+    """Write the real-TIFF corpus BEFORE any JAX warmup so the one CPU isn't
+    encoding 64 JPEG pyramids while the relay warms, and the page cache is
+    settled by the time the measured passes read the files back."""
+    sys.path.insert(0, str(Path(__file__).parent / "tests"))
+    from tiff_builder import write_pyramid  # noqa: PLC0415
+
+    from atlaspatch_tpu.io.synthetic_wsi import make_tissue_canvas
+
+    in_dir = tmp / "tiff_slides"
+    in_dir.mkdir()
+    _log(f"writing {N_TIFF_SLIDES} JPEG-tiled pyramidal SVS files ...")
+    canvases = [make_tissue_canvas(SLIDE_W, SLIDE_H, seed=100 + s, n_blobs=3) for s in range(4)]
+    for i in range(N_TIFF_SLIDES):
+        write_pyramid(
+            in_dir / f"tslide{i:03d}.svs",
+            canvases[i % 4],
+            levels=3,
+            tile=256,
+            compression=7,  # JPEG chunks: the Aperio hot path
+            description=f"Aperio Image Library v12\r\n{SLIDE_W}x{SLIDE_H} | AppMag = 20 | MPP = 0.5",
+        )
+    return in_dir
+
+
+def bench_seg_coords_synthetic(seg, tmp: Path) -> tuple[float, float, list[dict]]:
     """Stage 1: in-memory synthetic pyramids (decode excluded by design)."""
     from atlaspatch_tpu.io.synthetic_wsi import SyntheticWSI, make_tissue_canvas
     from atlaspatch_tpu.orchestration.runner import ProcessingRunner
@@ -213,30 +280,13 @@ def bench_seg_coords_synthetic(seg, tmp: Path) -> tuple[float, float]:
     return _run_passes(make_runner, N_SLIDES, "synthetic")
 
 
-def bench_seg_coords_real_tiff(seg, tmp: Path) -> tuple[float, float]:
+def bench_seg_coords_real_tiff(seg, tmp: Path, in_dir: Path) -> tuple[float, float, list[dict]]:
     """Stage 2: the same pipeline over real JPEG-tiled pyramids on disk,
-    decoded by the native TIFF layer through the production loader."""
-    sys.path.insert(0, str(Path(__file__).parent / "tests"))
-    from tiff_builder import write_pyramid  # noqa: PLC0415
-
+    decoded by the native TIFF layer through the production loader. The
+    corpus was pre-written by write_tiff_corpus before JAX warmup."""
     from atlaspatch_tpu.orchestration.runner import ProcessingRunner
-    from atlaspatch_tpu.io.synthetic_wsi import make_tissue_canvas
     from atlaspatch_tpu.services.extraction import PatchExtractionService
     from atlaspatch_tpu.services.wsi_loader import DefaultWSILoader
-
-    in_dir = tmp / "tiff_slides"
-    in_dir.mkdir()
-    _log(f"writing {N_TIFF_SLIDES} JPEG-tiled pyramidal SVS files ...")
-    canvases = [make_tissue_canvas(SLIDE_W, SLIDE_H, seed=100 + s, n_blobs=3) for s in range(4)]
-    for i in range(N_TIFF_SLIDES):
-        write_pyramid(
-            in_dir / f"tslide{i:03d}.svs",
-            canvases[i % 4],
-            levels=3,
-            tile=256,
-            compression=7,  # JPEG chunks: the Aperio hot path
-            description=f"Aperio Image Library v12\r\n{SLIDE_W}x{SLIDE_H} | AppMag = 20 | MPP = 0.5",
-        )
 
     cfg = _make_app_cfg(in_dir, tmp / "tiff_out")
 
@@ -246,6 +296,8 @@ def bench_seg_coords_real_tiff(seg, tmp: Path) -> tuple[float, float]:
 
     loader = DefaultWSILoader()
     paths = sorted(in_dir.glob("*.svs"))
+    for p in paths:
+        p.read_bytes()  # page-cache warm: pass 1 must not measure cold disk
     warm_sizes = {min(SEG_BATCH, N_TIFF_SLIDES)}
     if N_TIFF_SLIDES % SEG_BATCH:
         warm_sizes.add(N_TIFF_SLIDES % SEG_BATCH)  # the run's remainder batch
@@ -269,10 +321,11 @@ def bench_seg_coords_real_tiff(seg, tmp: Path) -> tuple[float, float]:
     return _run_passes(make_runner, N_TIFF_SLIDES, "real-tiff")
 
 
-def bench_embed_vitl(tmp: Path) -> tuple[float, float, float, float]:
+def bench_embed_vitl(tmp: Path) -> dict:
     """Stage 3: ViT-L patches/sec through the full engine path (host prep
     threads → uint8 H2D → fused preprocess+forward on device)."""
     from atlaspatch_tpu.models.encoders.zoo import build_default_registry
+    from atlaspatch_tpu.utils import perf
 
     registry = build_default_registry(device="tpu", dtype="bfloat16")
     extractor = registry.create(EMBED_ENCODER)
@@ -287,7 +340,11 @@ def bench_embed_vitl(tmp: Path) -> tuple[float, float, float, float]:
         extractor.extract_batch(patches[: N_EMBED_PATCHES % 32], batch_size=32)
 
     rates = []
+    pass_detail: list[dict] = []
     for p in range(PASSES):
+        if p:
+            _settle(float(os.environ.get("ATLASPATCH_BENCH_PASS_SETTLE", "5")))
+        perf.reset()
         t0 = time.perf_counter()
         feats = extractor.extract_batch(patches, batch_size=32)
         feats = np.asarray(feats)  # force full host materialization
@@ -295,6 +352,9 @@ def bench_embed_vitl(tmp: Path) -> tuple[float, float, float, float]:
         assert feats.shape[0] == N_EMBED_PATCHES and np.isfinite(feats).all()
         rate = N_EMBED_PATCHES / dt
         rates.append(rate)
+        pass_detail.append(
+            {"rate": round(rate, 1), "wall_s": round(dt, 3), "stages": _stage_snapshot()}
+        )
         _log(f"embed {EMBED_ENCODER} pass {p + 1}/{PASSES}: {rate:.1f} patches/s")
 
     # Device-resident compute rate: same jitted program over an on-device
@@ -303,56 +363,73 @@ def bench_embed_vitl(tmp: Path) -> tuple[float, float, float, float]:
     # on real TPU hosts (local DMA) end-to-end approaches this ceiling.
     import jax
 
-    imgs = np.stack([extractor.spec.apply_host(p) for p in patches[:32]])
-    dev = jax.device_put(imgs, extractor.device)
-    out = extractor._forward_async(imgs)  # ensure compiled for this shape
-    np.asarray(out)
-    fn = extractor._jitted[dev.shape]
-    resident = []
-    for _ in range(2):
-        reps = 32  # enough queue depth to amortize the final fetch latency
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(extractor.params, dev)
-        np.asarray(out[0, :8])  # tiny sync fetch; full D2H is not the metric
-        resident.append(32 * reps / (time.perf_counter() - t0))
-    _log(f"embed {EMBED_ENCODER} device-resident: {max(resident):.1f} patches/s")
+    def _resident_rate(ex, label: str) -> float:
+        imgs_local = np.stack([ex.spec.apply_host(p) for p in patches[:32]])
+        out = ex._forward_async(imgs_local)  # ensure compiled for this shape
+        np.asarray(out)
+        fn = ex._jitted[imgs_local.shape]
+        dev_local = jax.device_put(imgs_local, ex.device)
+        best = 0.0
+        for _ in range(2):
+            reps = 32  # enough queue depth to amortize the final fetch latency
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(ex.params, dev_local)
+            np.asarray(out[0, :8])  # tiny sync fetch; full D2H is not the metric
+            best = max(best, 32 * reps / (time.perf_counter() - t0))
+        _log(f"embed {EMBED_ENCODER} device-resident {label}: {best:.1f} patches/s")
+        return best
+
+    resident = _resident_rate(extractor, "bf16-erf")
     extractor.cleanup()
+
+    from atlaspatch_tpu.models.encoders.zoo import ENTRIES, build_extractor
+
+    # bf16 + tanh GELU: the documented +32% serving mode (docs/PERF.md).
+    # erf stays the parity default, but the bench must track both or
+    # round-over-round comparisons silently mix modes (VERDICT r3 #6).
+    prev_tanh = os.environ.get("ATLASPATCH_GELU_TANH")
+    os.environ["ATLASPATCH_GELU_TANH"] = "1"
+    try:
+        ex_t = build_extractor(ENTRIES[EMBED_ENCODER], compute_dtype="bfloat16")
+        resident_tanh = _resident_rate(ex_t, "bf16-tanh")
+        ex_t.cleanup()
+    finally:
+        if prev_tanh is None:
+            os.environ.pop("ATLASPATCH_GELU_TANH", None)
+        else:
+            os.environ["ATLASPATCH_GELU_TANH"] = prev_tanh
 
     # Optional: the W8A8 serving mode's resident rate (same weights,
     # quantized). Round-over-round signal for the int8 path.
     resident_i8 = 0.0
     if os.environ.get("ATLASPATCH_BENCH_INT8", "1") == "1":
-        from atlaspatch_tpu.models.encoders.zoo import ENTRIES, build_extractor
-
         ex8 = build_extractor(ENTRIES[EMBED_ENCODER], compute_dtype="int8")
         if ex8.compute_dtype != "int8":
             # no int8 plan for this family (zoo fell back to bf16): reporting
             # that rate under the int8 key would corrupt round-over-round
             # int8 tracking
             _log(f"embed {EMBED_ENCODER}: no int8 plan; skipping int8 metric")
-            ex8.cleanup()
-            return max(rates), statistics.median(rates), max(resident), 0.0
-        out = ex8._forward_async(imgs)
-        np.asarray(out)
-        fn8 = ex8._jitted[imgs.shape]
-        dev8 = jax.device_put(imgs, ex8.device)
-        for _ in range(2):
-            reps = 32
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                out = fn8(ex8.params, dev8)
-            np.asarray(out[0, :8])
-            resident_i8 = max(resident_i8, 32 * reps / (time.perf_counter() - t0))
-        _log(f"embed {EMBED_ENCODER} device-resident int8: {resident_i8:.1f} patches/s")
+        else:
+            resident_i8 = _resident_rate(ex8, "int8")
         ex8.cleanup()
-    return max(rates), statistics.median(rates), max(resident), resident_i8
+    return {
+        "value": round(max(rates), 1),
+        "median": round(statistics.median(rates), 1),
+        "device_resident": round(resident, 1),
+        "device_resident_tanh": round(resident_tanh, 1),
+        "device_resident_int8": round(resident_i8, 1),
+        "unit": "patches/s",
+        "vs_baseline": None,  # no published reference number
+        "passes": pass_detail,
+    }
 
 
 def main() -> None:
     metrics: dict[str, dict] = {}
     with tempfile.TemporaryDirectory() as tmpdir:
         tmp = Path(tmpdir)
+        tiff_dir = write_tiff_corpus(tmp) if "real_tiff" not in SKIP else None
         seg = None
         if "synthetic" not in SKIP or "real_tiff" not in SKIP:
             from atlaspatch_tpu.core.config import SegmentationConfig
@@ -362,37 +439,40 @@ def main() -> None:
             )
 
         if "synthetic" not in SKIP:
-            best, med = bench_seg_coords_synthetic(seg, tmp)
+            best, med, passes = bench_seg_coords_synthetic(seg, tmp)
             metrics["seg_coords_synthetic"] = {
                 "value": round(best, 1),
                 "median": round(med, 1),
                 "unit": "slides/hour",
                 "vs_baseline": round(best / BASELINE_SLIDES_PER_HOUR, 3),
                 "median_vs_baseline": round(med / BASELINE_SLIDES_PER_HOUR, 3),
+                "passes": passes,
             }
         if "real_tiff" not in SKIP:
-            best, med = bench_seg_coords_real_tiff(seg, tmp)
+            _settle()  # isolate from the synthetic stage's host/relay pressure
+            best, med, passes = bench_seg_coords_real_tiff(seg, tmp, tiff_dir)
             metrics["seg_coords_real_tiff"] = {
                 "value": round(best, 1),
                 "median": round(med, 1),
                 "unit": "slides/hour",
                 "vs_baseline": round(best / BASELINE_SLIDES_PER_HOUR, 3),
                 "median_vs_baseline": round(med / BASELINE_SLIDES_PER_HOUR, 3),
+                "passes": passes,
             }
         if "embed" not in SKIP:
-            best, med, resident, resident_i8 = bench_embed_vitl(tmp)
-            metrics["embed_vitl_pps"] = {
-                "value": round(best, 1),
-                "median": round(med, 1),
-                "device_resident": round(resident, 1),
-                "device_resident_int8": round(resident_i8, 1),
-                "unit": "patches/s",
-                "vs_baseline": None,  # no published reference number
-            }
+            # Release the seg stage's device buffers/thread pools and drop the
+            # 64-file SVS corpus before measuring embed: BENCH_r03 showed the
+            # embed e2e rate decaying 189→90 pps across passes under the
+            # earlier stages' residual pressure (VERDICT r3 #4).
+            if seg is not None:
+                seg.close()
+                seg = None
+            if tiff_dir is not None:
+                import shutil
 
-    from atlaspatch_tpu.utils import perf
-
-    perf.log_report()  # per-stage breakdown when ATLASPATCH_PROFILE=1
+                shutil.rmtree(tiff_dir, ignore_errors=True)
+            _settle()
+            metrics["embed_vitl_pps"] = bench_embed_vitl(tmp)
 
     if not metrics:
         print(
