@@ -30,6 +30,7 @@ import numpy as np
 from PIL import Image
 
 from atlaspatch_tpu.models.encoders.registry import FeatureExtractor
+from atlaspatch_tpu.utils import perf
 
 logger = logging.getLogger("atlaspatch_tpu.models.encoders")
 
@@ -197,11 +198,12 @@ class JaxFeatureExtractor(FeatureExtractor):
                 else:
                     fn = jax.jit(run)
                 self._jitted[shape] = fn
-        if self._data_sharding is not None:
-            images = jax.device_put(images_u8, self._data_sharding)
-            return fn(self.params, images)
-        with jax.default_device(self.device):
-            return fn(self.params, images_u8)
+        with perf.stage("embed_dispatch"):
+            if self._data_sharding is not None:
+                images = jax.device_put(images_u8, self._data_sharding)
+                return fn(self.params, images)
+            with jax.default_device(self.device):
+                return fn(self.params, images_u8)
 
     def _forward(self, images_u8: np.ndarray) -> np.ndarray:
         return np.asarray(self._forward_async(images_u8))
@@ -242,7 +244,8 @@ class JaxFeatureExtractor(FeatureExtractor):
             max_workers=depth, thread_name_prefix="h2d-dispatch"
         ) as dispatcher:
             for chunk in chunks:
-                imgs = prep_chunk(ex, chunk)
+                with perf.stage("embed_prep"):
+                    imgs = prep_chunk(ex, chunk)
                 n = imgs.shape[0]
                 padded = _bucket(n, bs)
                 if self._batch_align > 1:
@@ -256,11 +259,13 @@ class JaxFeatureExtractor(FeatureExtractor):
                 # ATLASPATCH_H2D_DEPTH knob measure one more than configured)
                 while len(pending) >= depth:
                     fut, k = pending.popleft()
-                    outputs.append(np.asarray(fut.result())[:k])
+                    with perf.stage("embed_fetch"):
+                        outputs.append(np.asarray(fut.result())[:k])
                 pending.append((dispatcher.submit(self._forward_async, imgs), n))
             while pending:
                 fut, k = pending.popleft()
-                outputs.append(np.asarray(fut.result())[:k])
+                with perf.stage("embed_fetch"):
+                    outputs.append(np.asarray(fut.result())[:k])
         return np.concatenate(outputs, axis=0)
 
     def cleanup(self) -> None:

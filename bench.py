@@ -344,6 +344,7 @@ def bench_embed_vitl(tmp: Path) -> dict:
     for p in range(PASSES):
         if p:
             _settle(float(os.environ.get("ATLASPATCH_BENCH_PASS_SETTLE", "5")))
+        host_probe = _host_speed_probe()
         perf.reset()
         t0 = time.perf_counter()
         feats = extractor.extract_batch(patches, batch_size=32)
@@ -353,7 +354,8 @@ def bench_embed_vitl(tmp: Path) -> dict:
         rate = N_EMBED_PATCHES / dt
         rates.append(rate)
         pass_detail.append(
-            {"rate": round(rate, 1), "wall_s": round(dt, 3), "stages": _stage_snapshot()}
+            {"rate": round(rate, 1), "wall_s": round(dt, 3),
+             "host_probe_s": host_probe, "stages": _stage_snapshot()}
         )
         _log(f"embed {EMBED_ENCODER} pass {p + 1}/{PASSES}: {rate:.1f} patches/s")
 
