@@ -139,8 +139,9 @@ class H5PatchWriter:
         """Write a fully collected coordinate list (total already known).
 
         The two-pass count-then-write contract means the final size is known
-        here, so both datasets land in one HDF5 write each (still chunked with
-        an unlimited axis for schema parity with streamed writers)."""
+        here, so both datasets land in one contiguous HDF5 write each (the
+        values and attrs downstream MIL readers consume are identical to the
+        streamed writers'; only the storage layout differs)."""
         self.total_patches = len(all_coords)
         coords = np.asarray(all_coords, dtype=np.int32).reshape(-1, 5)
         passports = (
