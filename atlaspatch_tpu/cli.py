@@ -89,7 +89,7 @@ _COMMON_OPTIONS: list = [
                       "(data-parallel mesh; needs --seg-batch-size >= chip count)."),
     click.option("--fast", is_flag=True,
                  help="TPU throughput preset: --seg-precision bfloat16 "
-                      "--seg-batch-size 32 (the benchmark configuration). "
+                      "--seg-batch-size 8 (the benchmark configuration). "
                       "Explicitly-passed seg flags still win."),
     click.option("--verbose", "-v", is_flag=True, help="Enable debug logging."),
 ]
@@ -152,7 +152,12 @@ def _build_app_config(kw: dict, feature_cfg: FeatureExtractionConfig | None) -> 
         if not _explicit("seg_precision"):
             kw["seg_precision"] = "bfloat16"
         if not _explicit("seg_batch_size"):
-            kw["seg_batch_size"] = 32
+            # Measured knee on v5e (192-slide sweep, bf16 seg): batch 8 beats
+            # 16/32/64 on BOTH the synthetic and real-TIFF corpora (real-TIFF
+            # 16.9x / 16.4x / 15.6x / 13.4x median; batch 4 drops to 14.9x).
+            # Small batches keep the host<->device pipeline fine-grained: the
+            # per-batch mask fetch overlaps the next batch's host prep.
+            kw["seg_batch_size"] = 8
     return AppConfig(
         processing=ProcessingConfig(
             input_path=Path(kw["wsi_path"]),

@@ -11,7 +11,7 @@
    (host prep threads → H2D dispatch → jitted forward), the second BASELINE
    north-star metric. No published reference value ⇒ vs_baseline null.
 
-Config: seg bfloat16, seg batch 32 — the CLI's ``--fast`` preset (defaults
+Config: seg bfloat16, seg batch 8 — the CLI's ``--fast`` preset (defaults
 stay float32/batch-1 for reference-exact numerics). Each stage reports
 best AND median over ATLASPATCH_BENCH_PASSES passes: the TPU tunnel on this
 host fluctuates >2x run-to-run, so best approximates the machine and median
@@ -43,16 +43,21 @@ os.environ.setdefault("ATLASPATCH_ALLOW_RANDOM_WEIGHTS", "1")
 # decode? open? H5? device dispatch?) instead of a bare slides/hour number.
 os.environ.setdefault("ATLASPATCH_PROFILE", "1")
 
-# 192 slides = 6 batches of 32: enough steady state for the 3-stage pipeline
-# to overlap host work (thumb decode, contours, H5) with the device fetch
-# wait. Measured on the real chip: 64 slides (2 batches) = 11x baseline with
-# the pass fill/drain dominating; 192 = 15.6-15.9x with stage-sum > wall
-# (true overlap). Larger gives <2% more (fill is already ~13% of the pass).
+# 192 slides: enough steady state for the 3-stage pipeline to overlap host
+# work (thumb decode, contours, H5) with the device fetch wait. Measured on
+# the real chip: 64 slides = 11x baseline with the pass fill/drain
+# dominating; 192 = 15.6-15.9x with stage-sum > wall (true overlap).
+# Larger gives <2% more (fill is already ~13% of the pass).
 N_SLIDES = int(os.environ.get("ATLASPATCH_BENCH_SLIDES", "192"))
 N_TIFF_SLIDES = int(os.environ.get("ATLASPATCH_BENCH_TIFF_SLIDES", "192"))
 N_EMBED_PATCHES = int(os.environ.get("ATLASPATCH_BENCH_EMBED_PATCHES", "512"))
 EMBED_ENCODER = os.environ.get("ATLASPATCH_BENCH_EMBED_ENCODER", "vit_l_16")
-SEG_BATCH = int(os.environ.get("ATLASPATCH_BENCH_SEG_BATCH", "32"))
+# Batch 8 is the measured knee on this host (192-slide sweep, bf16):
+# real-TIFF median 16.9x at 8 vs 16.4x/15.6x/13.4x at 16/32/64 and 14.9x at
+# 4; synthetic 18.4x at 8 vs 17.7x/15.6x at 16/32. Fine-grained batches keep
+# the per-batch packed-mask fetch overlapped with the next batch's host prep
+# on this 1-CPU host + high-latency tunnel.
+SEG_BATCH = int(os.environ.get("ATLASPATCH_BENCH_SEG_BATCH", "8"))
 # bfloat16 is the TPU-native precision for the MXU; the CLI default stays
 # float32 for users who want the reference's exact numeric chain.
 SEG_PRECISION = os.environ.get("ATLASPATCH_BENCH_SEG_PRECISION", "bfloat16")
