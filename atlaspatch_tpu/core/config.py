@@ -42,20 +42,27 @@ _CONSTRAINT_TEXT = {
 class _TableValidated:
     """Shared ``validated()`` driven by class-level constraint tables.
 
-    ``_REQUIRED_PATHS``: (attr, human label) rows — attr must exist on disk
-    when not None. ``_NUMERIC``: (attr, predicate, human label) rows — attr
-    must satisfy the predicate when not None. Subclasses normalize defaults /
-    canonical spellings in ``_normalize`` (runs between the two passes, so it
-    may fill in None defaults that the numeric pass then checks).
+    ``_REQUIRED_PATHS``: (attr, human label[, mandatory]) rows — attr must
+    exist on disk when not None; when the row is marked mandatory, None
+    itself is a validation error (the value has no usable default).
+    ``_NUMERIC``: (attr, predicate, human label) rows — attr must satisfy the
+    predicate when not None. Subclasses normalize defaults / canonical
+    spellings in ``_normalize`` (runs between the two passes, so it may fill
+    in None defaults that the numeric pass then checks).
     """
 
     _REQUIRED_PATHS: tuple = ()
     _NUMERIC: tuple = ()
 
     def validated(self):
-        for attr, label in self._REQUIRED_PATHS:
+        for row in self._REQUIRED_PATHS:
+            attr, label, mandatory = (*row, False)[:3]
             value = getattr(self, attr)
-            if value is not None and not Path(value).exists():
+            if value is None:
+                if mandatory:
+                    raise ValueError(f"{label} is required, got None")
+                continue
+            if not Path(value).exists():
                 raise FileNotFoundError(f"{label} not found: {value}")
         self._normalize()
         for attr, predicate, label in self._NUMERIC:
@@ -243,7 +250,7 @@ class ProcessingConfig(_TableValidated):
     mpp_csv: Path | None = None
 
     _REQUIRED_PATHS = (
-        ("input_path", "Input path"),
+        ("input_path", "Input path", True),
         ("mpp_csv", "MPP CSV"),
     )
 
@@ -273,7 +280,10 @@ class AppConfig:
         for section in ("processing", "segmentation", "extraction", "output",
                         "features", "visualization"):
             cfg = getattr(self, section)
-            if cfg is not None:
-                setattr(self, section, cfg.validated())
+            if cfg is None:
+                if section == "features":  # the one genuinely optional section
+                    continue
+                raise ValueError(f"{section} config is required, got None")
+            setattr(self, section, cfg.validated())
         self.device = normalize_device(self.device)
         return self

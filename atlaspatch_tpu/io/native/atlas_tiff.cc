@@ -1558,21 +1558,18 @@ static void build_levels_generic(AtlasTiff* t) {
       if (d.width * d.height > base_area) continue;
     }
     // Trestle levels each overlap by their own OverlapsXY pair. Pairs are
-    // per TIFF directory in FILE ORDER (OpenSlide's trestle driver indexes
-    // per directory), not per kept level: if an intermediate directory is
-    // skipped by the aspect/dup checks below, later levels must still
-    // consume their own pair. Correct dims BEFORE the aspect/dup checks so
-    // they compare stitched canvases, not raw mosaics.
+    // per TIFF directory in FILE ORDER: OpenSlide's trestle driver makes
+    // EVERY directory a level, so pair k belongs to raw directory k. Using
+    // the raw position (not a filtered count) keeps alignment even when an
+    // intermediate directory is skipped by the aspect/dup checks below —
+    // its pair is skipped with it, exactly as OpenSlide would have applied
+    // it to that directory. Correct dims BEFORE the aspect/dup checks so
+    // they compare stitched canvases, not raw mosaics. (SubIFDs have no
+    // directory ordinal in OpenSlide's walk; trestle files don't use them.)
     uint64_t lw = d.width, lh = d.height;
     double ax = 0.0, ay = 0.0;
-    if (t->trestle) {
-      size_t lvl = 0;  // this IFD's ordinal among pyramid-candidate dirs
-      for (size_t j = 0; j < i; ++j) {
-        const IFD& e = t->ifds[j];
-        if (e.tiled && plausible_dims(e) && !associated_ifd(e) &&
-            e.sub_of < 0)
-          ++lvl;
-      }
+    if (t->trestle && d.sub_of < 0) {
+      size_t lvl = i;  // raw top-level directory position in file order
       if (2 * lvl + 1 < t->trestle_overlaps.size())
         overlap_correct_level(d, (double)t->trestle_overlaps[2 * lvl],
                               (double)t->trestle_overlaps[2 * lvl + 1], &lw,

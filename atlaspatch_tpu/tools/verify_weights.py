@@ -150,7 +150,7 @@ def _hf_snapshot_dir(entry) -> Path | None:
         os.environ.get("HF_HUB_CACHE")
         or Path(os.environ.get("HF_HOME", Path.home() / ".cache" / "huggingface")) / "hub"
     )
-    snaps = sorted((hub / f"models--{repo.replace('/', '--')}").glob("snapshots/*"))
+    snaps = list((hub / f"models--{repo.replace('/', '--')}").glob("snapshots/*"))
     if not snaps:
         return None
     return max(snaps, key=lambda d: d.stat().st_mtime)
@@ -180,66 +180,90 @@ def verify_hf_config(entry, snapshot: Path) -> PreflightResult | None:
     problems: list[str] = []
     checked: list[str] = []
 
+    def _edge(value):
+        """Pixel edge from the several shapes HF JSONs use for sizes:
+        int, [h, w], {"height": ..}, {"shortest_edge": ..}. None if
+        uninterpretable — an odd value is not evidence of a mismatch."""
+        if isinstance(value, dict):
+            value = value.get("shortest_edge", value.get("height"))
+        if isinstance(value, (list, tuple)) and value:
+            value = value[0]
+        try:
+            return int(value)
+        except (TypeError, ValueError):
+            return None
+
+    # A malformed-but-parseable value (list sizes, odd-length means) must
+    # degrade to a FAIL row for THIS entry, never abort the whole preflight.
     pp_path = snapshot / "preprocessor_config.json"
     if pp_path.exists():
         try:
             pp = json.loads(pp_path.read_text())
-        except Exception as e:  # noqa: BLE001
-            return PreflightResult(entry.name, "FAIL", f"hf-config: unreadable {pp_path.name}: {e}",
-                                   pp_path, time.perf_counter() - t0)
-        pre = entry.preprocess
-        mean, std = pp.get("image_mean"), pp.get("image_std")
-        if mean is not None and pp.get("do_normalize", True):
-            checked.append("mean/std")
-            if not np.allclose(mean, pre.mean, atol=1e-5):
-                problems.append(f"image_mean {mean} != pinned {tuple(pre.mean)}")
-            if std is not None and not np.allclose(std, pre.std, atol=1e-5):
-                problems.append(f"image_std {std} != pinned {tuple(pre.std)}")
-        size = pp.get("size")
-        if size is not None and pp.get("do_resize", True):
-            checked.append("size")
-            if isinstance(size, dict):
-                edge = size.get("shortest_edge") or size.get("height")
-            else:
-                edge = size
-            if edge is not None and int(edge) != int(pre.resize):
-                problems.append(f"size {size} != pinned resize {pre.resize}")
-        crop = pp.get("crop_size")
-        if crop is not None and pp.get("do_center_crop", False):
-            checked.append("crop")
-            edge = crop.get("height") if isinstance(crop, dict) else crop
-            if int(edge) != int(pre.crop):
-                problems.append(f"crop_size {crop} != pinned crop {pre.crop}")
-        resample = pp.get("resample")
-        if resample is not None and resample in _PIL_RESAMPLE:
-            checked.append("resample")
-            if _PIL_RESAMPLE[resample] != pre.interpolation:
-                problems.append(
-                    f"resample {_PIL_RESAMPLE[resample]} != pinned {pre.interpolation}"
-                )
+            pre = entry.preprocess
+            mean, std = pp.get("image_mean"), pp.get("image_std")
+            if mean is not None and pp.get("do_normalize", True):
+                checked.append("mean/std")
+                if np.shape(mean) != np.shape(tuple(pre.mean)) or not np.allclose(
+                    mean, pre.mean, atol=1e-5
+                ):
+                    problems.append(f"image_mean {mean} != pinned {tuple(pre.mean)}")
+                if std is not None and (
+                    np.shape(std) != np.shape(tuple(pre.std))
+                    or not np.allclose(std, pre.std, atol=1e-5)
+                ):
+                    problems.append(f"image_std {std} != pinned {tuple(pre.std)}")
+            size = pp.get("size")
+            if size is not None and pp.get("do_resize", True):
+                checked.append("size")
+                edge = _edge(size)
+                if edge is not None and edge != int(pre.resize):
+                    problems.append(f"size {size} != pinned resize {pre.resize}")
+            crop = pp.get("crop_size")
+            if crop is not None and pp.get("do_center_crop", False):
+                checked.append("crop")
+                edge = _edge(crop)
+                if edge is not None and edge != int(pre.crop):
+                    problems.append(f"crop_size {crop} != pinned crop {pre.crop}")
+            resample = pp.get("resample")
+            if resample is not None and resample in _PIL_RESAMPLE:
+                checked.append("resample")
+                if _PIL_RESAMPLE[resample] != pre.interpolation:
+                    problems.append(
+                        f"resample {_PIL_RESAMPLE[resample]} != pinned {pre.interpolation}"
+                    )
+        except Exception as e:  # noqa: BLE001 — still diff config.json below
+            checked.append("preprocessor")
+            problems.append(f"unreadable {pp_path.name}: {e}")
 
     cfg_path = snapshot / "config.json"
     spec = entry.spec
     if cfg_path.exists() and spec is not None:
         try:
             cfg = json.loads(cfg_path.read_text())
+            # image_size is deliberately NOT diffed: HF configs carry the
+            # NATIVE training size (e.g. dinov2 518) while the zoo pins the
+            # reference's SERVING size (224, pos-embeds interpolated) — a
+            # mismatch there is expected and correct.
+            for json_keys, attr in (
+                (("hidden_size", "embed_dim"), "dim"),
+                (("num_hidden_layers",), "depth"),
+                (("num_attention_heads",), "heads"),
+                (("patch_size",), "patch_size"),
+            ):
+                want = getattr(spec, attr, None)
+                got = _dig(cfg, *json_keys)
+                if want is None or got is None:
+                    continue
+                checked.append(attr)
+                try:
+                    mismatch = int(got) != int(want)
+                except (TypeError, ValueError):
+                    mismatch = True
+                if mismatch:
+                    problems.append(f"{json_keys[0]} {got} != pinned {attr} {want}")
         except Exception as e:  # noqa: BLE001
-            return PreflightResult(entry.name, "FAIL", f"hf-config: unreadable {cfg_path.name}: {e}",
-                                   cfg_path, time.perf_counter() - t0)
-        for json_keys, attr in (
-            (("hidden_size", "embed_dim"), "dim"),
-            (("num_hidden_layers",), "depth"),
-            (("num_attention_heads",), "heads"),
-            (("patch_size",), "patch_size"),
-            (("image_size",), "img_size"),
-        ):
-            want = getattr(spec, attr, None)
-            got = _dig(cfg, *json_keys)
-            if want is None or got is None:
-                continue
-            checked.append(attr)
-            if int(got) != int(want):
-                problems.append(f"{json_keys[0]} {got} != pinned {attr} {want}")
+            checked.append("config")
+            problems.append(f"unreadable {cfg_path.name}: {e}")
 
     if not checked:
         return None

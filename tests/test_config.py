@@ -72,3 +72,31 @@ def test_app_config_roundtrip(tmp_path: Path):
     assert cfg.segmentation.batch_size == 1
     assert cfg.segmentation.thumbnail_power == 1.25
     assert cfg.segmentation.thumbnail_max == 1024
+
+
+def test_none_required_values_rejected(tmp_path: Path):
+    """None for a mandatory value must fail AT the validation boundary, not
+    later with an opaque error deep in discovery/segmentation."""
+    with pytest.raises(ValueError, match="Input path is required"):
+        ProcessingConfig(input_path=None).validated()
+    # optional paths still skip cleanly when None
+    (tmp_path / "in").mkdir()
+    ProcessingConfig(input_path=tmp_path / "in", mpp_csv=None).validated()
+
+    with pytest.raises(ValueError, match="segmentation config is required"):
+        AppConfig(
+            processing=ProcessingConfig(input_path=tmp_path / "in"),
+            segmentation=None,
+            extraction=ExtractionConfig(patch_size=256, target_magnification=20),
+            output=OutputConfig(output_root=tmp_path / "out"),
+            device="cpu",
+        ).validated()
+    # features is the one genuinely optional section
+    AppConfig(
+        processing=ProcessingConfig(input_path=tmp_path / "in"),
+        segmentation=SegmentationConfig(device="cpu"),
+        extraction=ExtractionConfig(patch_size=256, target_magnification=20),
+        output=OutputConfig(output_root=tmp_path / "out"),
+        features=None,
+        device="cpu",
+    ).validated()

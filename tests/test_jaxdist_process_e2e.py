@@ -102,7 +102,6 @@ def test_process_under_jax_distributed_two_processes(tmp_path: Path):
     ]
     outputs = [p.communicate(timeout=900)[0] for p in procs]
     for pid, p in enumerate(procs):
-        assert "jax.distributed initialized: process" in outputs[pid] or True
         assert p.returncode == 0, f"process {pid}:\n{outputs[pid][-3000:]}"
 
     # Both processes really joined one distributed runtime (not 2 singletons).

@@ -1268,6 +1268,36 @@ def test_trestle_overlap_pairs_indexed_by_directory_not_kept_level(tmp_path: Pat
     t.close()
 
 
+def test_trestle_striped_directory_still_consumes_its_pair(tmp_path: Path):
+    """A STRIPED directory between tiled levels must consume its own
+    OverlapsXY pair too: OpenSlide's trestle driver makes every raw TIFF
+    directory a level, so pair k belongs to directory k regardless of chunk
+    layout. A tiled-only ordinal count would hand the striped directory's
+    pair to the next tiled level, shrinking it to the wrong canvas."""
+    rng = np.random.default_rng(79)
+    tile = 64
+    truth0 = _rand_rgb(rng, 176, 208)
+    m0 = _trestle_mosaic(truth0, tile, 16, 8, 256, 192, rng)
+    striped = truth0[::4, ::4].copy()  # directory 1: striped overview, pair (0,0)
+    truth1 = truth0[::2, ::2].copy()   # directory 2: tiled half-res, pair (8,12)
+    m1 = _trestle_mosaic(truth1, tile, 8, 12, 112, 100, rng)
+
+    desc = "OverlapsXY=16 8 0 0 8 12;Objective Power=20"
+    w = TiffWriter()
+    w.add_level(m0, tile=tile, description=desc,
+                extra_tags=[(305, TYPE_ASCII, ["MedScan"])])
+    w.add_level(striped)  # striped (no tile): correction no-ops, pair consumed
+    w.add_level(m1, tile=tile)
+    path = tmp_path / "striped_mid.tif"
+    w.save(path)
+
+    t = AtlasTiffFile(str(path))
+    assert t.level_dimensions == [(208, 176), (104, 88), (52, 44)]
+    np.testing.assert_array_equal(t.read_region_level(0, 0, 0, 208, 176), truth0)
+    np.testing.assert_array_equal(t.read_region_level(1, 0, 0, 104, 88), truth1)
+    t.close()
+
+
 def test_overlaps_description_requires_medscan_software(tmp_path: Path):
     """A generic TIFF whose description happens to contain OverlapsXY must
     not be reinterpreted: the correction is gated on the MedScan Software."""

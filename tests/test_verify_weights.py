@@ -148,6 +148,53 @@ def test_hf_config_crosscheck_pass_and_fail(tmp_path: Path, monkeypatch):
     assert "image_mean" in row.detail and "hidden_size" in row.detail
 
 
+def test_hf_config_native_image_size_not_flagged(tmp_path: Path):
+    """HF config.json carries the NATIVE training resolution (dinov2: 518)
+    while the zoo pins the reference's SERVING size (224, interpolated
+    pos-embeds) — that expected mismatch must not FAIL the preflight."""
+    from atlaspatch_tpu.tools.verify_weights import verify_hf_config
+
+    entry = ENTRIES["dinov2_large"]
+    spec = entry.spec
+    snap = _fake_hf_cache(tmp_path, "facebook/dinov2-large", {
+        "config.json": {
+            "hidden_size": spec.dim,
+            "num_hidden_layers": spec.depth,
+            "num_attention_heads": spec.heads,
+            "patch_size": spec.patch_size,
+            "image_size": 518,  # native, != pinned serving img_size 224
+        },
+    })
+    row = verify_hf_config(entry, snap)
+    assert row is not None and row.status == "PASS", row.detail
+
+
+def test_hf_config_malformed_values_degrade_to_fail_row(tmp_path: Path):
+    """Malformed-but-parseable processor values (list sizes, odd-length
+    means) must yield a FAIL row for that entry — never an exception — and
+    must not hide the config.json architecture diff."""
+    from atlaspatch_tpu.tools.verify_weights import verify_hf_config
+
+    entry = ENTRIES["phikon_v1"]
+    spec = entry.spec
+    snap = _fake_hf_cache(tmp_path, "owkin/phikon", {
+        "preprocessor_config.json": {
+            "image_mean": [0.485, 0.456, 0.406, 0.0],  # 4 elements
+            "size": [224, 224],                          # list form
+            "crop_size": {"shortest_edge": None},        # edge unreadable
+            "do_center_crop": True,
+            "do_resize": True,
+            "do_normalize": True,
+        },
+        "config.json": {"hidden_size": 1024},            # wrong arch too
+    })
+    row = verify_hf_config(entry, snap)
+    assert row is not None and row.status == "FAIL"
+    assert "image_mean" in row.detail
+    # the load-bearing arch mismatch is still reported alongside
+    assert "hidden_size" in row.detail
+
+
 def test_hf_config_crosscheck_absent_is_silent(tmp_path: Path, monkeypatch):
     """No cached JSONs (or no checkable keys) -> no row, no noise."""
     from atlaspatch_tpu.tools.verify_weights import _hf_snapshot_dir, verify_hf_config
