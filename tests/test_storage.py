@@ -217,3 +217,60 @@ def test_png_export_failure_does_not_abort_slide(tmp_path: Path, monkeypatch):
     assert total == 2
     with h5py.File(out) as f:
         assert f["coords"].shape[0] == 2
+
+
+def test_lowlevel_write_matches_highlevel_readback(tmp_path: Path):
+    """AtomicH5's low-level fast paths (put_all datasets, scalar attrs) must
+    read back byte- and TYPE-identically to plain h5py high-level writes:
+    str attrs stay str (vlen UTF-8), Python ints stay int64, floats float64,
+    numpy scalars keep their dtype, and exotic values (bool, arrays, bytes)
+    still land via the high-level fallback."""
+    from atlaspatch_tpu.utils.h5 import AtomicH5
+
+    coords = np.arange(40, dtype=np.int32).reshape(8, 5)
+    pp = np.array([b"p" * 31] * 8, dtype="S160")
+    attrs = {
+        "a_str": "hello/world",
+        "a_int": 7,
+        "a_float": 0.25,
+        "a_np32": np.int32(9),
+        "a_bool": True,
+        "a_arr": np.array([1, 2, 3], dtype=np.int16),
+        "a_bytes": b"raw",
+        "a_none": None,
+        "a_dict": {"k": 1},
+    }
+
+    low = tmp_path / "low.h5"
+    with AtomicH5(low) as store:
+        store.put_all("coords", coords)
+        store.put_all("passports", pp, attrs={"ds_str": "x", "ds_int": 3})
+        store.set_attrs(attrs)
+        store.set_attrs({"a_str": "overwritten"})  # existing-attr fallback
+
+    high = tmp_path / "high.h5"
+    with h5py.File(high, "w") as f:
+        f.create_dataset("coords", data=coords)
+        d = f.create_dataset("passports", data=pp)
+        d.attrs["ds_str"] = "x"
+        d.attrs["ds_int"] = 3
+        for k, v in attrs.items():
+            f.attrs[k] = {"a_none": "None", "a_dict": '{"k": 1}'}.get(k, v)
+        f.attrs["a_str"] = "overwritten"
+
+    with h5py.File(low) as fl, h5py.File(high) as fh:
+        for name in ("coords", "passports"):
+            assert fl[name].dtype == fh[name].dtype
+            np.testing.assert_array_equal(fl[name][:], fh[name][:])
+        for node_l, node_h in ((fl, fh), (fl["passports"], fh["passports"])):
+            assert set(node_l.attrs) == set(node_h.attrs)
+            for k in node_l.attrs:
+                vl, vh = node_l.attrs[k], node_h.attrs[k]
+                assert type(vl) is type(vh), (k, type(vl), type(vh))
+                if isinstance(vl, np.ndarray):
+                    assert vl.dtype == vh.dtype
+                    np.testing.assert_array_equal(vl, vh)
+                else:
+                    assert vl == vh, k
+                    if hasattr(vl, "dtype"):
+                        assert vl.dtype == vh.dtype, k
