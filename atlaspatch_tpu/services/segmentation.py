@@ -454,9 +454,19 @@ class SAM2SegmentationService(SegmentationService):
     def prepare_thumbnails(self, wsis: Sequence[IWSI]) -> list:
         """Host stage: thumbnails on a thread pool. Split out so the runner can
         overlap this with the device stage of the previous batch."""
-        max_workers = min(8, len(wsis), os.cpu_count() or 8)
-        with ThreadPoolExecutor(max_workers=max_workers, thread_name_prefix="thumb") as ex:
-            return list(ex.map(self._prepare_thumbnail, wsis))
+        return list(self._thumb_pool().map(self._prepare_thumbnail, wsis))
+
+    def _thumb_pool(self) -> ThreadPoolExecutor:
+        """Persistent thumbnail pool: at small seg batches a per-batch pool
+        would spawn and join ~8 threads every few slides (24 pools per
+        192-slide bench pass) — pure overhead on the pipeline's host stage."""
+        pool = getattr(self, "_thumb_pool_obj", None)
+        if pool is None:
+            pool = ThreadPoolExecutor(
+                max_workers=min(8, os.cpu_count() or 8), thread_name_prefix="thumb"
+            )
+            self._thumb_pool_obj = pool
+        return pool
 
     def prepare_thumbnails_safe(self, wsis: Sequence[IWSI]) -> list:
         """prepare_thumbnails with per-slide fault isolation: each element is
@@ -471,9 +481,7 @@ class SAM2SegmentationService(SegmentationService):
             except Exception as e:  # noqa: BLE001 — per-slide report
                 return e
 
-        max_workers = min(8, len(wsis), os.cpu_count() or 8)
-        with ThreadPoolExecutor(max_workers=max_workers, thread_name_prefix="thumb") as ex:
-            return list(ex.map(one, wsis))
+        return list(self._thumb_pool().map(one, wsis))
 
     def segment_thumbnails_async(self, thumbs: Sequence):
         """Dispatch the device stage; returns a zero-arg resolve() producing the
@@ -557,6 +565,10 @@ class SAM2SegmentationService(SegmentationService):
         return self.segment_thumbnails(self.prepare_thumbnails(wsis))
 
     def close(self) -> None:
+        pool = getattr(self, "_thumb_pool_obj", None)
+        if pool is not None:
+            self._thumb_pool_obj = None
+            pool.shutdown(wait=False)
         try:
             self.predictor.close()
         except Exception:
