@@ -345,9 +345,16 @@ class ProcessingRunner:
         patch_workers = max(1, int(self.config.extraction.workers or os.cpu_count() or 4))
         batch_size = max(1, self.config.segmentation.batch_size)
         max_open_slides = max(1, int(self.config.extraction.max_open_slides or 200))
-        # TWO batches can be open outside the tracker at once: the dispatched
-        # `pending` batch plus the batch being prepared on the prefetch thread.
-        allow_inflight = max(0, max_open_slides - 2 * batch_size)
+        # Pipeline depths. pend_depth = dispatched-but-unfetched device batches
+        # held before blocking on the oldest fetch; prep_depth = prepared
+        # batches queued ahead on the prefetch thread. Depth 2/2 reproduces the
+        # classic 3-stage pipeline; the defaults go one deeper so the host has
+        # queued work to run during each mask-fetch wait (measured: the fetch
+        # is a pure device/link wait — cpu_s ≈ 0 — while host stages total less
+        # than wall, i.e. the CPU idles exactly when a fetch blocks).
+        pend_depth = max(2, int(os.environ.get("ATLASPATCH_SEG_PENDING_DEPTH", "3")))
+        prep_depth = max(1, int(os.environ.get("ATLASPATCH_PREP_DEPTH", "2")))
+        allow_inflight = max(0, max_open_slides - (pend_depth + prep_depth) * batch_size)
 
         batches = list(_chunked(slides, batch_size))
         prefetcher = ThreadPoolExecutor(max_workers=1, thread_name_prefix="batch-prep")
@@ -361,29 +368,40 @@ class ProcessingRunner:
             tracker = InflightTracker(results=results, failures=failures, progress=progress)
 
             prep_args = (results, failures, progress, tracker, allow_inflight)
-            prep_fut = prefetcher.submit(self._prepare_batch, batches[0], *prep_args)
 
-            # Three-stage pipeline: while the device segments batch i, the host
-            # (a) prepares batch i+1 (prefetch thread) and (b) fetches batch
-            # i-1's masks and submits its extraction.
+            # Pipelined loop: while the device segments batches [i-P+1 .. i],
+            # the host (a) keeps up to prep_depth batches prepared ahead on the
+            # prefetch thread and (b) fetches the oldest dispatched batch's
+            # masks and submits its extraction.
             # Ownership tracking for abnormal-exit cleanup. Exactly one owner
-            # per open slide at any instant: `prep_fut` (in-flight, unfetched),
-            # `current` (fetched, not yet pending), `pending` (dispatched), or
-            # _finish_batch/ExtractionTask (which release their own). The
-            # except block must release ONLY pipeline-owned slides — a consumed
-            # future or finished batch must never be re-released (it would
-            # unlink lock files of in-flight extractions).
-            pending: tuple[list, object] | None = None
+            # per open slide at any instant: a `prep_futs` entry (in-flight,
+            # unfetched), `current` (fetched, not yet pending), a `pending`
+            # entry (dispatched), or _finish_batch/ExtractionTask (which
+            # release their own). The except block must release ONLY
+            # pipeline-owned slides — a consumed future or finished batch must
+            # never be re-released (it would unlink lock files of in-flight
+            # extractions).
+            from collections import deque
+
+            prep_futs: deque = deque()
+            next_prep = 0
+
+            def _top_up_prep() -> None:
+                nonlocal next_prep
+                while next_prep < len(batches) and len(prep_futs) < prep_depth:
+                    prep_futs.append(
+                        prefetcher.submit(self._prepare_batch, batches[next_prep], *prep_args)
+                    )
+                    next_prep += 1
+
+            pending: deque = deque()  # (opened, resolve) in dispatch order
             current: list = []
             try:
-                for idx in range(len(batches)):
-                    opened, thumbs = prep_fut.result()
-                    prep_fut = None  # consumed: never re-fetch for cleanup
+                _top_up_prep()
+                for _idx in range(len(batches)):
+                    opened, thumbs = prep_futs.popleft().result()
+                    _top_up_prep()
                     current = opened
-                    if idx + 1 < len(batches):
-                        prep_fut = prefetcher.submit(
-                            self._prepare_batch, batches[idx + 1], *prep_args
-                        )
 
                     resolve = None
                     if opened:
@@ -392,29 +410,29 @@ class ProcessingRunner:
                         )
                     if resolve is None:
                         current = []  # empty, or dispatch released them itself
-
-                    if pending is not None:
-                        consumed, pending = pending, None
-                        self._finish_batch(consumed, executor, tracker, failures, progress)
-                        tracker.wait_until_at_most(limit=max_open_slides)
-                    if resolve is not None:
-                        pending = (opened, resolve)
+                    else:
+                        pending.append((opened, resolve))
                         current = []  # ownership moved to `pending`
 
-                if pending is not None:
-                    consumed, pending = pending, None
-                    self._finish_batch(consumed, executor, tracker, failures, progress)
+                    while len(pending) >= pend_depth:
+                        self._finish_batch(
+                            pending.popleft(), executor, tracker, failures, progress
+                        )
+                        tracker.wait_until_at_most(limit=max_open_slides)
+
+                while pending:
+                    self._finish_batch(pending.popleft(), executor, tracker, failures, progress)
                 tracker.wait_until_at_most(limit=0)
             except BaseException:
                 # Abnormal exit: release every slide the pipeline still holds,
                 # else their O_EXCL lock files survive and later runs skip
                 # those slides as "locked by another process".
                 leftovers = list(current)
-                if pending is not None:
-                    leftovers.extend(pending[0])
-                if prep_fut is not None:
+                for opened_b, _resolve in pending:
+                    leftovers.extend(opened_b)
+                for fut in prep_futs:
                     try:
-                        prep_opened, _ = prep_fut.result(timeout=60)
+                        prep_opened, _ = fut.result(timeout=60)
                         leftovers.extend(prep_opened)
                     except Exception:  # noqa: BLE001 — prep failed/cleaned itself
                         pass

@@ -513,13 +513,14 @@ class SAM2SegmentationService(SegmentationService):
         def resolve() -> list[Mask]:
             out = []
             for bits, orig in zip(resolve_bits(), orig_shapes):
-                mask = bits.astype(np.float32)
+                mask = np.asarray(bits, dtype=np.float32)
                 if mask.shape[:2] != orig:
                     # env-disabled fallback returns model-input-sized masks
                     mask = self.predictor._resize_mask(mask, orig)
+                    mask = np.asarray(mask, dtype=np.float32)
                 out.append(
                     Mask(
-                        data=mask.astype(np.float32),
+                        data=mask,
                         source_shape=(int(mask.shape[0]), int(mask.shape[1])),
                     )
                 )

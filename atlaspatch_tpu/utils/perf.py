@@ -20,6 +20,7 @@ logger = logging.getLogger("atlaspatch_tpu.perf")
 _lock = threading.Lock()
 _totals: dict[str, float] = defaultdict(float)
 _counts: dict[str, int] = defaultdict(int)
+_cpu_totals: dict[str, float] = defaultdict(float)
 
 
 def enabled() -> bool:
@@ -28,18 +29,26 @@ def enabled() -> bool:
 
 @contextmanager
 def stage(name: str):
-    """Time a pipeline stage. Near-zero overhead when profiling is off."""
+    """Time a pipeline stage. Near-zero overhead when profiling is off.
+
+    Records wall time AND the calling thread's CPU time: on a 1-CPU host a
+    stage's wall inflates whenever its thread is descheduled by another
+    pipeline stage, so cpu_s is the signal for "cycles to cut" while
+    total_s - cpu_s is contention/IO wait."""
     if not enabled():
         yield
         return
     t0 = time.perf_counter()
+    c0 = time.thread_time()
     try:
         yield
     finally:
         dt = time.perf_counter() - t0
+        dc = time.thread_time() - c0
         with _lock:
             _totals[name] += dt
             _counts[name] += 1
+            _cpu_totals[name] += dc
 
 
 def add(name: str, seconds: float, count: int = 1) -> None:
@@ -53,6 +62,7 @@ def report() -> dict[str, dict[str, float]]:
         return {
             name: {
                 "total_s": round(_totals[name], 4),
+                "cpu_s": round(_cpu_totals[name], 4),
                 "count": _counts[name],
                 "mean_ms": round(1000 * _totals[name] / max(1, _counts[name]), 3),
             }
@@ -64,6 +74,7 @@ def reset() -> None:
     with _lock:
         _totals.clear()
         _counts.clear()
+        _cpu_totals.clear()
 
 
 @contextmanager

@@ -139,11 +139,13 @@ def _host_speed_probe() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
-def _stage_snapshot() -> dict[str, float]:
-    """Per-stage seconds since the last perf.reset(), rounded for the JSON."""
+def _stage_snapshot() -> dict[str, list[float]]:
+    """Per-stage [wall_s, cpu_s] since the last perf.reset(). cpu_s is the
+    stage's true host cycles; wall - cpu is contention/IO/device wait (the
+    1-CPU host deschedules stages under each other)."""
     from atlaspatch_tpu.utils import perf
 
-    return {name: row["total_s"] for name, row in perf.report().items()}
+    return {name: [row["total_s"], row["cpu_s"]] for name, row in perf.report().items()}
 
 
 def _settle(seconds: float | None = None) -> None:
@@ -174,9 +176,20 @@ def _run_passes(
         runner = make_runner(p)
         host_probe = _host_speed_probe()
         perf.reset()
+        prof = None
+        if os.environ.get("ATLASPATCH_BENCH_CPROFILE"):
+            import cProfile  # noqa: PLC0415 — diagnostic only
+
+            prof = cProfile.Profile(subcalls=False, builtins=False)
+            prof.enable()
         t0 = time.perf_counter()
         results, failures = runner.run()
         dt = time.perf_counter() - t0
+        if prof is not None:
+            prof.disable()
+            # Pass-scoped host-cycle profile (warmup/compile excluded). Main
+            # thread only — worker-pool cycles show up in the stage counters.
+            prof.dump_stats(f"{os.environ['ATLASPATCH_BENCH_CPROFILE']}.{label.replace(' ', '_')}.p{p}")
         assert not failures, failures[:3]
         assert len(results) == n_slides
         assert sum(r.num_patches for r in results) > 0
