@@ -84,6 +84,12 @@ _COMMON_OPTIONS: list = [
                  default="float32", show_default=True,
                  help="Segmentation compute precision (bfloat16 = faster, "
                       "hairline mask-boundary differences)."),
+    click.option("--seg-input-size", type=int, default=None,
+                 help="SAM2 model input resolution (multiple of 32; default: "
+                      "the architecture's 1024). Thumbnails are <=1024px, so "
+                      "e.g. 512 runs the trunk ~4x cheaper on the same "
+                      "pixels; validate mask quality for your checkpoint "
+                      "before lowering."),
     click.option("--seg-data-parallel", is_flag=True,
                  help="Shard segmentation batches across ALL local chips "
                       "(data-parallel mesh; needs --seg-batch-size >= chip count)."),
@@ -170,6 +176,7 @@ def _build_app_config(kw: dict, feature_cfg: FeatureExtractionConfig | None) -> 
             device=kw["device"].lower(),
             batch_size=kw["seg_batch_size"],
             precision=kw.get("seg_precision", "float32").lower(),
+            input_size=kw.get("seg_input_size"),
         ),
         extraction=ExtractionConfig(
             patch_size=kw["patch_size"],
@@ -332,9 +339,11 @@ def segment_and_get_coords(**kw):
               help="CSV with custom MPP.")
 @click.option("--sam2-checkpoint", type=click.Path(exists=True), default=None,
               help="Path to a SAM2 checkpoint.")
+@click.option("--seg-input-size", type=int, default=None,
+              help="SAM2 model input resolution (multiple of 32; default 1024).")
 @click.option("--verbose", "-v", is_flag=True, help="Enable debug logging.")
 def detect_tissue(wsi_path, output, device, seg_batch_size, recursive, mpp_csv,
-                  sam2_checkpoint, verbose):
+                  sam2_checkpoint, seg_input_size, verbose):
     """Run tissue segmentation only and export mask overlays."""
     from atlaspatch_tpu.services.mpp import CSVMPPResolver
     from atlaspatch_tpu.services.segmentation import SAM2SegmentationService
@@ -352,6 +361,7 @@ def detect_tissue(wsi_path, output, device, seg_batch_size, recursive, mpp_csv,
         checkpoint_path=Path(sam2_checkpoint) if sam2_checkpoint else None,
         device=device.lower(),
         batch_size=seg_batch_size,
+        input_size=seg_input_size,
     ).validated()
     vis_cfg = VisualizationConfig().validated()
 

@@ -122,6 +122,15 @@ class SegmentationConfig(_TableValidated):
     # the MXU's native reduced precision (~2-4x faster; boundary pixels may
     # differ by a hair).
     precision: str = "float32"
+    # SAM2 model input resolution override. None keeps the architecture
+    # YAML's size (1024, the reference's hardcoded resolution —
+    # atlas_patch/services/segmentation.py:25-237). Thumbnails are at most
+    # `thumbnail_max` px on the long side, so running the trunk at a lower
+    # square size processes the same source pixels with quadratically less
+    # MXU work; hiera's pos-embeds interpolate to any grid. Quality at
+    # reduced sizes must be validated per checkpoint (tools/quality_loop.sh
+    # takes SEG_INPUT_SIZE); the reference-parity default stays 1024.
+    input_size: int | None = None
 
     _REQUIRED_PATHS = (
         ("checkpoint_path", "Checkpoint"),
@@ -134,6 +143,16 @@ class SegmentationConfig(_TableValidated):
 
     def _normalize(self) -> None:
         self.device = normalize_device(str(self.device))
+        if self.input_size is not None:
+            size = int(self.input_size)
+            # hiera constraint: the stride-4 patch grid must tile the first
+            # stage's 8px windows, and the FPN halves it twice more.
+            if size <= 0 or size % 32:
+                raise ValueError(
+                    f"segmentation input_size must be a positive multiple of 32, "
+                    f"got {self.input_size}"
+                )
+            self.input_size = size
         prec = str(self.precision).lower()
         if prec == "float16":
             prec = "bfloat16"  # the TPU's native reduced precision

@@ -77,6 +77,15 @@ class SAM2Predictor:
             self.sam2_cfg = SAM2Config.from_reference_yaml(cfg.config_path)
         else:
             self.sam2_cfg = SAM2Config.tiny()
+        override = getattr(cfg, "input_size", None)
+        if override is not None and override != self.sam2_cfg.image_size:
+            # Run the trunk at a different square resolution. Checkpoints are
+            # size-agnostic (pos-embeds interpolate from the 7x7 background
+            # grid at trace time, no parameter shape involves image_size), so
+            # the same weights load at any multiple of 32.
+            import dataclasses as _dc
+
+            self.sam2_cfg = _dc.replace(self.sam2_cfg, image_size=int(override))
         self.input_size = self.sam2_cfg.image_size
 
         platform = cfg.device.split(":")[0]

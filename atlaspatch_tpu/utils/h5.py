@@ -147,6 +147,14 @@ class AtomicH5:
         Streamed producers that genuinely grow use ``put_rows``."""
         arr = np.ascontiguousarray(array)
         assert self.file is not None
+        if "/" in name or not name.isascii() or arr.dtype.hasobject:
+            # Nested paths auto-create groups, non-ASCII names need a UTF-8
+            # link charset, object dtypes need vlen inference — all high-level
+            # create_dataset behaviors the raw h5d.create path doesn't honor.
+            dset = self.file.create_dataset(name, data=arr)
+            if attrs:
+                write_attrs(dset, attrs)
+            return dset
         space = h5s.create_simple(arr.shape)
         did = h5d.create(self.file.id, name.encode(), _tid_for(arr.dtype), space)
         if arr.size:

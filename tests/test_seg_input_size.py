@@ -1,0 +1,64 @@
+"""Configurable SAM2 inference resolution (SegmentationConfig.input_size).
+
+The reference hardcodes 1024 (atlas_patch/services/segmentation.py:25-237);
+thumbnails are at most 1024px, so a lower square size runs the trunk on the
+same source pixels with quadratically less MXU work. hiera's pos-embeds
+interpolate from the 7x7 background grid at trace time and no parameter
+shape involves image_size, so any checkpoint loads at any multiple of 32.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from atlaspatch_tpu.core.config import SegmentationConfig
+from atlaspatch_tpu.models.sam2.config import SAM2Config
+from atlaspatch_tpu.services.segmentation import SAM2Predictor
+
+
+def test_input_size_validation():
+    assert SegmentationConfig(input_size=512).validated().input_size == 512
+    assert SegmentationConfig().validated().input_size is None
+    for bad in (100, 0, -32, 33):
+        with pytest.raises(ValueError, match="multiple of 32"):
+            SegmentationConfig(input_size=bad).validated()
+
+
+def test_predictor_honors_input_size_override(monkeypatch, tmp_path):
+    monkeypatch.setenv("ATLASPATCH_ALLOW_RANDOM_WEIGHTS", "1")
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "empty-hf"))
+    cfg = SAM2Config.test_tiny()  # image_size 128, window0 4
+    pred = SAM2Predictor(
+        SegmentationConfig(device="cpu", input_size=64).validated(), cfg
+    )
+    assert pred.input_size == 64
+    assert pred.sam2_cfg.image_size == 64
+
+    rng = np.random.default_rng(0)
+    thumbs = [
+        rng.integers(0, 255, (48, 37, 3), dtype=np.uint8),
+        rng.integers(0, 255, (21, 64, 3), dtype=np.uint8),
+    ]
+    masks = pred.predict_batch(thumbs)
+    assert masks[0].shape == (48, 37)
+    assert masks[1].shape == (21, 64)
+    for m in masks:
+        assert set(np.unique(m)).issubset({0.0, 1.0})
+
+
+def test_same_params_load_at_any_size(monkeypatch, tmp_path):
+    """A checkpoint's params are size-agnostic: the same tree must run at two
+    different input sizes (pos-embeds interpolate at trace time)."""
+    monkeypatch.setenv("ATLASPATCH_ALLOW_RANDOM_WEIGHTS", "1")
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "empty-hf"))
+    cfg = SAM2Config.test_tiny()
+    p128 = SAM2Predictor(SegmentationConfig(device="cpu"), cfg)
+    p64 = SAM2Predictor(
+        SegmentationConfig(device="cpu", input_size=64).validated(), cfg
+    )
+    p64.params = p128.params  # literally the same tree
+    thumb = np.random.default_rng(1).integers(0, 255, (40, 40, 3), dtype=np.uint8)
+    m = p64.predict_image(thumb)
+    assert m.shape == (40, 40)
+    assert np.isfinite(m).all()

@@ -274,3 +274,21 @@ def test_lowlevel_write_matches_highlevel_readback(tmp_path: Path):
                     assert vl == vh, k
                     if hasattr(vl, "dtype"):
                         assert vl.dtype == vh.dtype, k
+
+
+def test_put_all_nested_and_nonascii_names(tmp_path: Path):
+    """put_all must keep create_dataset's contract for names the low-level
+    fast path can't honor: 'group/name' auto-creates the group, non-ASCII
+    names store with a UTF-8 link charset, object dtypes become vlen str."""
+    from atlaspatch_tpu.utils.h5 import AtomicH5
+
+    out = tmp_path / "nested.h5"
+    with AtomicH5(out) as store:
+        store.put_all("grp/inner", np.arange(6, dtype=np.int64).reshape(2, 3))
+        store.put_all("ünïcode", np.ones(4, dtype=np.float32))
+        store.put_all("objs", np.array(["a", "bb"], dtype=object))
+
+    with h5py.File(out) as f:
+        np.testing.assert_array_equal(f["grp/inner"][:], np.arange(6).reshape(2, 3))
+        np.testing.assert_array_equal(f["ünïcode"][:], np.ones(4, np.float32))
+        assert [v.decode() for v in f["objs"][:]] == ["a", "bb"]
