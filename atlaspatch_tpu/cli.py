@@ -35,6 +35,16 @@ logger = logging.getLogger("atlaspatch_tpu.cli")
 install_noise_filter()
 
 
+def _validate_seg_input_size(ctx, param, value):
+    """Reject invalid --seg-input-size at the option layer (clean UsageError
+    instead of a SegmentationConfig ValueError traceback)."""
+    if value is not None and (value <= 0 or value % 32):
+        raise click.BadParameter(
+            f"must be a positive multiple of 32, got {value}"
+        )
+    return value
+
+
 # Shared option sets -----------------------------------------------------------
 _COMMON_OPTIONS: list = [
     click.argument("wsi_path", type=click.Path(exists=True)),
@@ -85,6 +95,7 @@ _COMMON_OPTIONS: list = [
                  help="Segmentation compute precision (bfloat16 = faster, "
                       "hairline mask-boundary differences)."),
     click.option("--seg-input-size", type=int, default=None,
+                 callback=_validate_seg_input_size,
                  help="SAM2 model input resolution (multiple of 32; default: "
                       "the architecture's 1024). Thumbnails are <=1024px, so "
                       "e.g. 512 runs the trunk ~4x cheaper on the same "
@@ -340,7 +351,9 @@ def segment_and_get_coords(**kw):
 @click.option("--sam2-checkpoint", type=click.Path(exists=True), default=None,
               help="Path to a SAM2 checkpoint.")
 @click.option("--seg-input-size", type=int, default=None,
-              help="SAM2 model input resolution (multiple of 32; default 1024).")
+              callback=_validate_seg_input_size,
+              help="SAM2 model input resolution (multiple of 32; default: the "
+                   "architecture's size, 1024 for hiera-tiny).")
 @click.option("--verbose", "-v", is_flag=True, help="Enable debug logging.")
 def detect_tissue(wsi_path, output, device, seg_batch_size, recursive, mpp_csv,
                   sam2_checkpoint, seg_input_size, verbose):

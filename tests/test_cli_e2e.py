@@ -155,3 +155,23 @@ def test_cli_detect_tissue_per_slide_isolation(slide_dir: Path, tmp_path: Path, 
         assert (out / "visualization" / f"s{i}_mask_bw.png").exists()
     assert not (out / "visualization" / "s2_bad_mask_bw.png").exists()
     assert "[FAIL] s2_bad.png" in result.output
+
+
+def test_cli_seg_input_size_validated_at_option_layer(tmp_path: Path):
+    """Invalid --seg-input-size is a clean click UsageError, not a
+    SegmentationConfig traceback (ADVICE r4)."""
+    from click.testing import CliRunner
+
+    from atlaspatch_tpu.cli import cli
+
+    runner = CliRunner()
+    for cmd in ("detect-tissue", "process"):
+        result = runner.invoke(
+            cli,
+            [cmd, str(tmp_path), "--output", str(tmp_path / "o"),
+             "--seg-input-size", "100"]
+            + (["--patch-size", "256", "--feature-extractors", "resnet50"]
+               if cmd == "process" else []),
+        )
+        assert result.exit_code == 2, result.output
+        assert "positive multiple of 32" in result.output

@@ -47,6 +47,24 @@ def test_predictor_honors_input_size_override(monkeypatch, tmp_path):
         assert set(np.unique(m)).issubset({0.0, 1.0})
 
 
+def test_shipped_tiny_spec_at_512(monkeypatch, tmp_path):
+    """Pin the SHIPPED hiera-tiny window spec (8,4,14,7) at a lowered input
+    size: its windows don't evenly divide the reduced grids, so this exercises
+    the window-padding path the test_tiny() spec (4,2,7,4 at 128) never hits.
+    (ADVICE r4: previously only verified manually.)"""
+    monkeypatch.setenv("ATLASPATCH_ALLOW_RANDOM_WEIGHTS", "1")
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "empty-hf"))
+    cfg = SAM2Config.tiny()  # image 1024, windows (8, 4, 14, 7)
+    pred = SAM2Predictor(
+        SegmentationConfig(device="cpu", input_size=512).validated(), cfg
+    )
+    assert pred.input_size == 512
+    thumb = np.random.default_rng(2).integers(0, 255, (96, 128, 3), dtype=np.uint8)
+    mask = pred.predict_image(thumb)
+    assert mask.shape == (96, 128)
+    assert set(np.unique(mask)).issubset({0.0, 1.0})
+
+
 def test_same_params_load_at_any_size(monkeypatch, tmp_path):
     """A checkpoint's params are size-agnostic: the same tree must run at two
     different input sizes (pos-embeds interpolate at trace time)."""
