@@ -128,6 +128,13 @@ class JaxFeatureExtractor(FeatureExtractor):
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        # Opt-in bf16 device→host feature transfer: halves D2H bytes on
+        # link-bound hosts; extract_batch casts back to f32 so the stored
+        # feature schema is unchanged (drift = one f32→bf16 rounding,
+        # ~2^-8 relative — measure for your encoder before enabling).
+        # Read once: the jit cache is keyed by shape only.
+        self._fetch_bf16 = os.environ.get("ATLASPATCH_FEATURE_D2H_BF16", "0") == "1"
+
         if self.compute_dtype in ("bfloat16", "int8"):
             # Store float params as bf16 on device. Flax modules default to
             # dtype=None (promote inputs with params), so bf16 activations
@@ -184,6 +191,8 @@ class JaxFeatureExtractor(FeatureExtractor):
                     "int8": jnp.bfloat16,  # activations flow bf16 between the int8 dots
                 }[self.compute_dtype]
 
+                out_dtype = jnp.bfloat16 if self._fetch_bf16 else jnp.float32
+
                 def run(params, u8):
                     x = u8.astype(jnp.float32) * spec.rescale
                     x = (x - jnp.asarray(spec.mean, jnp.float32)) / jnp.asarray(
@@ -191,7 +200,7 @@ class JaxFeatureExtractor(FeatureExtractor):
                     )
                     x = x.astype(cdtype)
                     out = self.apply_fn(params, x)
-                    return out.astype(jnp.float32)
+                    return out.astype(out_dtype)
 
                 if self._data_sharding is not None:
                     fn = jax.jit(run, out_shardings=self._data_sharding)
@@ -205,8 +214,14 @@ class JaxFeatureExtractor(FeatureExtractor):
             with jax.default_device(self.device):
                 return fn(self.params, images_u8)
 
+    @staticmethod
+    def _materialize_f32(dev_out) -> np.ndarray:
+        """Fetch to host, restoring f32 when features crossed the link bf16."""
+        a = np.asarray(dev_out)
+        return a if a.dtype == np.float32 else a.astype(np.float32)
+
     def _forward(self, images_u8: np.ndarray) -> np.ndarray:
-        return np.asarray(self._forward_async(images_u8))
+        return self._materialize_f32(self._forward_async(images_u8))
 
     def extract_batch(
         self, patches: Sequence[np.ndarray], *, batch_size: int | None = None
@@ -239,7 +254,35 @@ class JaxFeatureExtractor(FeatureExtractor):
         # win on high-latency links where a single stream underutilizes the
         # pipe (ATLASPATCH_H2D_DEPTH overrides; measured on the TPU tunnel).
         depth = max(1, int(os.environ.get("ATLASPATCH_H2D_DEPTH", "2")))
+        # Deferred fetch (default): draining a dispatch slot only STARTS the
+        # result's device→host copy (copy_to_host_async) instead of blocking
+        # on it; all chunks materialize once at the end. Per-chunk blocking
+        # round-trips (~150-280 ms each through the relay, VERDICT r4 #3)
+        # overlap with compute AND each other. Features are the small side
+        # (n×dim f32), so holding every chunk's output in flight costs ~MBs —
+        # the depth knob keeps bounding the big uploads.
+        # ATLASPATCH_DEFERRED_FETCH=0 restores blocking per-chunk fetches.
+        deferred = os.environ.get("ATLASPATCH_DEFERRED_FETCH", "1") == "1"
+
+        def _start_fetch(dev_out):
+            try:
+                dev_out.copy_to_host_async()
+            except Exception:  # noqa: BLE001 — fetch still happens at the end
+                pass
+            return dev_out
+
         pending: deque[tuple] = deque()  # (dispatch_future, n_valid)
+        done: list[tuple] = []  # (device array, D2H already started, n_valid)
+
+        def _drain_one() -> None:
+            fut, k = pending.popleft()
+            if deferred:
+                with perf.stage("embed_d2h_start"):
+                    done.append((_start_fetch(fut.result()), k))
+            else:
+                with perf.stage("embed_fetch"):
+                    outputs.append(self._materialize_f32(fut.result())[:k])
+
         with ThreadPoolExecutor(max_workers=self.prep_workers) as ex, ThreadPoolExecutor(
             max_workers=depth, thread_name_prefix="h2d-dispatch"
         ) as dispatcher:
@@ -258,14 +301,13 @@ class JaxFeatureExtractor(FeatureExtractor):
                 # outstanding (draining after allowed depth+1, making the
                 # ATLASPATCH_H2D_DEPTH knob measure one more than configured)
                 while len(pending) >= depth:
-                    fut, k = pending.popleft()
-                    with perf.stage("embed_fetch"):
-                        outputs.append(np.asarray(fut.result())[:k])
+                    _drain_one()
                 pending.append((dispatcher.submit(self._forward_async, imgs), n))
             while pending:
-                fut, k = pending.popleft()
+                _drain_one()
+            for dev_out, k in done:
                 with perf.stage("embed_fetch"):
-                    outputs.append(np.asarray(fut.result())[:k])
+                    outputs.append(self._materialize_f32(dev_out)[:k])
         return np.concatenate(outputs, axis=0)
 
     def cleanup(self) -> None:

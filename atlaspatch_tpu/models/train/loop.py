@@ -166,11 +166,6 @@ def finetune_sam2(
     if n_proc > 1:
         from jax.sharding import Mesh
 
-        if resume or save_every:
-            raise NotImplementedError(
-                "multi-host finetune does not support --resume/--save-every yet; "
-                "run those single-host"
-            )
         devices = np.asarray(jax.devices())  # all hosts' devices
         # The P("data") sharding splits batch rows over EVERY mesh device,
         # not just one per host — validate against the real requirement so
@@ -206,26 +201,6 @@ def finetune_sam2(
         step = shard_train_step(sam2_cfg, optimizer, mesh, trainable=trainable)
     else:
         step = jax.jit(make_train_step(sam2_cfg, optimizer, trainable=trainable))
-
-    if mh is not None:
-        from jax.experimental import multihost_utils
-        from jax.sharding import PartitionSpec
-
-        # Replicated params/opt state as global arrays (identical on every
-        # host: same seed/checkpoint → same init).
-        params = multihost_utils.host_local_array_to_global_array(
-            jax.device_get(params), mesh, PartitionSpec()
-        )
-        opt_state = multihost_utils.host_local_array_to_global_array(
-            jax.device_get(opt_state), mesh, PartitionSpec()
-        )
-
-        def _to_global_batch(arr: np.ndarray):
-            return multihost_utils.host_local_array_to_global_array(
-                arr, mesh, PartitionSpec("data")
-            )
-    else:
-        _to_global_batch = None
 
     rng = np.random.default_rng(seed)
     pool = ThreadPoolExecutor(max_workers=max(1, loader_threads))
@@ -311,6 +286,28 @@ def finetune_sam2(
         for _ in range(start_epoch):
             rng.permutation(len(pairs))
         logger.info("resumed from step %d (epoch %d)", global_step, start_epoch)
+
+    if mh is not None:
+        from jax.experimental import multihost_utils
+        from jax.sharding import PartitionSpec
+
+        # Replicated params/opt state as global arrays (identical on every
+        # host: same seed/checkpoint → same init; under --resume every host
+        # restored the same process-0-written checkpoint from the shared FS,
+        # which is why this conversion runs AFTER the resume block).
+        params = multihost_utils.host_local_array_to_global_array(
+            jax.device_get(params), mesh, PartitionSpec()
+        )
+        opt_state = multihost_utils.host_local_array_to_global_array(
+            jax.device_get(opt_state), mesh, PartitionSpec()
+        )
+
+        def _to_global_batch(arr: np.ndarray):
+            return multihost_utils.host_local_array_to_global_array(
+                arr, mesh, PartitionSpec("data")
+            )
+    else:
+        _to_global_batch = None
 
     def _load_batch(
         idx: np.ndarray, source: list | None = None
@@ -400,16 +397,28 @@ def finetune_sam2(
                     float(np.mean(losses[-steps_per_epoch:])),
                 )
             if save_every and (epoch + 1) % save_every == 0:
-                path = save_checkpoint(
-                    ckpt_dir,
-                    global_step,
-                    jax.device_get(params),
-                    jax.device_get(opt_state),
-                )
-                import json
+                # Multi-host: exactly ONE writer. orbax with host-local numpy
+                # trees is not multiprocess-aware (concurrent saves race on the
+                # tmp dir), and params are fully replicated anyway — process 0
+                # snapshots them, everyone else waits at the barrier so no host
+                # runs ahead of (or tears down before) a half-written step.
+                if jax.process_index() == 0:
+                    path = save_checkpoint(
+                        ckpt_dir,
+                        global_step,
+                        jax.device_get(params),
+                        jax.device_get(opt_state),
+                    )
+                    import json
 
-                (ckpt_dir / "meta.json").write_text(json.dumps(run_meta))
-                logger.info("saved %s", path)
+                    (ckpt_dir / "meta.json").write_text(json.dumps(run_meta))
+                    logger.info("saved %s", path)
+                if n_proc > 1:
+                    from jax.experimental import multihost_utils
+
+                    multihost_utils.sync_global_devices(
+                        f"atlaspatch_ckpt_{global_step}"
+                    )
         if eval_step is not None and val_loss is None:
             # Nothing-left-to-train resume: still score the restored params
             # so --resume --val-fraction reports metrics for the checkpoint.

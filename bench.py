@@ -403,11 +403,31 @@ def bench_embed_vitl(tmp: Path) -> dict:
         assert feats.shape[0] == N_EMBED_PATCHES and np.isfinite(feats).all()
         rate = N_EMBED_PATCHES / dt
         rates.append(rate)
+        stages = _stage_snapshot()
         pass_detail.append(
             {"rate": round(rate, 1), "wall_s": round(dt, 3),
-             "host_probe_s": host_probe, "stages": _stage_snapshot()}
+             "host_probe_s": host_probe, "stages": stages}
         )
         _log(f"embed {EMBED_ENCODER} pass {p + 1}/{PASSES}: {rate:.1f} patches/s")
+
+    # Link decomposition (VERDICT r4 #3): how much of each pass is the final
+    # blocking materialization vs dispatch/prep, and the per-chunk cost.
+    n_chunks = -(-N_EMBED_PATCHES // 32)
+    fetch_s = [d["stages"].get("embed_fetch", [0.0])[0] for d in pass_detail]
+    fetch_med = statistics.median(fetch_s) if fetch_s else 0.0
+    fetch_decomp = {
+        "chunks": n_chunks,
+        "fetch_s_median": round(fetch_med, 3),
+        "per_chunk_ms_median": round(1000.0 * fetch_med / n_chunks, 1),
+        "mode": (
+            "deferred" if os.environ.get("ATLASPATCH_DEFERRED_FETCH", "1") == "1"
+            else "blocking"
+        ),
+        "d2h_dtype": (
+            "bf16" if os.environ.get("ATLASPATCH_FEATURE_D2H_BF16", "0") == "1"
+            else "f32"
+        ),
+    }
 
     # Device-resident compute rate: same jitted program over an on-device
     # batch, excluding the host link. On this host the link fluctuates >3x
@@ -483,6 +503,7 @@ def bench_embed_vitl(tmp: Path) -> dict:
         "device_resident_int8": round(resident_i8, 1),
         "unit": "patches/s",
         "vs_baseline": None,  # no published reference number
+        "fetch_decomposition": fetch_decomp,
         "passes": pass_detail,
     }
 
