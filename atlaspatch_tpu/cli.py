@@ -9,6 +9,7 @@ platforms (tpu/cpu; cuda accepted as an alias).
 from __future__ import annotations
 
 import logging
+import os
 import sys
 from pathlib import Path
 
@@ -175,6 +176,16 @@ def _build_app_config(kw: dict, feature_cfg: FeatureExtractionConfig | None) -> 
             # Small batches keep the host<->device pipeline fine-grained: the
             # per-batch mask fetch overlaps the next batch's host prep.
             kw["seg_batch_size"] = 8
+            if (os.cpu_count() or 1) > 2:
+                # The knee was swept on a 1-CPU host behind a high-latency
+                # tunnel; multi-core hosts with local-DMA chips usually prefer
+                # larger batches (docs/PERF.md "Seg batch sweep" caveat).
+                logger.info(
+                    "--fast picked --seg-batch-size 8 (dev-box knee); on this "
+                    "%d-CPU host 16/32 may be faster — sweep once with "
+                    "tools/sweep_seg_batch.py and pass --seg-batch-size "
+                    "explicitly.", os.cpu_count(),
+                )
     return AppConfig(
         processing=ProcessingConfig(
             input_path=Path(kw["wsi_path"]),

@@ -175,3 +175,50 @@ def test_cli_seg_input_size_validated_at_option_layer(tmp_path: Path):
         )
         assert result.exit_code == 2, result.output
         assert "positive multiple of 32" in result.output
+
+
+def test_fast_preset_logs_batch_sweep_hint_on_multicore(
+    slide_dir: Path, tmp_path: Path, tiny_sam2, monkeypatch, caplog
+):
+    """--fast bakes in the dev-box batch-8 knee; on >2-CPU hosts the CLI must
+    point users at tools/sweep_seg_batch.py instead of silently inheriting a
+    tunnel artifact (docs/PERF.md sweep caveat)."""
+    import logging
+
+    from click.testing import CliRunner
+
+    from atlaspatch_tpu import cli as cli_mod
+
+    monkeypatch.setattr(cli_mod.os, "cpu_count", lambda: 16)
+    runner = CliRunner()
+    with caplog.at_level(logging.INFO, logger="atlaspatch_tpu.cli"):
+        result = runner.invoke(
+            cli_mod.cli,
+            [
+                "segment-and-get-coords", str(slide_dir),
+                "--output", str(tmp_path / "out"),
+                "--patch-size", "64", "--target-mag", "20", "--device", "cpu", "--fast",
+                "--seg-precision", "float32", "--verbose",
+                "--mpp-csv", str(slide_dir.parent / "mpp.csv"),
+            ],
+            catch_exceptions=False,
+        )
+    assert result.exit_code == 0, result.output
+    assert any("sweep_seg_batch" in r.getMessage() for r in caplog.records)
+
+    # explicit --seg-batch-size suppresses the hint (nothing was guessed)
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="atlaspatch_tpu.cli"):
+        result = runner.invoke(
+            cli_mod.cli,
+            [
+                "segment-and-get-coords", str(slide_dir),
+                "--output", str(tmp_path / "out2"),
+                "--patch-size", "64", "--target-mag", "20", "--device", "cpu", "--fast",
+                "--seg-precision", "float32", "--seg-batch-size", "4", "--verbose",
+                "--mpp-csv", str(slide_dir.parent / "mpp.csv"),
+            ],
+            catch_exceptions=False,
+        )
+    assert result.exit_code == 0, result.output
+    assert not any("sweep_seg_batch" in r.getMessage() for r in caplog.records)
