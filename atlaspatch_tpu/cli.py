@@ -107,7 +107,9 @@ _COMMON_OPTIONS: list = [
                       "(data-parallel mesh; needs --seg-batch-size >= chip count)."),
     click.option("--fast", is_flag=True,
                  help="TPU throughput preset: --seg-precision bfloat16 "
-                      "--seg-batch-size 8 (the benchmark configuration). "
+                      "--seg-batch-size 8 --seg-input-size 768 (the benchmark "
+                      "configuration; 768 holds IoU within 0.5 pt of 1024 on "
+                      "the trained checkpoint — docs/PERF.md). "
                       "Explicitly-passed seg flags still win."),
     click.option("--verbose", "-v", is_flag=True, help="Enable debug logging."),
 ]
@@ -169,6 +171,22 @@ def _build_app_config(kw: dict, feature_cfg: FeatureExtractionConfig | None) -> 
 
         if not _explicit("seg_precision"):
             kw["seg_precision"] = "bfloat16"
+        if (
+            not _explicit("seg_input_size")
+            and kw.get("seg_input_size") is None
+            and not kw.get("sam2_config")
+        ):
+            # 768 passed the sub-1-pt quality gate on the trained histology
+            # checkpoint (IoU 0.9751 vs 0.9802 at 1024) for 2.0x fewer trunk
+            # FLOPs — the quadratic input-size lever (docs/PERF.md "SAM2
+            # ceiling"). The reference-parity default stays the architecture's
+            # 1024; pass --seg-input-size 1024 to keep it under --fast. A
+            # custom --sam2-config keeps ITS native size: 768 is validated
+            # for the shipped hiera-tiny window spec, not arbitrary specs.
+            # Marked as preset-chosen: the predictor falls back to the
+            # architecture's native size if its window spec cannot tile 768.
+            kw["seg_input_size"] = 768
+            kw["_seg_input_size_preset"] = True
         if not _explicit("seg_batch_size"):
             # Measured knee on v5e (192-slide sweep, bf16 seg): batch 8 beats
             # 16/32/64 on BOTH the synthetic and real-TIFF corpora (real-TIFF
@@ -199,6 +217,7 @@ def _build_app_config(kw: dict, feature_cfg: FeatureExtractionConfig | None) -> 
             batch_size=kw["seg_batch_size"],
             precision=kw.get("seg_precision", "float32").lower(),
             input_size=kw.get("seg_input_size"),
+            input_size_preset=kw.get("_seg_input_size_preset", False),
         ),
         extraction=ExtractionConfig(
             patch_size=kw["patch_size"],

@@ -131,6 +131,11 @@ class SegmentationConfig(_TableValidated):
     # reduced sizes must be validated per checkpoint (tools/quality_loop.sh
     # takes SEG_INPUT_SIZE); the reference-parity default stays 1024.
     input_size: int | None = None
+    # True when input_size came from the --fast preset rather than an
+    # explicit flag: the predictor then falls back to the architecture's
+    # native size (with a log line) if the window spec cannot tile it,
+    # instead of hard-failing a preset the user never typed.
+    input_size_preset: bool = False
 
     _REQUIRED_PATHS = (
         ("checkpoint_path", "Checkpoint"),

@@ -70,6 +70,64 @@ class SAM2Config:
         s = self.image_size // self.patch_stride
         return ((s, s), (s // 2, s // 2), (s // 4, s // 4))
 
+    def validate_input_size(self, size: int) -> None:
+        """Raise ValueError if the hiera window/q-pool math cannot tile `size`.
+
+        The architecture has a latent divisibility constraint (faithful to the
+        upstream SAM2 trunk, whose torch code fails the same way on a bad
+        view): at each stage-transition block, attention partitions the
+        incoming grid into windows of the PREVIOUS stage's size, query-pools
+        each window by `query_stride`, and un-partitions on the POOLED grid
+        with window `win // query_stride` — so the window counts must agree:
+        ceil(H/win) == ceil((H//stride) / (win//stride)). The patch grid must
+        also tile the stage-0 window (pos-embed tiling). The shipped
+        hiera-tiny spec satisfies this at 1024/768/512; arbitrary (spec, size)
+        pairs may not — this turns the reshape crash into a clear error."""
+        import math
+
+        grid = size // self.patch_stride
+        if size % self.patch_stride:
+            raise ValueError(
+                f"SAM2 input size {size} is not a multiple of the patch "
+                f"stride {self.patch_stride}"
+            )
+        win0 = self.window_size_per_stage[0]
+        if grid % win0:
+            raise ValueError(
+                f"SAM2 input size {size}: patch grid {grid} does not tile the "
+                f"stage-0 window {win0} (positional-embedding tiling)"
+            )
+        total = 0
+        for stage_idx, n_blocks in enumerate(self.blocks_per_stage):
+            for block_idx in range(n_blocks):
+                first = stage_idx > 0 and block_idx == 0
+                win = self.window_size_per_stage[
+                    stage_idx - 1 if first else stage_idx
+                ]
+                if total in self.global_attention_blocks:
+                    win = 0
+                pooled = (
+                    0 < stage_idx <= self.num_query_pool_stages and block_idx == 0
+                )
+                out = grid // self.query_stride if pooled else grid
+                if win and pooled:
+                    ws = win // self.query_stride
+                    if ws == 0 or math.ceil(grid / win) != math.ceil(out / ws):
+                        raise ValueError(
+                            f"SAM2 input size {size} is incompatible with this "
+                            f"architecture: stage {stage_idx} transition "
+                            f"(grid {grid}, window {win}, query stride "
+                            f"{self.query_stride}) pools to grid {out} with "
+                            f"window {ws}, but the window counts differ "
+                            f"({math.ceil(grid / win)} vs "
+                            f"{0 if ws == 0 else math.ceil(out / ws)}). "
+                            f"Pick a size whose stage grids tile the windows "
+                            f"(the shipped hiera-tiny spec supports "
+                            f"1024/768/512)."
+                        )
+                grid = out
+                total += 1
+
     @classmethod
     def tiny(cls) -> "SAM2Config":
         return cls()

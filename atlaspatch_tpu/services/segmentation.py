@@ -85,7 +85,25 @@ class SAM2Predictor:
             # the same weights load at any multiple of 32.
             import dataclasses as _dc
 
-            self.sam2_cfg = _dc.replace(self.sam2_cfg, image_size=int(override))
+            # Loud guard: some (window spec, size) pairs cannot tile — turn
+            # the mid-trace reshape crash into an actionable error. A size
+            # chosen by the --fast preset (not typed by the user) falls back
+            # to the architecture's native size instead of failing.
+            try:
+                self.sam2_cfg.validate_input_size(int(override))
+            except ValueError:
+                if not getattr(cfg, "input_size_preset", False):
+                    raise
+                logger.info(
+                    "--fast preset input size %d does not tile this SAM2 "
+                    "window spec; keeping the architecture's native %d.",
+                    int(override), self.sam2_cfg.image_size,
+                )
+                override = None
+            if override is not None:
+                self.sam2_cfg = _dc.replace(
+                    self.sam2_cfg, image_size=int(override)
+                )
         self.input_size = self.sam2_cfg.image_size
 
         platform = cfg.device.split(":")[0]

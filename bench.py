@@ -11,8 +11,8 @@
    (host prep threads → H2D dispatch → jitted forward), the second BASELINE
    north-star metric. No published reference value ⇒ vs_baseline null.
 
-Config: seg bfloat16, seg batch 8 — the CLI's ``--fast`` preset (defaults
-stay float32/batch-1 for reference-exact numerics). Each stage reports
+Config: seg bfloat16, seg batch 8, seg input 768 — the CLI's ``--fast``
+preset (defaults stay float32/batch-1/1024 for reference-exact numerics). Each stage reports
 best AND median over ATLASPATCH_BENCH_PASSES passes: the TPU tunnel on this
 host fluctuates >2x run-to-run, so best approximates the machine and median
 the session.
@@ -62,8 +62,10 @@ SEG_BATCH = int(os.environ.get("ATLASPATCH_BENCH_SEG_BATCH", "8"))
 # float32 for users who want the reference's exact numeric chain.
 SEG_PRECISION = os.environ.get("ATLASPATCH_BENCH_SEG_PRECISION", "bfloat16")
 # SAM2 input size (0 = the architecture's default, 1024 for hiera-tiny).
-# The quadratic-MXU lever: 512 is 4x less trunk work (see docs/PERF.md).
-SEG_INPUT_SIZE = int(os.environ.get("ATLASPATCH_BENCH_SEG_INPUT_SIZE", "0"))
+# 768 is the --fast preset: quality-gated on the trained checkpoint (IoU
+# 0.9751 vs 0.9802 at 1024, docs/PERF.md "SAM2 ceiling") for 2x fewer trunk
+# FLOPs — the quadratic-MXU lever. Set 1024 to bench the parity resolution.
+SEG_INPUT_SIZE = int(os.environ.get("ATLASPATCH_BENCH_SEG_INPUT_SIZE", "768"))
 PASSES = max(1, int(os.environ.get("ATLASPATCH_BENCH_PASSES", "5")))  # passes are ~1-2 s each (startup dominates); 5 damps tunnel variance in the median
 SKIP = set(os.environ.get("ATLASPATCH_BENCH_SKIP", "").split(","))
 SLIDE_W, SLIDE_H = 4096, 3072

@@ -157,6 +157,44 @@ def test_cli_detect_tissue_per_slide_isolation(slide_dir: Path, tmp_path: Path, 
     assert "[FAIL] s2_bad.png" in result.output
 
 
+def test_fast_preset_adopts_seg_input_768(tmp_path: Path, monkeypatch):
+    """--fast runs SAM2 at 768 (quality-gated: IoU within 0.5 pt of 1024 on
+    the trained checkpoint, docs/PERF.md) unless --seg-input-size is passed;
+    without --fast the reference-parity default (architecture size) stays."""
+    from click.testing import CliRunner
+
+    from atlaspatch_tpu import cli as cli_mod
+
+    captured: dict = {}
+    real = cli_mod._build_app_config
+
+    class _Stop(Exception):
+        pass
+
+    def spy(kw, feature_cfg):
+        captured["cfg"] = real(kw, feature_cfg)
+        raise _Stop
+
+    monkeypatch.setattr(cli_mod, "_build_app_config", spy)
+    runner = CliRunner()
+    base = [
+        "segment-and-get-coords", str(tmp_path), "--output", str(tmp_path / "o"),
+        "--patch-size", "64", "--target-mag", "20", "--device", "cpu",
+    ]
+
+    assert isinstance(runner.invoke(cli_mod.cli, base + ["--fast"]).exception, _Stop)
+    seg = captured["cfg"].segmentation
+    assert (seg.input_size, seg.precision, seg.batch_size) == (768, "bfloat16", 8)
+
+    # explicit --seg-input-size wins over the preset
+    runner.invoke(cli_mod.cli, base + ["--fast", "--seg-input-size", "1024"])
+    assert captured["cfg"].segmentation.input_size == 1024
+
+    # no --fast: the architecture's size (reference parity)
+    runner.invoke(cli_mod.cli, base)
+    assert captured["cfg"].segmentation.input_size is None
+
+
 def test_cli_seg_input_size_validated_at_option_layer(tmp_path: Path):
     """Invalid --seg-input-size is a clean click UsageError, not a
     SegmentationConfig traceback (ADVICE r4)."""

@@ -25,6 +25,49 @@ def test_input_size_validation():
             SegmentationConfig(input_size=bad).validated()
 
 
+def test_incompatible_size_raises_clear_error(monkeypatch, tmp_path):
+    """Some (window spec, size) pairs cannot tile the stage-transition
+    window math (a constraint inherited faithfully from the upstream SAM2
+    trunk — torch fails the same way on a bad view). The predictor must turn
+    that into an actionable ValueError, not a mid-trace reshape crash."""
+    # Shipped hiera-tiny spec: validated sizes pass ...
+    for ok in (1024, 768, 512):
+        SAM2Config.tiny().validate_input_size(ok)
+    # ... the test spec (windows 4,2,7,4 at image 128) works at small sizes
+    SAM2Config.test_tiny().validate_input_size(64)
+    SAM2Config.test_tiny().validate_input_size(256)
+    # but its stage-3 transition (window 7 -> 3 under q-pool) cannot tile 768
+    with pytest.raises(ValueError, match="window counts differ"):
+        SAM2Config.test_tiny().validate_input_size(768)
+
+    monkeypatch.setenv("ATLASPATCH_ALLOW_RANDOM_WEIGHTS", "1")
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "empty-hf"))
+    with pytest.raises(ValueError, match="incompatible"):
+        SAM2Predictor(
+            SegmentationConfig(device="cpu", input_size=768).validated(),
+            SAM2Config.test_tiny(),
+        )
+
+
+def test_preset_size_falls_back_to_native(monkeypatch, tmp_path, caplog):
+    """A size chosen by the --fast preset (input_size_preset=True) must not
+    hard-fail an architecture whose window spec cannot tile it — fall back to
+    the native size with a log line; explicit sizes still raise (test above)."""
+    import logging
+
+    monkeypatch.setenv("ATLASPATCH_ALLOW_RANDOM_WEIGHTS", "1")
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "empty-hf"))
+    with caplog.at_level(logging.INFO):
+        pred = SAM2Predictor(
+            SegmentationConfig(
+                device="cpu", input_size=768, input_size_preset=True
+            ).validated(),
+            SAM2Config.test_tiny(),
+        )
+    assert pred.input_size == 128  # the architecture's native size
+    assert any("does not tile" in r.getMessage() for r in caplog.records)
+
+
 def test_predictor_honors_input_size_override(monkeypatch, tmp_path):
     monkeypatch.setenv("ATLASPATCH_ALLOW_RANDOM_WEIGHTS", "1")
     monkeypatch.setenv("HF_HOME", str(tmp_path / "empty-hf"))
