@@ -57,7 +57,9 @@ def test_preset_size_falls_back_to_native(monkeypatch, tmp_path, caplog):
 
     monkeypatch.setenv("ATLASPATCH_ALLOW_RANDOM_WEIGHTS", "1")
     monkeypatch.setenv("HF_HOME", str(tmp_path / "empty-hf"))
-    with caplog.at_level(logging.INFO):
+    # target the service logger explicitly: an earlier CLI test may have left
+    # the "atlaspatch_tpu" parent at WARNING via configure_logging(False)
+    with caplog.at_level(logging.INFO, logger="atlaspatch_tpu.segmentation_service"):
         pred = SAM2Predictor(
             SegmentationConfig(
                 device="cpu", input_size=768, input_size_preset=True
