@@ -187,6 +187,17 @@ def _build_app_config(kw: dict, feature_cfg: FeatureExtractionConfig | None) -> 
             # architecture's native size if its window spec cannot tile 768.
             kw["seg_input_size"] = 768
             kw["_seg_input_size_preset"] = True
+            if kw.get("sam2_checkpoint"):
+                # The 768 gate was measured on the shipped finetune
+                # (docs/PERF.md input-size quality gate) — surface the choice
+                # for user-supplied checkpoints rather than degrading masks
+                # silently; quality at reduced sizes is per-checkpoint.
+                logger.info(
+                    "--fast runs SAM2 at input size 768 (quality-gated on the "
+                    "shipped finetuned checkpoint). For your checkpoint, "
+                    "validate with tools/quality_loop.sh or pass "
+                    "--seg-input-size 1024 for the parity resolution.",
+                )
         if not _explicit("seg_batch_size"):
             # Measured knee on v5e (192-slide sweep, bf16 seg): batch 8 beats
             # 16/32/64 on BOTH the synthetic and real-TIFF corpora (real-TIFF

@@ -263,6 +263,16 @@ class JaxFeatureExtractor(FeatureExtractor):
         # the depth knob keeps bounding the big uploads.
         # ATLASPATCH_DEFERRED_FETCH=0 restores blocking per-chunk fetches.
         deferred = os.environ.get("ATLASPATCH_DEFERRED_FETCH", "1") == "1"
+        # Deferred-window cap: fut.result() only waits for DISPATCH, so with
+        # no cap an extract_batch over a huge patch list could enqueue every
+        # chunk's computation ahead of the device — each unexecuted chunk
+        # pins its padded input batch (~5 MB at 32×224²×3) in HBM. Blocking
+        # on the oldest chunk's output once the window fills forces execution
+        # order and bounds in-flight device memory to ~cap×5 MB while still
+        # overlapping `cap` D2H round-trips.
+        max_deferred = max(
+            1, int(os.environ.get("ATLASPATCH_DEFERRED_MAX_CHUNKS", "64"))
+        )
 
         def _start_fetch(dev_out):
             try:
@@ -272,13 +282,17 @@ class JaxFeatureExtractor(FeatureExtractor):
             return dev_out
 
         pending: deque[tuple] = deque()  # (dispatch_future, n_valid)
-        done: list[tuple] = []  # (device array, D2H already started, n_valid)
+        done: deque[tuple] = deque()  # (device array, D2H already started, n_valid)
 
         def _drain_one() -> None:
             fut, k = pending.popleft()
             if deferred:
                 with perf.stage("embed_d2h_start"):
                     done.append((_start_fetch(fut.result()), k))
+                if len(done) > max_deferred:
+                    dev_out, k0 = done.popleft()
+                    with perf.stage("embed_fetch"):
+                        outputs.append(self._materialize_f32(dev_out)[:k0])
             else:
                 with perf.stage("embed_fetch"):
                     outputs.append(self._materialize_f32(fut.result())[:k])

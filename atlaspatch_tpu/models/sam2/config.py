@@ -14,6 +14,24 @@ from dataclasses import dataclass
 
 
 @dataclass(frozen=True)
+class HieraBlockSpec:
+    """Resolved per-block schedule entry for the hiera trunk.
+
+    ONE source of truth consumed by both the model (hiera.MultiScaleBlock)
+    and SAM2Config.validate_input_size — previously each re-derived the
+    window/pool schedule from the raw config and could silently drift."""
+
+    stage_idx: int
+    block_idx: int
+    total_block_idx: int
+    dim: int        # input channel count (previous stage's at transitions)
+    dim_out: int
+    num_heads: int
+    window_size: int  # 0 = global attention
+    query_stride: int | None  # set on the first block of pooled stages
+
+
+@dataclass(frozen=True)
 class SAM2Config:
     # Hiera trunk
     hidden_size: int = 96
@@ -70,6 +88,40 @@ class SAM2Config:
         s = self.image_size // self.patch_stride
         return ((s, s), (s // 2, s // 2), (s // 4, s // 4))
 
+    def block_schedule(self) -> tuple[HieraBlockSpec, ...]:
+        """Per-block (dim, window, query-stride) schedule in trunk order.
+
+        Mirrors the reference trunk's per-block resolution (stage-transition
+        blocks keep the PREVIOUS stage's dim/window; designated blocks run
+        global attention; the first block of stages 1..num_query_pool_stages
+        query-pools by `query_stride`)."""
+        specs: list[HieraBlockSpec] = []
+        total = 0
+        for stage_idx, n_blocks in enumerate(self.blocks_per_stage):
+            for block_idx in range(n_blocks):
+                first = stage_idx > 0 and block_idx == 0
+                src_stage = stage_idx - 1 if first else stage_idx
+                window = self.window_size_per_stage[src_stage]
+                if total in self.global_attention_blocks:
+                    window = 0
+                pooled = (
+                    0 < stage_idx <= self.num_query_pool_stages and block_idx == 0
+                )
+                specs.append(
+                    HieraBlockSpec(
+                        stage_idx=stage_idx,
+                        block_idx=block_idx,
+                        total_block_idx=total,
+                        dim=self.embed_dim_per_stage[src_stage],
+                        dim_out=self.embed_dim_per_stage[stage_idx],
+                        num_heads=self.num_heads_per_stage[stage_idx],
+                        window_size=window,
+                        query_stride=self.query_stride if pooled else None,
+                    )
+                )
+                total += 1
+        return tuple(specs)
+
     def validate_input_size(self, size: int) -> None:
         """Raise ValueError if the hiera window/q-pool math cannot tile `size`.
 
@@ -97,36 +149,24 @@ class SAM2Config:
                 f"SAM2 input size {size}: patch grid {grid} does not tile the "
                 f"stage-0 window {win0} (positional-embedding tiling)"
             )
-        total = 0
-        for stage_idx, n_blocks in enumerate(self.blocks_per_stage):
-            for block_idx in range(n_blocks):
-                first = stage_idx > 0 and block_idx == 0
-                win = self.window_size_per_stage[
-                    stage_idx - 1 if first else stage_idx
-                ]
-                if total in self.global_attention_blocks:
-                    win = 0
-                pooled = (
-                    0 < stage_idx <= self.num_query_pool_stages and block_idx == 0
-                )
-                out = grid // self.query_stride if pooled else grid
-                if win and pooled:
-                    ws = win // self.query_stride
-                    if ws == 0 or math.ceil(grid / win) != math.ceil(out / ws):
-                        raise ValueError(
-                            f"SAM2 input size {size} is incompatible with this "
-                            f"architecture: stage {stage_idx} transition "
-                            f"(grid {grid}, window {win}, query stride "
-                            f"{self.query_stride}) pools to grid {out} with "
-                            f"window {ws}, but the window counts differ "
-                            f"({math.ceil(grid / win)} vs "
-                            f"{0 if ws == 0 else math.ceil(out / ws)}). "
-                            f"Pick a size whose stage grids tile the windows "
-                            f"(the shipped hiera-tiny spec supports "
-                            f"1024/768/512)."
-                        )
-                grid = out
-                total += 1
+        for spec in self.block_schedule():
+            win, qs = spec.window_size, spec.query_stride
+            out = grid // qs if qs else grid
+            if win and qs:
+                ws = win // qs
+                if ws == 0 or math.ceil(grid / win) != math.ceil(out / ws):
+                    raise ValueError(
+                        f"SAM2 input size {size} is incompatible with this "
+                        f"architecture: stage {spec.stage_idx} transition "
+                        f"(grid {grid}, window {win}, query stride {qs}) "
+                        f"pools to grid {out} with window {ws}, but the "
+                        f"window counts differ ({math.ceil(grid / win)} vs "
+                        f"{0 if ws == 0 else math.ceil(out / ws)}). "
+                        f"Pick a size whose stage grids tile the windows "
+                        f"(the shipped hiera-tiny spec supports "
+                        f"1024/768/512)."
+                    )
+            grid = out
 
     @classmethod
     def tiny(cls) -> "SAM2Config":

@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from atlaspatch_tpu.models.sam2.config import SAM2Config
+from atlaspatch_tpu.models.sam2.config import HieraBlockSpec, SAM2Config
 
 
 def _gelu(x: jnp.ndarray) -> jnp.ndarray:
@@ -116,27 +116,20 @@ class MLP(nn.Module):
 
 
 class MultiScaleBlock(nn.Module):
+    """One trunk block; its (dim, window, query-stride) schedule entry comes
+    from SAM2Config.block_schedule() — the single source of truth shared with
+    validate_input_size, so the model and the size validator cannot drift."""
+
     cfg: SAM2Config
-    stage_idx: int
-    block_idx: int
-    total_block_idx: int
+    spec: HieraBlockSpec
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
-        first_of_stage = self.stage_idx > 0 and self.block_idx == 0
-        dim = cfg.embed_dim_per_stage[self.stage_idx - 1 if first_of_stage else self.stage_idx]
-        dim_out = cfg.embed_dim_per_stage[self.stage_idx]
-        window_size = cfg.window_size_per_stage[
-            self.stage_idx - 1 if first_of_stage else self.stage_idx
-        ]
-        if self.total_block_idx in cfg.global_attention_blocks:
-            window_size = 0
-        query_stride = (
-            cfg.query_stride
-            if 0 < self.stage_idx <= cfg.num_query_pool_stages and self.block_idx == 0
-            else None
-        )
+        dim = self.spec.dim
+        dim_out = self.spec.dim_out
+        window_size = self.spec.window_size
+        query_stride = self.spec.query_stride
 
         residual = x
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm1")(x)
@@ -152,7 +145,7 @@ class MultiScaleBlock(nn.Module):
 
         h = MultiScaleAttention(
             dim_out=dim_out,
-            num_heads=cfg.num_heads_per_stage[self.stage_idx],
+            num_heads=self.spec.num_heads,
             query_stride=query_stride,
             name="attn",
         )(h)
@@ -208,20 +201,13 @@ class HieraDet(nn.Module):
         x = x + pos
 
         outputs: list[jnp.ndarray] = []
-        total_block_idx = 0
         stage_ends = set(cfg.stage_ends)
-        for stage_idx, n_blocks in enumerate(cfg.blocks_per_stage):
-            for block_idx in range(n_blocks):
-                x = MultiScaleBlock(
-                    cfg=cfg,
-                    stage_idx=stage_idx,
-                    block_idx=block_idx,
-                    total_block_idx=total_block_idx,
-                    name=f"blocks_{total_block_idx}",
-                )(x)
-                if total_block_idx in stage_ends:
-                    outputs.append(x)
-                total_block_idx += 1
+        for spec in cfg.block_schedule():
+            x = MultiScaleBlock(
+                cfg=cfg, spec=spec, name=f"blocks_{spec.total_block_idx}"
+            )(x)
+            if spec.total_block_idx in stage_ends:
+                outputs.append(x)
         return outputs
 
 

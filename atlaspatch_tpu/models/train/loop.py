@@ -402,23 +402,30 @@ def finetune_sam2(
                 # tmp dir), and params are fully replicated anyway — process 0
                 # snapshots them, everyone else waits at the barrier so no host
                 # runs ahead of (or tears down before) a half-written step.
-                if jax.process_index() == 0:
-                    path = save_checkpoint(
-                        ckpt_dir,
-                        global_step,
-                        jax.device_get(params),
-                        jax.device_get(opt_state),
-                    )
-                    import json
+                try:
+                    if jax.process_index() == 0:
+                        path = save_checkpoint(
+                            ckpt_dir,
+                            global_step,
+                            jax.device_get(params),
+                            jax.device_get(opt_state),
+                        )
+                        import json
 
-                    (ckpt_dir / "meta.json").write_text(json.dumps(run_meta))
-                    logger.info("saved %s", path)
-                if n_proc > 1:
-                    from jax.experimental import multihost_utils
+                        (ckpt_dir / "meta.json").write_text(json.dumps(run_meta))
+                        logger.info("saved %s", path)
+                finally:
+                    # Barrier must be reached even if the save raised (disk
+                    # full, permissions): otherwise processes 1..N-1 hang in
+                    # sync_global_devices until the coordination-service
+                    # timeout and die with a cryptic barrier error instead of
+                    # process 0's real OSError.
+                    if n_proc > 1:
+                        from jax.experimental import multihost_utils
 
-                    multihost_utils.sync_global_devices(
-                        f"atlaspatch_ckpt_{global_step}"
-                    )
+                        multihost_utils.sync_global_devices(
+                            f"atlaspatch_ckpt_{global_step}"
+                        )
         if eval_step is not None and val_loss is None:
             # Nothing-left-to-train resume: still score the restored params
             # so --resume --val-fraction reports metrics for the checkpoint.

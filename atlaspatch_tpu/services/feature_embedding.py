@@ -94,6 +94,21 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
         self._read_pool: ThreadPoolExecutor | None = None
         self._read_pool_lock = Lock()
 
+    def _io_block_rows(self) -> int:
+        """Rows per IO/write block: ATLASPATCH_EMBED_BLOCK_CHUNKS (default 8)
+        device chunks. The device batch stays feature_cfg.batch_size — the
+        engine chunks each block internally on the same 32-stride boundaries,
+        so per-patch outputs are bit-identical to block==batch. A multi-chunk
+        block is what lets the engine's deferred D2H overlap chunk round-trips
+        (measured +53% e2e on the tunnel); with block==batch every
+        extract_batch call was single-chunk and the per-block fetch
+        serialized with the H5 write. Larger blocks also mean 8x fewer H5
+        write calls. Cost: coarser per-encoder mid-slide fault isolation
+        (a failing extractor is dropped at block, not batch, granularity)
+        and ~25-50 MB more host buffering."""
+        mult = max(1, int(os.environ.get("ATLASPATCH_EMBED_BLOCK_CHUNKS", "8")))
+        return max(1, int(self.feature_cfg.batch_size)) * mult
+
     # --- patch pixel loading --------------------------------------------------------
     def _read_patch_block(self, wsi: IWSI, coords: np.ndarray) -> list[np.ndarray]:
         """Read + resize a block of patches concurrently on host threads."""
@@ -149,8 +164,7 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
         try:
             with h5py.File(res.h5_path, "r") as f:
                 coords = f["coords"][:]
-            batch = max(1, int(self.feature_cfg.batch_size))
-            first = self._read_patch_block(wsi, coords[:batch])
+            first = self._read_patch_block(wsi, coords[: self._io_block_rows()])
             return wsi, coords, first
         except Exception:
             try:
@@ -168,7 +182,7 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
         reads block i+1. `first_block`, when given, seeds block 0 (it was
         pre-read by the cross-slide prep thread).
         """
-        batch = max(1, int(self.feature_cfg.batch_size))
+        batch = self._io_block_rows()
         total_rows = int(coords.shape[0])
         prefetcher = ThreadPoolExecutor(max_workers=1, thread_name_prefix="block-read")
         pending: dict[int, object] = {}
@@ -371,7 +385,7 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
                     feature_name=extractor.name,
                     feature_fn=feature_fn,
                     num_rows=int(coords.shape[0]),
-                    feature_batch=self.feature_cfg.batch_size,
+                    feature_batch=self._io_block_rows(),
                     feature_attrs={
                         "name": extractor.name,
                         "embedding_dim": extractor.embedding_dim,
@@ -489,7 +503,7 @@ class PatchFeatureEmbeddingService(FeatureEmbeddingService):
                     feature_names=list(todo),
                     block_fn=block_fn,
                     num_rows=total_rows,
-                    feature_batch=self.feature_cfg.batch_size,
+                    feature_batch=self._io_block_rows(),
                     feature_attrs={
                         name: {"name": name, "embedding_dim": ext.embedding_dim}
                         for name, ext in todo.items()

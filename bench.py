@@ -52,6 +52,9 @@ N_SLIDES = int(os.environ.get("ATLASPATCH_BENCH_SLIDES", "192"))
 N_TIFF_SLIDES = int(os.environ.get("ATLASPATCH_BENCH_TIFF_SLIDES", "192"))
 N_EMBED_PATCHES = int(os.environ.get("ATLASPATCH_BENCH_EMBED_PATCHES", "512"))
 EMBED_ENCODER = os.environ.get("ATLASPATCH_BENCH_EMBED_ENCODER", "vit_l_16")
+# Embed chunk size: one constant feeds the warmup, the measured call, AND the
+# fetch-decomposition chunk math (keeping them in lockstep).
+EMBED_BATCH = int(os.environ.get("ATLASPATCH_BENCH_EMBED_BATCH", "32"))
 # Batch 8 is the measured knee on this host (192-slide sweep, bf16):
 # real-TIFF median 16.9x at 8 vs 16.4x/15.6x/13.4x at 16/32/64 and 14.9x at
 # 4; synthetic 18.4x at 8 vs 17.7x/15.6x at 16/32. Fine-grained batches keep
@@ -385,11 +388,15 @@ def bench_embed_vitl(tmp: Path) -> dict:
     patches = list(rng.integers(0, 255, (N_EMBED_PATCHES, 256, 256, 3), dtype=np.uint8))
 
     # Warmup: compile every bucket the measured call will hit — the full
-    # 32-patch chunks AND the remainder chunk's pow2 bucket.
-    warm = extractor.extract_batch(patches[: min(64, len(patches))], batch_size=32)
+    # EMBED_BATCH-patch chunks AND the remainder chunk's pow2 bucket.
+    warm = extractor.extract_batch(
+        patches[: min(2 * EMBED_BATCH, len(patches))], batch_size=EMBED_BATCH
+    )
     assert np.isfinite(warm).all()
-    if N_EMBED_PATCHES % 32:
-        extractor.extract_batch(patches[: N_EMBED_PATCHES % 32], batch_size=32)
+    if N_EMBED_PATCHES % EMBED_BATCH:
+        extractor.extract_batch(
+            patches[: N_EMBED_PATCHES % EMBED_BATCH], batch_size=EMBED_BATCH
+        )
 
     rates = []
     pass_detail: list[dict] = []
@@ -399,7 +406,7 @@ def bench_embed_vitl(tmp: Path) -> dict:
         host_probe = _host_speed_probe()
         perf.reset()
         t0 = time.perf_counter()
-        feats = extractor.extract_batch(patches, batch_size=32)
+        feats = extractor.extract_batch(patches, batch_size=EMBED_BATCH)
         feats = np.asarray(feats)  # force full host materialization
         dt = time.perf_counter() - t0
         assert feats.shape[0] == N_EMBED_PATCHES and np.isfinite(feats).all()
@@ -414,7 +421,7 @@ def bench_embed_vitl(tmp: Path) -> dict:
 
     # Link decomposition (VERDICT r4 #3): how much of each pass is the final
     # blocking materialization vs dispatch/prep, and the per-chunk cost.
-    n_chunks = -(-N_EMBED_PATCHES // 32)
+    n_chunks = -(-N_EMBED_PATCHES // EMBED_BATCH)
     fetch_s = [d["stages"].get("embed_fetch", [0.0])[0] for d in pass_detail]
     fetch_med = statistics.median(fetch_s) if fetch_s else 0.0
     fetch_decomp = {

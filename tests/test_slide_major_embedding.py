@@ -140,7 +140,56 @@ def test_slide_major_matches_extractor_major_bitexact(
         assert rb.metadata["feature_sets"] == ["toy", "toy2"]
 
 
-def test_slide_major_isolates_mid_slide_extractor_failure(slide_dir, tmp_path):
+def test_io_block_width_is_feature_invariant(slide_dir, tmp_path, monkeypatch):
+    """The writer's io-block spans ATLASPATCH_EMBED_BLOCK_CHUNKS device
+    chunks (default 8) so the engine's deferred D2H overlaps chunk
+    round-trips; the device chunking inside extract_batch keeps the same
+    batch-stride boundaries, so features must be BIT-identical to
+    block == batch — and the wide mode must actually hand the engine
+    multi-chunk calls."""
+    call_sizes: list[int] = []
+    orig = ToyEncoder.extract_batch
+
+    def spying(self, patches, *, batch_size=None):
+        call_sizes.append(len(patches))
+        return orig(self, patches, batch_size=batch_size)
+
+    monkeypatch.setattr(ToyEncoder, "extract_batch", spying)
+
+    monkeypatch.setenv("ATLASPATCH_EMBED_BLOCK_CHUNKS", "1")
+    feat_cfg = _feat_cfg(["toy"], batch=4)
+    cfg_a, res_a = _extract_slides(slide_dir, tmp_path / "narrow", feat_cfg)
+    svc = PatchFeatureEmbeddingService(
+        cfg_a.extraction, cfg_a.output, feat_cfg, registry=_registry(ToyEncoder)
+    )
+    assert svc.embed_all(res_a, wsi_loader=DefaultWSILoader()) == []
+    assert max(call_sizes) <= 4
+
+    call_sizes.clear()
+    monkeypatch.setenv("ATLASPATCH_EMBED_BLOCK_CHUNKS", "4")
+    cfg_b, res_b = _extract_slides(slide_dir, tmp_path / "wide", feat_cfg)
+    svc = PatchFeatureEmbeddingService(
+        cfg_b.extraction, cfg_b.output, feat_cfg, registry=_registry(ToyEncoder)
+    )
+    assert svc.embed_all(res_b, wsi_loader=DefaultWSILoader()) == []
+    assert max(call_sizes) > 4  # multi-chunk blocks reached the engine
+
+    for ra, rb in zip(
+        sorted(res_a, key=lambda r: r.slide.stem),
+        sorted(res_b, key=lambda r: r.slide.stem),
+    ):
+        with h5py.File(ra.h5_path) as fa, h5py.File(rb.h5_path) as fb:
+            np.testing.assert_array_equal(
+                fa["features/toy"][:], fb["features/toy"][:]
+            )
+
+
+def test_slide_major_isolates_mid_slide_extractor_failure(
+    slide_dir, tmp_path, monkeypatch
+):
+    # pin block == batch: the scenario needs the 2nd extractor CALL to land
+    # mid-slide (the default io-block is 8 device chunks wide)
+    monkeypatch.setenv("ATLASPATCH_EMBED_BLOCK_CHUNKS", "1")
     FlakyEncoder.calls = 0
     feat_cfg = _feat_cfg(["toy", "flaky"], batch=4)  # several blocks per slide
     cfg, results = _extract_slides(slide_dir, tmp_path / "out", feat_cfg)
@@ -213,7 +262,10 @@ class CasedEncoder(ToyEncoder):
     embedding_dim = 8
 
 
-def test_slide_major_isolates_malformed_extractor_output(slide_dir, tmp_path):
+def test_slide_major_isolates_malformed_extractor_output(
+    slide_dir, tmp_path, monkeypatch
+):
+    monkeypatch.setenv("ATLASPATCH_EMBED_BLOCK_CHUNKS", "1")
     MalformedEncoder.calls = 0
     feat_cfg = _feat_cfg(["toy", "malformed"], batch=4)
     cfg, results = _extract_slides(slide_dir, tmp_path / "out", feat_cfg)

@@ -133,7 +133,9 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--precision", default="bfloat16")
     ap.add_argument("--thumbs-per-sec", type=float, default=None,
-                    help="measured resident rate at the ARCH size (1024)")
+                    help="measured resident rate at --rate-size")
+    ap.add_argument("--rate-size", type=int, default=1024,
+                    help="the input size --thumbs-per-sec was measured at")
     ap.add_argument("--peak-tflops", type=float, default=197.0)
     ap.add_argument("--measure", action="store_true",
                     help="also measure the device-resident rate per size "
@@ -153,7 +155,7 @@ def main() -> int:
               f"| {r['gbytes_per_thumb']:.2f} | {ai:.0f} |")
     for r in rows:
         rate = r["resident_thumbs_per_s"]
-        if rate is None and args.thumbs_per_sec and r is rows[-1]:
+        if rate is None and args.thumbs_per_sec and r["size"] == args.rate_size:
             rate = args.thumbs_per_sec
         if rate:
             tfps = r["flops_per_thumb"] * rate / 1e12
