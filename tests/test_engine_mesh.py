@@ -160,3 +160,21 @@ def test_bf16_feature_d2h_opt_in(monkeypatch):
     # one f32->bf16 rounding: 2^-8 relative on a ~unit-scale feature
     denom = np.maximum(np.abs(base), 1e-3)
     assert float(np.max(np.abs(halved - base) / denom)) < 2 ** -7
+
+
+def test_deferred_window_bound_preserves_order(rng, monkeypatch):
+    """Bounded deferred fetch (ATLASPATCH_DEFERRED_MAX_CHUNKS): when chunk
+    count exceeds the window, the oldest chunks materialize mid-loop —
+    output order and values must match the blocking path bit-exactly."""
+    model, params, _ = _toy_vit()
+    patches = [rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(77)]
+
+    monkeypatch.setenv("ATLASPATCH_DEFERRED_FETCH", "0")
+    blocking = _make_ext(model, params).extract_batch(patches, batch_size=4)
+
+    monkeypatch.setenv("ATLASPATCH_DEFERRED_FETCH", "1")
+    monkeypatch.setenv("ATLASPATCH_DEFERRED_MAX_CHUNKS", "3")  # 20 chunks > 3
+    bounded = _make_ext(model, params).extract_batch(patches, batch_size=4)
+
+    assert bounded.shape == (77, 32)
+    np.testing.assert_array_equal(bounded, blocking)
